@@ -1,13 +1,84 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The engine surface = catalog over parquet (graft.engine.Tables), the
+  * Trino-compat function pack (graft.functions), and the query inventory
+  * (graft.queries.*), each entry mapping to a SURVEY §2 operator family.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: TPC-H Q5-style star join —
+    * scan+filter+broadcast joins+shuffle join+agg in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TpchQueries.queries("tpch_q5")(spark, "/root/testdata/sf0.001")
+
+  /** Approx/sketch operators: results are estimates, so no DuckDB
+    * hash-match is possible (different sketch algorithms) — these are
+    * rows-only checked by the driver; their accuracy bounds are asserted
+    * in the ScalaTest specs instead.
+    */
+  private val sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference: ApproximateCountDistinctAggregation.java (HLL)
+    "sketch_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("nd_part_approx"),
+          count(lit(1)).as("n"))
+    }),
+    // reference: ApproximateSetAggregation + HyperLogLogFunctions —
+    // sketch-as-a-value: build per-group HLLs, merge them, read cardinality
+    "sketch_hll_merge" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT hll_cardinality(merge_hll(sketch)) AS nd_merged
+          |FROM (SELECT l_returnflag, approx_set_agg(cast(l_partkey AS string)) AS sketch
+          |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+    }),
+    // reference: ApproximateLongPercentileAggregations (tdigest)
+    "sketch_approx_percentile" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").groupBy(col("l_linestatus"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+    }),
+    // reference: ApproximateMostFrequentHistogram (space-saving); capacity
+    // 64 > true distinct count here, so counts are exact → oracle-matched
+    "sketch_top_k" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT t.item, t.cnt FROM (
+          |  SELECT approx_top_k(o_orderpriority) AS m FROM orders
+          |) LATERAL VIEW explode(m) t AS item, cnt""".stripMargin)
+    }),
+    // order-independent checksum over rows (ChecksumAggregationFunction):
+    // xor of xxhash64 is associative+commutative → distributes freely and
+    // cannot overflow under ANSI arithmetic
+    "sketch_checksum" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .agg(bit_xor(xxhash64(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+          .as("table_checksum"))
+    }))
+
+  private val sketchOracles: Map[String, String] = Map(
+    // capacity > distinct ⇒ exact counts; plain GROUP BY reproduces them
+    "sketch_top_k" ->
+      """SELECT o_orderpriority AS item, count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TpchQueries.queries ++ OperatorQueries.queries ++ FunctionQueries.queries ++
+      EventQueries.queries ++ PipelineQueries.queries ++ sketchQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible /
+    * approximate ops → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    TpchQueries.oracles ++ OperatorQueries.oracles ++ FunctionQueries.oracles ++
+      EventQueries.oracles ++ PipelineQueries.oracles ++ sketchOracles
 }

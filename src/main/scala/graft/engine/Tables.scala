@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog bootstrap: the engine's data model is catalog tables over
+  * columnar files (reference: connector-provided tables,
+  * `core/trino-spi/src/main/java/io/trino/spi/connector/ConnectorMetadata.java`).
+  * Here the catalog is a directory of parquet tables registered as temp
+  * views; Spark's DataSource V2 handles split enumeration, predicate
+  * pushdown and column pruning (reference rebuilds all of that by hand in
+  * `TableScanOperator.java:50` + `lib/trino-parquet`).
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed external
+  * tables; nothing here assumes the data fits anywhere — registration is
+  * metadata-only (footer reads), all IO stays lazy and distributed.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table; metadata-only until an action runs.
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    * rejects; read it as raw nanos and truncate to the engine's
+    * microsecond timestamps (same truncation DuckDB applies on read).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every table of a scale-factor directory as a temp view.
+    * Idempotent; cheap (no data read). Also installs the function pack so
+    * SQL text can use the Trino-compat surface.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
+
+  /** Register views and run a SQL query against them — the engine's main
+    * entry, mirroring the reference's sole public API (SQL text,
+    * `sql/parser/SqlParser.java:45`), with Spark's parser + Catalyst in
+    * place of trino-parser + its optimizer.
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable
+
+/** HyperLogLog sketch-as-a-value, the analog of the reference's
+  * `HyperLogLog` type + `approx_set`/`merge`/`cardinality`
+  * (`core/trino-spi/.../type/HyperLogLogType.java`,
+  * `operator/aggregation/ApproximateSetAggregation.java`,
+  * `operator/scalar/HyperLogLogFunctions.java`). Semantic — not wire —
+  * compatibility (SURVEY §7). Dense layout only: p=12 → 4096 registers,
+  * 4 KiB per group; standard error ≈ 1.04/√4096 ≈ 1.6 %.
+  *
+  * Scale note: the sketch is a fixed-size byte array merged associatively,
+  * so partial aggregation (map-side combine) applies and shuffle traffic
+  * per group is O(4 KiB) regardless of input cardinality.
+  */
+object Hll {
+  val P = 12
+  val M = 1 << P // 4096 registers
+
+  def empty: Array[Byte] = new Array[Byte](M)
+
+  def add(regs: Array[Byte], hash: Long): Unit = {
+    val idx = (hash >>> (64 - P)).toInt
+    val rest = hash << P
+    val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](M)
+    var i = 0
+    while (i < M) { out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    out
+  }
+
+  def cardinality(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << (regs(i) & 0xff)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val raw = alpha * M * M / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+}
+
+/** approx_set(x): HLL sketch over any input rendered to string. */
+class HllAggregator extends Aggregator[String, Array[Byte], Array[Byte]] {
+  def zero: Array[Byte] = Hll.empty
+  def reduce(b: Array[Byte], a: String): Array[Byte] = {
+    if (a != null) Hll.add(b, Hashing.fnv64Seeded(a, 0x5bd1e995L))
+    b
+  }
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(r: Array[Byte]): Array[Byte] = r
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** merge(hll): re-aggregate previously built sketches (rollup path —
+  * reference `MergeHyperLogLogAggregation.java`).
+  */
+class HllMergeAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  def zero: Array[Byte] = Hll.empty
+  def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+    if (a == null) b else Hll.merge(b, a)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(r: Array[Byte]): Array[Byte] = r
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Space-saving top-k (reference `ApproximateMostFrequentHistogram.java`).
+  * With `capacity` ≥ true distinct count the counts are EXACT — the
+  * correctness suite exploits that; at 100 TB the fixed capacity bounds
+  * state per group to O(capacity) with the classic ±(n/capacity) error.
+  */
+class SpaceSavingAggregator(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  def zero: Map[String, Long] = Map.empty
+
+  def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+    if (a == null) return b
+    b.get(a) match {
+      case Some(c) => b.updated(a, c + 1)
+      case None if b.size < capacity => b.updated(a, 1L)
+      case None =>
+        val (minK, minV) = b.minBy(_._2)
+        (b - minK).updated(a, minV + 1)
+    }
+  }
+
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val m = mutable.Map.empty[String, Long] ++ a
+    b.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+    if (m.size <= capacity) m.toMap
+    else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity).toMap
+  }
+
+  def finish(r: Map[String, Long]): Map[String, Long] = r
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.Tables
+
+/** Scalar-function surface (SURVEY §2.10) — one query per family, each
+  * evaluating a battery of functions over real table rows so results are
+  * data-dependent (not constant-folded away). Expressed in SQL to
+  * exercise the engine's SQL entry the way the reference is driven.
+  */
+object FunctionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(sql: String): Q = (s, dir) => Tables.sql(s, dir, sql)
+
+  // Spark-side SQL; oracle below states the DuckDB-equivalent spelling.
+  private val defs: Map[String, (String, String)] = Map(
+    "fn_string" -> (
+      """SELECT n_name,
+        |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,
+        |substring(n_name, 2, 3) AS sub, reverse(n_name) AS rev,
+        |replace(n_name, 'A', '_') AS repl, trim('  x  ') AS trimmed,
+        |lpad(n_name, 12, '.') AS padded, rpad(n_name, 12, '.') AS rpadded,
+        |concat(n_name, '-', cast(n_nationkey AS string)) AS cat,
+        |concat_ws('/', n_name, 'x', 'y') AS catws,
+        |split_part(n_name, 'A', 1) AS sp1,
+        |instr(n_name, 'AN') AS pos,
+        |left(n_name, 3) AS l3, right(n_name, 3) AS r3,
+        |repeat(n_name, 2) AS rep2,
+        |translate(n_name, 'AEI', 'aei') AS tr,
+        |levenshtein(n_name, 'FRANCE') AS lev,
+        |ascii(n_name) AS asc_first, chr(65 + n_nationkey) AS chr_k,
+        |contains(n_name, 'AN') AS has_an,
+        |startswith(n_name, 'A') AS sw, endswith(n_name, 'A') AS ew
+        |FROM nation""".stripMargin,
+      """SELECT n_name,
+        |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,
+        |substring(n_name, 2, 3) AS sub, reverse(n_name) AS rev,
+        |replace(n_name, 'A', '_') AS repl, trim('  x  ') AS trimmed,
+        |lpad(n_name, 12, '.') AS padded, rpad(n_name, 12, '.') AS rpadded,
+        |concat(n_name, '-', cast(n_nationkey AS varchar)) AS cat,
+        |concat_ws('/', n_name, 'x', 'y') AS catws,
+        |split_part(n_name, 'A', 1) AS sp1,
+        |instr(n_name, 'AN') AS pos,
+        |left(n_name, 3) AS l3, right(n_name, 3) AS r3,
+        |repeat(n_name, 2) AS rep2,
+        |translate(n_name, 'AEI', 'aei') AS tr,
+        |levenshtein(n_name, 'FRANCE') AS lev,
+        |ascii(n_name) AS asc_first, chr(65 + n_nationkey) AS chr_k,
+        |contains(n_name, 'AN') AS has_an,
+        |starts_with(n_name, 'A') AS sw, ends_with(n_name, 'A') AS ew
+        |FROM nation""".stripMargin),
+    "fn_regex" -> (
+      """SELECT p_partkey, p_name,
+        |p_name rlike '^[a-z]+ ' AS starts_word,
+        |regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |regexp_replace(p_name, '[aeiou]', '*') AS devowel,
+        |size(split(p_name, ' ')) AS n_tokens
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+      """SELECT p_partkey, p_name,
+        |regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        |coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        |regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+        |len(string_split(p_name, ' ')) AS n_tokens
+        |FROM part WHERE p_partkey <= 200""".stripMargin),
+    "fn_math" -> (
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_quantity - 25) AS a, ceil(l_discount * 100) AS c,
+        |floor(l_extendedprice / 1000) AS f,
+        |round(l_extendedprice, 1) AS r1,
+        |exp(l_discount) AS e, ln(l_quantity) AS lnv,
+        |log10(l_extendedprice) AS lg10, log2(l_quantity) AS lg2,
+        |sqrt(l_quantity) AS sq, cbrt(l_quantity) AS cb,
+        |power(l_quantity, 2) AS p2, pmod(cast(l_orderkey AS int), 7) AS m7,
+        |sign(l_discount - 0.05) AS sg,
+        |greatest(l_quantity, l_discount * 100) AS g,
+        |least(l_quantity, l_discount * 100) AS lst,
+        |sin(l_discount) AS sn, cos(l_discount) AS cs, atan(l_discount) AS at,
+        |degrees(l_discount) AS dg, radians(l_quantity) AS rd,
+        |width_bucket(l_quantity, 0, 50, 10) AS wb
+        |FROM lineitem WHERE l_orderkey <= 300""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_quantity - 25) AS a, ceil(l_discount * 100) AS c,
+        |floor(l_extendedprice / 1000) AS f,
+        |round(l_extendedprice, 1) AS r1,
+        |exp(l_discount) AS e, ln(l_quantity) AS lnv,
+        |log10(l_extendedprice) AS lg10, log2(l_quantity) AS lg2,
+        |sqrt(l_quantity) AS sq, cbrt(l_quantity) AS cb,
+        |power(l_quantity, 2) AS p2, (l_orderkey::int % 7) AS m7,
+        |sign(l_discount - 0.05) AS sg,
+        |greatest(l_quantity, l_discount * 100) AS g,
+        |least(l_quantity, l_discount * 100) AS lst,
+        |sin(l_discount) AS sn, cos(l_discount) AS cs, atan(l_discount) AS at,
+        |degrees(l_discount) AS dg, radians(l_quantity) AS rd,
+        |least(greatest(floor((l_quantity - 0) / 5.0)::bigint + 1, 0), 11) AS wb
+        |FROM lineitem WHERE l_orderkey <= 300""".stripMargin),
+    "fn_datetime" -> (
+      """SELECT o_orderkey,
+        |year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |month(o_orderdate) AS mo, day(o_orderdate) AS d,
+        |dayofweek(o_orderdate) AS dow, dayofyear(o_orderdate) AS doy,
+        |weekofyear(o_orderdate) AS wk,
+        |date_trunc('month', o_orderdate) AS mstart,
+        |date_trunc('quarter', o_orderdate) AS qstart,
+        |o_orderdate + INTERVAL '30' DAY AS plus30,
+        |datediff(timestamp '2000-01-01', o_orderdate) AS days_to_2k,
+        |last_day(o_orderdate) AS eom,
+        |date_format(o_orderdate, 'yyyy-MM-dd') AS iso,
+        |unix_timestamp(o_orderdate) AS epoch_s
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+      """SELECT o_orderkey,
+        |year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |month(o_orderdate) AS mo, day(o_orderdate) AS d,
+        |dayofweek(o_orderdate) + 1 AS dow, dayofyear(o_orderdate) AS doy,
+        |weekofyear(o_orderdate) AS wk,
+        |date_trunc('month', o_orderdate)::timestamp AS mstart,
+        |date_trunc('quarter', o_orderdate)::timestamp AS qstart,
+        |o_orderdate + INTERVAL 30 DAY AS plus30,
+        |date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_2k,
+        |last_day(o_orderdate::date) AS eom,
+        |strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        |epoch(o_orderdate)::bigint AS epoch_s
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin),
+    "fn_conditional" -> (
+      """SELECT c_custkey,
+        |CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |if(c_acctbal > 0, 'pos', 'nonpos') AS sign_tag,
+        |nvl2(nullif(c_nationkey, 0), 'has_nation', 'zero') AS nv,
+        |try_divide(c_acctbal, c_nationkey) AS safe_div,
+        |ifnull(nullif(c_nationkey, 1), -1) AS nk_or_neg1
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
+      """SELECT c_custkey,
+        |CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS sign_tag,
+        |CASE WHEN nullif(c_nationkey, 0) IS NOT NULL THEN 'has_nation' ELSE 'zero' END AS nv,
+        |CASE WHEN c_nationkey = 0 THEN NULL ELSE c_acctbal / c_nationkey END AS safe_div,
+        |coalesce(nullif(c_nationkey, 1), -1) AS nk_or_neg1
+        |FROM customer WHERE c_custkey <= 500""".stripMargin),
+    "fn_array" -> (
+      """SELECT n_nationkey,
+        |array(n_nationkey, n_regionkey) AS pair,
+        |sequence(1, 5) AS seq5,
+        |size(sequence(1, n_nationkey + 1)) AS seq_n,
+        |array_contains(sequence(0, 10, 2), n_nationkey) AS in_evens,
+        |array_position(sequence(0, 24), n_nationkey) AS posn,
+        |array_max(array(n_nationkey, n_regionkey, 7)) AS mx,
+        |array_min(array(n_nationkey, n_regionkey, 7)) AS mn,
+        |sort_array(array_distinct(array(n_regionkey, n_regionkey, 1))) AS dedup,
+        |sort_array(array(3, n_nationkey, 1)) AS sorted,
+        |array_join(transform(sequence(1, 3), x -> cast(x * n_regionkey AS string)), ';') AS joined,
+        |aggregate(sequence(1, n_nationkey + 1), 0L, (acc, x) -> acc + x) AS tri,
+        |exists(sequence(1, 6), x -> x = n_regionkey) AS has_rk,
+        |forall(sequence(1, 6), x -> x < 99) AS all_small,
+        |filter(sequence(1, 10), x -> x % (n_regionkey + 2) = 0) AS multiples,
+        |slice(sequence(10, 20), 2, 3) AS sl,
+        |flatten(array(sequence(1, 2), sequence(3, 4))) AS flat,
+        |zip_with(sequence(1, 3), sequence(4, 6), (a, b) -> a * b) AS zw,
+        |array_repeat(n_regionkey, 2) AS rep
+        |FROM nation""".stripMargin,
+      """SELECT n_nationkey,
+        |[n_nationkey, n_regionkey] AS pair,
+        |range(1, 6) AS seq5,
+        |len(range(1, n_nationkey + 2)) AS seq_n,
+        |list_contains(range(0, 11, 2), n_nationkey) AS in_evens,
+        |coalesce(list_position(range(0, 25), n_nationkey), 0) AS posn,
+        |list_max([n_nationkey, n_regionkey, 7]) AS mx,
+        |list_min([n_nationkey, n_regionkey, 7]) AS mn,
+        |list_sort(list_distinct([n_regionkey, n_regionkey, 1])) AS dedup,
+        |list_sort([3, n_nationkey, 1]) AS sorted,
+        |array_to_string(list_transform(range(1, 4), x -> (x * n_regionkey)::varchar), ';') AS joined,
+        |list_sum(range(1, n_nationkey + 2))::bigint AS tri,
+        |len(list_filter(range(1, 7), x -> x = n_regionkey)) > 0 AS has_rk,
+        |len(list_filter(range(1, 7), x -> x < 99)) = 6 AS all_small,
+        |list_filter(range(1, 11), x -> x % (n_regionkey + 2) = 0) AS multiples,
+        |range(10, 21)[2:4] AS sl,
+        |flatten([range(1, 3), range(3, 5)]) AS flat,
+        |[x * (x + 3) FOR x IN range(1, 4)] AS zw,
+        |[n_regionkey, n_regionkey] AS rep
+        |FROM nation""".stripMargin),
+    "fn_json" -> (
+      """SELECT event_id,
+        |get_json_object(props, '$.k') AS k_str,
+        |cast(get_json_object(props, '$.k') AS bigint) AS k_num,
+        |get_json_object(props, '$.missing') AS missing
+        |FROM events WHERE event_id <= 500""".stripMargin,
+      """SELECT event_id,
+        |json_extract_string(props, '$.k') AS k_str,
+        |json_extract_string(props, '$.k')::bigint AS k_num,
+        |json_extract_string(props, '$.missing') AS missing
+        |FROM events WHERE event_id <= 500""".stripMargin),
+    "fn_hash_binary" -> (
+      """SELECT c_custkey,
+        |md5(c_name) AS h_md5,
+        |sha2(c_name, 256) AS h_sha256,
+        |hex(encode(c_name, 'UTF-8')) AS hx,
+        |base64(encode(c_name, 'UTF-8')) AS b64,
+        |length(encode(c_name, 'UTF-8')) AS n_bytes
+        |FROM customer WHERE c_custkey <= 300""".stripMargin,
+      """SELECT c_custkey,
+        |md5(c_name) AS h_md5,
+        |sha256(c_name) AS h_sha256,
+        |upper(hex(c_name::blob)) AS hx,
+        |to_base64(c_name::blob) AS b64,
+        |octet_length(c_name::blob) AS n_bytes
+        |FROM customer WHERE c_custkey <= 300""".stripMargin),
+    // Trino-compat pack (GraftFunctions): URL family + math CDFs + luhn.
+    // Oracle states expected values computed independently in DuckDB SQL.
+    "fn_url" -> (
+      """SELECT
+        |url_extract_protocol(u) AS proto, url_extract_host(u) AS host,
+        |url_extract_port(u) AS port, url_extract_path(u) AS path,
+        |url_extract_query(u) AS query, url_extract_parameter(u, 'b') AS param_b
+        |FROM (SELECT 'https://example.com:8443/docs/index.html?a=1&b=two#frag' AS u)""".stripMargin,
+      """SELECT 'https' AS proto, 'example.com' AS host, 8443::bigint AS port,
+        |'/docs/index.html' AS path, 'a=1&b=two' AS query, 'two' AS param_b""".stripMargin),
+    "fn_stats_cdf" -> (
+      """SELECT round(normal_cdf(0.0, 1.0, 1.96), 6) AS p_gauss,
+        |round(inverse_normal_cdf(0.0, 1.0, 0.975), 4) AS z_975,
+        |round(wilson_interval_lower(80, 100, 1.96), 6) AS wil_lo,
+        |round(wilson_interval_upper(80, 100, 1.96), 6) AS wil_hi,
+        |luhn_check('79927398713') AS luhn_ok,
+        |luhn_check('79927398710') AS luhn_bad,
+        |to_base(255, 16) AS ff, from_base('ff', 16) AS n255""".stripMargin,
+      """SELECT 0.975002::double AS p_gauss, 1.96::double AS z_975,
+        |0.711169::double AS wil_lo, 0.866634::double AS wil_hi,
+        |true AS luhn_ok, false AS luhn_bad,
+        |'ff' AS ff, 255::bigint AS n255""".stripMargin))
+
+  val queries: Map[String, Q] = defs.map { case (k, (sparkSql, _)) => k -> q(sparkSql) }
+  val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck }
+}

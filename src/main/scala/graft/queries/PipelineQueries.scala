@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the "beyond the reference" surface: dedup, similarity search, text
+  * analysis, multimodal plumbing). Reference analog for dedup sketches:
+  * the SetDigest minhash type (`core/trino-main/.../type/setdigest/`).
+  *
+  * Scale design notes (these must hold at 100 TB):
+  * - Every dedup variant is *bucketed before pairing*: LSH band buckets,
+  *   simhash bands, or (lang, length-band) blocking. The quadratic pair
+  *   join only ever happens inside a bucket, so the shuffle key is the
+  *   bucket id and skew is bounded by bucket size, not corpus size.
+  * - Minhash/simhash signatures are computed with codegen'd builtins
+  *   (xxhash64/transform/aggregate) — no UDF boundary in the scan stage.
+  * - ANN: hyperplane-LSH signature computed per row at scan time; the
+  *   candidate join is an equi-join on (bucket), broadcastable query side.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Normalized text: lowercase, collapsed whitespace — the canonical form
+    * all fingerprints hash.
+    */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** 3-gram character shingles of normalized text, distinct, via codegen'd
+    * builtins (no UDF): substr over a position sequence.
+    */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)), i -> substring(norm, i, 3)))"
+
+  /** 16 minhash values over shingles; seed mixed in via concat before
+    * xxhash64 (reference analog: SetDigest's k minwise hashes).
+    */
+  private def minhashExpr(k: Int): String =
+    s"transform(sequence(0, ${k - 1}), s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: hash-groupBy on normalized content ----
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fingerprint", md5(normText(col("text"))))
+        .groupBy(col("fingerprint"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // ---- near-dup candidates: exact n-gram Jaccard within (lang) blocks ----
+    "dedup_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("shingles", expr(shingleExpr))
+        .select(col("doc_id"), col("lang"), col("shingles"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shingles").as("sh_b"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+    }),
+
+    // ---- minhash + LSH banding (scale path for the above) ----
+    // 16 hashes, 4 bands of 4: docs sharing any band bucket are candidates;
+    // candidates verified with exact Jaccard. The only join is an equi-join
+    // on (band_idx, band_hash).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("shingles", expr(shingleExpr))
+        .withColumn("mh", expr(minhashExpr(16)))
+        .select(col("doc_id"), col("shingles"), col("mh"))
+      val banded = base.select(col("doc_id"), col("shingles"),
+          posexplode(expr("transform(sequence(0, 3), b -> hash(slice(mh, b * 4 + 1, 4)))"))
+            .as(Seq("band_idx", "band_hash")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand.withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+    }),
+
+    // ---- simhash near-dup: 64-bit fingerprint, 4×16-bit band blocking ----
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .withColumn("tokens", split(normText(col("text")), " "))
+        .withColumn("sh", callUDF("simhash64", col("tokens")))
+        .select(col("doc_id"), col("sh"))
+      val banded = fp.select(col("doc_id"), col("sh"),
+        posexplode(expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))
+          .as(Seq("band_idx", "band_val")))
+      banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", callUDF("hamming_distance64", col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 8)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
+    // ---- embedding near-dup: cosine over float vectors, blocked by label ----
+    "dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", expr("cosine_sim_native(emb_a, emb_b)"))
+        .filter(col("cos") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // ---- similarity search: brute-force cosine top-k (correctness
+    // baseline; query side broadcast, scan side stays partitioned) ----
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queriesSide = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      val ranked = e.filter(col("vec_id") >= 5)
+        .crossJoin(queriesSide)
+        .withColumn("cos", expr("cosine_sim_native(embedding, q_emb)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      ranked.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rn"))
+    }),
+
+    // ---- similarity search, scale path: random-hyperplane LSH buckets.
+    // Signature computed with codegen'd builtins (hash-derived ±1 planes);
+    // candidate set = same 8-bit bucket → equi-join, then exact re-rank. ----
+    "sim_ann_lsh" -> ((s, dir) => {
+      val sig = "aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
+        "aggregate(zip_with(embedding, sequence(0, 63), (e, i) -> e * CASE WHEN " +
+        "xxhash64(p * 64 + i) % 2 = 0 THEN 1.0 ELSE -1.0 END), cast(0.0 AS double), (a, x) -> a + x) > 0 " +
+        "THEN shiftleft(1, p) ELSE 0 END)"
+      val e = t(s, dir, "embeddings").withColumn("bucket", expr(sig))
+      val queriesSide = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket").as("q_bucket")))
+      e.filter(col("vec_id") >= 5)
+        .join(queriesSide, col("bucket") === col("q_bucket"))
+        .withColumn("cos", expr("cosine_sim_native(embedding, q_emb)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rn"))
+    }),
+
+    // ---- text analysis: tokenization + quality scoring ----
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("tokens", split(col("norm"), " "))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("tokens")).as("n_tokens"),
+          size(array_distinct(col("tokens"))).as("n_distinct_tokens"),
+          (size(array_distinct(col("tokens"))).cast("double") /
+            size(col("tokens")).cast("double")).as("ttr"),
+          (length(regexp_replace(col("norm"), "[^aeiou]", "")).cast("double") /
+            greatest(length(col("norm")), lit(1)).cast("double")).as("vowel_ratio"),
+          round(aggregate(transform(col("tokens"), t => length(t)),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            size(col("tokens")).cast("double"), 6).as("avg_token_len"))
+    }),
+
+    // ---- language id: stopword-marker scoring (deterministic heuristic) ----
+    "text_langid" -> ((s, dir) => {
+      val markers = Map(
+        "en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "und"),
+        "fr" -> Seq("le", "la", "et"), "es" -> Seq("el", "los", "y"))
+      val scored = markers.foldLeft(
+        t(s, dir, "documents")
+          .withColumn("tokens", split(normText(col("text")), " "))) {
+        case (df, (l, ws)) =>
+          df.withColumn(s"score_$l",
+            size(filter(col("tokens"), t => t.isin(ws.map(lit): _*))))
+      }
+      scored.withColumn("pred_lang",
+          when(col("score_de") > col("score_en") && col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+          .when(col("score_fr") > col("score_en") && col("score_fr") >= col("score_es"), "fr")
+          .when(col("score_es") > col("score_en"), "es")
+          .otherwise("en"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- token stats per source (explode → re-aggregate) ----
+    "text_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          max(length(col("token"))).as("max_token_len"))
+    }),
+
+    // ---- document fingerprinting: content hash + rolling polynomial ----
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("content_md5"),
+          expr("aggregate(transform(sequence(1, length(norm)), i -> ascii(substring(norm, i, 1))), " +
+            "cast(0 as long), (acc, c) -> (acc * 31 + c) % 1000000007)").as("rolling_hash"))
+    }),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata.
+    // The decode step is a deterministic fake (no image libs in the
+    // container — STUB, clearly marked); the Spark-side schema/partition
+    // plumbing is real: binary payload, struct metadata, per-row decode. ----
+    "mm_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")) // stand-in image bytes
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          // STUB decode: deterministic fake header fields in lieu of a real
+          // image codec (width/height from byte content, "format" tag)
+          ((length(col("payload")) * 7 + ascii(col("text"))) % 1920).as("fake_width"),
+          (unhex(md5(col("payload"))).cast("binary").isNotNull).as("decodable"),
+          substring(base64(col("payload")), 1, 8).as("magic64"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, lang,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::double /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double, 6) AS jac
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |len(tokens) AS n_tokens,
+        |len(list_distinct(tokens)) AS n_distinct_tokens,
+        |len(list_distinct(tokens))::double / len(tokens)::double AS ttr,
+        |length(regexp_replace(norm, '[^aeiou]', '', 'g'))::double /
+        |  greatest(length(norm), 1)::double AS vowel_ratio,
+        |round(list_sum(list_transform(tokens, t -> length(t)))::double /
+        |  len(tokens)::double, 6) AS avg_token_len
+        |FROM (SELECT doc_id, n_chars,
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens
+        |      FROM documents) t""".stripMargin,
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(tokens, t -> t IN ('the', 'a', 'of'))) AS score_en,
+        |    len(list_filter(tokens, t -> t IN ('der', 'die', 'und'))) AS score_de,
+        |    len(list_filter(tokens, t -> t IN ('le', 'la', 'et'))) AS score_fr,
+        |    len(list_filter(tokens, t -> t IN ('el', 'los', 'y'))) AS score_es
+        |  FROM (SELECT lang,
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens
+        |        FROM documents) t)
+        |SELECT lang,
+        |  CASE WHEN score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |       WHEN score_fr > score_en AND score_fr >= score_es THEN 'fr'
+        |       WHEN score_es > score_en THEN 'es'
+        |       ELSE 'en' END AS pred_lang,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2""".stripMargin,
+    "text_token_stats" ->
+      """SELECT source, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct,
+        |max(length(token)) AS max_token_len
+        |FROM (SELECT source, unnest(string_split(
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents) t
+        |GROUP BY source""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(norm) AS content_md5,
+        |list_reduce(list_prepend(0::bigint,
+        |  [ascii(substr(norm, i, 1))::bigint FOR i IN range(1, length(norm) + 1)]),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents) t""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::blob) AS n_bytes,
+        |(octet_length(text::blob) * 7 + ascii(text)) % 1920 AS fake_width,
+        |true AS decodable,
+        |substr(to_base64(text::blob), 1, 8) AS magic64
+        |FROM documents""".stripMargin)
+}

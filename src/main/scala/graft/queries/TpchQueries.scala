@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** TPC-H workload, adapted to the driver fixtures (FIXTURES.md §A: doubles
+  * not decimals, timestamps not dates, several columns/tables dropped).
+  * This is the reference's own conformance+benchmark workload
+  * (`plugin/trino-tpch/.../TpchMetadata.java:93`,
+  * `testing/trino-benchto-benchmarks/.../tpch.yaml`).
+  *
+  * All plans are declarative DataFrame compositions: Catalyst handles
+  * predicate pushdown to the parquet scan, column pruning, join reordering
+  * and broadcast selection (nation/region/supplier are broadcast-size at
+  * any SF; AQE picks that up from runtime stats — we add explicit
+  * `broadcast()` hints only where the dimension is guaranteed tiny).
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // Q1: scan + filter + wide grouped aggregation. Partial aggregation
+    // (map-side combine) reduces the shuffle to |groups| * partitions rows.
+    "tpch_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q3: 3-way join + agg + top-k. The sort+limit becomes
+    // TakeOrderedAndProject (no global sort at scale).
+    "tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q4-style: order priority count with correlated EXISTS (Catalyst
+    // decorrelates to a left-semi join).
+    "tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      o.join(t(s, dir, "lineitem").select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q5: 6-way star join; nation/region broadcast, fact-fact join shuffles
+    // on orderkey.
+    "tpch_q5" -> ((s, dir) => {
+      val y0 = lit("1996-01-01").cast("timestamp"); val y1 = lit("1997-01-01").cast("timestamp")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Q6: the minimum end-to-end slice (SURVEY §7) — filter + global agg;
+    // predicates all push to the parquet scan.
+    "tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+
+    // Q10-style: returned-item ranking, 4-way join + top-k.
+    "tpch_q10" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q13-style: customer order-count distribution — LEFT OUTER join with a
+    // filtered build side + two-level aggregation.
+    "tpch_q13" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q14-style: promo revenue share — join + conditional aggregation.
+    "tpch_q14" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_revenue"))
+    }),
+
+    // Q17-style: small-quantity revenue vs per-part average — correlated
+    // scalar subquery, decorrelated by Catalyst into an aggregate+join.
+    "tpch_q17" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val partAvg = l.groupBy(col("l_partkey").as("avg_partkey"))
+        .agg((avg("l_quantity") * 0.5).as("qty_threshold"))
+      l.join(t(s, dir, "part").filter(col("p_brand") === "Brand#1" && col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("avg_partkey"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
+    }),
+
+    // Q18-style: large-volume orders — HAVING over grouped sum, then join
+    // back to headers (semi-join on the aggregated key set).
+    "tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19-style: disjunctive join predicates — Catalyst extracts the common
+    // equi-key (partkey) and keeps the OR residual as a join filter.
+    "tpch_q19" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 45) && col("l_quantity").between(20, 30)))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Q22-style: customers with above-average balance and no orders —
+    // scalar subquery + null-aware anti join.
+    "tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("ab")).select("ab")
+      c.join(avgBal).filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").select("o_custkey").distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |sum(l_extendedprice) AS sum_base_price,
+        |sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+        |sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+        |avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+        |avg(l_discount) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |sum(l_extendedprice*(1-l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name, sum(l_extendedprice*(1-l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "tpch_q6" ->
+      """SELECT sum(l_extendedprice*l_discount) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |sum(l_extendedprice*(1-l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "tpch_q14" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
+        |sum(l_extendedprice*(1-l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "tpch_q17" ->
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_type = 'PROMO'
+        |AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                  WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+        |ON o_orderkey = big_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q19" ->
+      """SELECT sum(l_extendedprice*(1-l_discount)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q22" ->
+      """SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin)
+}
