@@ -134,8 +134,10 @@ object GraftFunctions {
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
     u.register("approx_top_k", udaf(new SpaceSavingAggregator(64)))
 
-    // native codegen'd expression for the hot similarity path
+    // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)
+    SortedIntersectCountExpr.install(spark)
+    ShingleHashesExpr.install(spark)
   }
 
   private def erf(x: Double): Double = {

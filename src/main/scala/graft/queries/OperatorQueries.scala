@@ -61,10 +61,12 @@ object OperatorQueries {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
     }),
-    // anti join (NOT EXISTS path)
+    // anti join (NOT EXISTS path); build side filtered so the anti set
+    // is non-empty at every SF
     "join_anti" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
     // theta join: equi key + range residual (reference keeps residual as
@@ -304,8 +306,8 @@ object OperatorQueries {
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     }),
     "setop_except" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_custkey"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      t(s, dir, "customer").filter(col("c_nationkey") < 13).select(col("c_custkey"))
+        .except(t(s, dir, "customer").filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
     }),
     "setop_except_all" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_custkey"))
@@ -399,7 +401,8 @@ object OperatorQueries {
         |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
-        |(SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |(SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        | AND o_orderstatus = 'P')""".stripMargin,
     "join_theta" ->
       """SELECT o_orderkey, count(*) AS n_big_lines FROM orders JOIN lineitem
         |ON o_orderkey = l_orderkey AND l_extendedprice > o_totalprice * 0.5
@@ -534,8 +537,8 @@ object OperatorQueries {
         |INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
         |GROUP BY o_custkey""".stripMargin,
     "setop_except" ->
-      """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+      """SELECT c_custkey FROM customer WHERE c_nationkey < 13
+        |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0""".stripMargin,
     "setop_except_all" ->
       """SELECT o_custkey, count(*) AS n FROM (
         |SELECT o_custkey FROM orders

@@ -22,8 +22,10 @@ import graft.engine.Tables
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // pipeline ops use the pack
     Tables.load(s, dir, name)
+  }
 
   /** Normalized text: lowercase, collapsed whitespace — the canonical form
     * all fingerprints hash.
@@ -31,17 +33,23 @@ object PipelineQueries {
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** 3-gram character shingles of normalized text, distinct, via codegen'd
-    * builtins (no UDF): substr over a position sequence.
+  /** 3-gram character shingles of normalized text as sorted distinct
+    * 64-bit hashes — one fused native pass (see [[graft.functions.ShingleHashesExpr]]).
     */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)), i -> substring(norm, i, 3)))"
+  private val shingleHashExpr = "shingle_hashes(norm, 3)"
 
-  /** 16 minhash values over shingles; seed mixed in via concat before
-    * xxhash64 (reference analog: SetDigest's k minwise hashes).
+  /** k minhash values over hashed shingles; per-seed rehash via xxhash64
+    * (reference analog: SetDigest's k minwise hashes).
     */
   private def minhashExpr(k: Int): String =
-    s"transform(sequence(0, ${k - 1}), s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"
+    s"transform(sequence(0, ${k - 1}), s -> array_min(transform(hsh, h -> xxhash64(h, s))))"
+
+  /** Integer form of `jaccard(A,B) ≥ 0.8`: c/(nₐ+n_b−c) ≥ 4/5 ⟺ 9c ≥
+    * 4(nₐ+n_b) — lets the join condition evaluate the sorted-merge
+    * intersection exactly once, with no floating division.
+    */
+  private def jacGe08(c: String, na: String, nb: String) =
+    s"9 * sorted_intersect_count($c) >= 4 * ($na + $nb)"
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on normalized content ----
@@ -52,20 +60,45 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
-    // ---- near-dup candidates: exact n-gram Jaccard within (lang) blocks ----
+    // ---- near-dup candidates: exact n-gram Jaccard within (lang) blocks.
+    // Jaccard ≥ 0.8 implies |A|/|B| ∈ [0.8, 1.25], so a shingle-count
+    // ratio prune (cheap int compare) runs before the expensive set
+    // intersect without changing the result set — at scale this is the
+    // difference between O(pairs) set-ops and O(survivors) set-ops. ----
     "dedup_jaccard" -> ((s, dir) => {
+      // Blocking key = (lang, length band). A lang-only key has ~5 distinct
+      // values — at scale that is one giant skewed bucket per language with
+      // O(n²) pairs in a single task. Banding shingle counts on a log1.25
+      // scale multiplies key cardinality; jaccard ≥ 0.8 forces a size
+      // ratio ≥ 0.8, whose log1.25 gap ≤ 1, so matching a doc against
+      // bands {b-1, b, b+1} (3-way emission) prunes candidates with ZERO
+      // change to the result set.
+      // Set elements are carried as SORTED xxhash64 values: the pairwise
+      // intersection is then a codegen'd sorted-merge over primitive longs
+      // (sorted_intersect_count) instead of a per-pair hash set — and the
+      // pair join shuffles compact long arrays, not shingle strings.
       val sh = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
-        .withColumn("shingles", expr(shingleExpr))
-        .select(col("doc_id"), col("lang"), col("shingles"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shingles").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shingles").as("sh_b"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jac") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .withColumn("hsh", expr(shingleHashExpr))
+        .withColumn("n_sh", size(col("hsh")))
+        .withColumn("band", floor(log(1.25, col("n_sh"))))
+        .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"), col("band"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
+          col("hsh").as("h_a"), col("n_sh").as("n_a"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("probe_band"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("hsh").as("h_b"), col("n_sh").as("n_b"), col("band").as("band_b"))
+      // The jaccard test lives INSIDE the join condition (integer form,
+      // single intersect evaluation): rejected pairs are dropped as
+      // transient JoinedRows — the ~10⁶ candidate rows (each carrying two
+      // long arrays) are never copied to join output.
+      a.join(b, col("lang") === col("lang_b") && col("probe_band") === col("band_b") &&
+          col("doc_a") < col("doc_b") &&
+          least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4 &&
+          expr(jacGe08("h_a, h_b", "n_a", "n_b")))
+        .select(col("doc_a"), col("doc_b"),
+          round(expr("cast(sorted_intersect_count(h_a, h_b) as double) / " +
+            "cast(n_a + n_b - sorted_intersect_count(h_a, h_b) as double)"), 6).as("jac"))
     }),
 
     // ---- minhash + LSH banding (scale path for the above) ----
@@ -75,24 +108,27 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
-        .withColumn("shingles", expr(shingleExpr))
+        .withColumn("hsh", expr(shingleHashExpr))
+        .withColumn("n_sh", size(col("hsh")))
         .withColumn("mh", expr(minhashExpr(16)))
-        .select(col("doc_id"), col("shingles"), col("mh"))
-      val banded = base.select(col("doc_id"), col("shingles"),
+        .select(col("doc_id"), col("hsh"), col("n_sh"), col("mh"))
+      val banded = base.select(col("doc_id"), col("hsh"), col("n_sh"),
           posexplode(expr("transform(sequence(0, 3), b -> hash(slice(mh, b * 4 + 1, 4)))"))
             .as(Seq("band_idx", "band_hash")))
-      val cand = banded.as("x").join(banded.as("y"),
+      // Verification runs INSIDE the band join condition (see dedup_jaccard)
+      // so colliding-band candidates are rejected without materializing;
+      // dedup of the surviving (tiny) pair set happens after. A cheap size
+      // ratio prune (implied by jaccard ≥ 0.8) runs before the intersect.
+      banded.as("x").join(banded.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
+          expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+          round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
+            "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
         .dropDuplicates("doc_a", "doc_b")
-      cand.withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jac") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
     }),
 
     // ---- simhash near-dup: 64-bit fingerprint, 4×16-bit band blocking ----
@@ -261,6 +297,8 @@ object PipelineQueries {
         |  round(len(list_intersect(a.shingles, b.shingles))::double /
         |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double, 6) AS jac
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |      greatest(len(a.shingles), len(b.shingles)) * 4
         |WHERE len(list_intersect(a.shingles, b.shingles))::double /
         |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin,
     "text_quality" ->

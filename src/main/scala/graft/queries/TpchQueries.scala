@@ -183,7 +183,8 @@ object TpchQueries {
       val avgBal = c.filter(col("c_acctbal") > 0.0)
         .agg(avg("c_acctbal").as("ab")).select("ab")
       c.join(avgBal).filter(col("c_acctbal") > col("ab"))
-        .join(t(s, dir, "orders").select("o_custkey").distinct(),
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey").distinct(),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
@@ -274,6 +275,7 @@ object TpchQueries {
       """SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin)
 }

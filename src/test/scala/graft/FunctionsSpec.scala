@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Unit specs for the Trino-compat function pack (reference analog:
+  * per-function operator tests under
+  * `core/trino-main/src/test/java/io/trino/operator/scalar/`).
+  */
+class FunctionsSpec extends GraftSuite {
+
+  private def one(sql: String): Row = spark.sql(sql).collect().head
+
+  test("cosine_similarity UDF: identical, orthogonal, null") {
+    val r = one(
+      """SELECT
+        |cosine_similarity(array(1d, 2d, 3d), array(1d, 2d, 3d)) AS same,
+        |cosine_similarity(array(1d, 0d), array(0d, 1d)) AS ortho,
+        |cosine_similarity(cast(null AS array<double>), array(1d)) AS n""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(r.isNullAt(2))
+  }
+
+  test("native cosine expression matches UDF and handles mismatched lengths") {
+    val r = one(
+      """SELECT
+        |cosine_sim_native(array(float(1), float(2)), array(float(2), float(4))) AS collinear,
+        |cosine_sim_native(array(float(1)), array(float(1), float(2))) AS mismatch""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.isNullAt(1))
+  }
+
+  test("simhash64 is deterministic and near-identical for similar token sets") {
+    val r = one(
+      """SELECT
+        |simhash64(array('a', 'b', 'c', 'd', 'e', 'f')) AS h1,
+        |simhash64(array('a', 'b', 'c', 'd', 'e', 'f')) AS h1b,
+        |simhash64(array('a', 'b', 'c', 'd', 'e', 'zz')) AS h2,
+        |simhash64(array('q', 'w', 'x', 'y', 'z', 'v')) AS far""".stripMargin)
+    assert(r.getLong(0) == r.getLong(1))
+    val near = java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(2))
+    val far = java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(3))
+    assert(near < far, s"near=$near should be < far=$far")
+  }
+
+  test("url family parses every component") {
+    val r = one(
+      """SELECT url_extract_protocol(u) p, url_extract_host(u) h,
+        |url_extract_port(u) pt, url_extract_path(u) pa,
+        |url_extract_parameter(u, 'x') x
+        |FROM (SELECT 'http://h.example:81/a/b?x=1&y=2#z' AS u)""".stripMargin)
+    assert(r.getString(0) == "http" && r.getString(1) == "h.example")
+    assert(r.getLong(2) == 81 && r.getString(3) == "/a/b" && r.getString(4) == "1")
+  }
+
+  test("luhn_check validates known card checksums") {
+    val r = one("SELECT luhn_check('4532015112830366') ok, luhn_check('4532015112830367') bad")
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("normal_cdf / inverse round-trip within approximation error") {
+    val r = one(
+      """SELECT normal_cdf(0d, 1d, 1.6448536d) p95,
+        |inverse_normal_cdf(0d, 1d, 0.95d) z95""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 0.95) < 1e-4)
+    assert(math.abs(r.getDouble(1) - 1.6448536) < 1e-4)
+  }
+
+  test("hll sketch cardinality within 5% on 10k distinct values") {
+    val r = one(
+      """SELECT hll_cardinality(approx_set_agg(cast(id AS string))) AS est
+        |FROM range(10000)""".stripMargin)
+    val est = r.getLong(0)
+    assert(math.abs(est - 10000) < 500, s"est=$est")
+  }
+
+  test("hll merge of disjoint sketches approximates union") {
+    val r = one(
+      """SELECT hll_cardinality(merge_hll(s)) AS est FROM (
+        |  SELECT approx_set_agg(cast(id AS string)) AS s FROM range(0, 5000)
+        |  UNION ALL
+        |  SELECT approx_set_agg(cast(id AS string)) FROM range(5000, 10000))""".stripMargin)
+    assert(math.abs(r.getLong(0) - 10000) < 500)
+  }
+
+  test("approx_top_k is exact when capacity exceeds distinct count") {
+    val rows = spark.sql(
+      """SELECT t.item, t.cnt FROM (
+        |  SELECT approx_top_k(cast(id % 3 AS string)) AS m FROM range(9)
+        |) LATERAL VIEW explode(m) t AS item, cnt""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("0" -> 3L, "1" -> 3L, "2" -> 3L))
+  }
+
+  test("word_stem strips common suffixes") {
+    val r = one("SELECT word_stem('running') a, word_stem('tables') b, word_stem('cat') c")
+    assert(r.getString(0) == "runn" && r.getString(1) == "table" && r.getString(2) == "cat")
+  }
+
+  test("hamming_distance on equal-length strings; error on mismatch") {
+    val r = one("SELECT hamming_distance('karolin', 'kathrin') d")
+    assert(r.getLong(0) == 3L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape assertions — the scale contract. These pin the
+  * properties that make the queries viable at 100 TB: filters reaching
+  * the parquet scan, column pruning, broadcast for small dims, window
+  * group-limit pushdown, and no accidental cartesian products.
+  * (Reference analog: `TestQueryPlanDeterminism` + `AddExchanges` tests.)
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfTiny)
+
+  test("scan_pruned pushes the filter and prunes columns at the parquet scan") {
+    val s = formatted(q("scan_pruned"))
+    assert(s.contains("PushedFilters"), s)
+    assert(s.contains("GreaterThan(p_size,40)") || s.contains("GreaterThan(p_size, 40)"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_size"))
+    assert(!readSchema.contains("p_name"), s"columns not pruned: $readSchema")
+  }
+
+  test("tpch_q6 pushes all range predicates into the scan") {
+    val s = formatted(q("tpch_q6"))
+    assert(s.contains("PushedFilters"))
+    assert(s.contains("l_discount") && s.contains("l_shipdate"), s)
+  }
+
+  test("tpch_q5 broadcasts the small dimensions") {
+    val s = plan(q("tpch_q5")).toString
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("topn compiles to TakeOrderedAndProject (no global sort)") {
+    val s = plan(q("topn")).toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("win_topn_per_group gets a WindowGroupLimit below the window") {
+    val s = plan(q("win_topn_per_group")).toString
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
+  test("dedup_minhash_lsh candidate join is an equi-join, not cartesian") {
+    val s = plan(q("dedup_minhash_lsh")).toString
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("dedup_jaccard blocks on language (no cartesian product)") {
+    val s = plan(q("dedup_jaccard")).toString
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("sim_ann_lsh candidate join is an equi-join on the LSH bucket") {
+    val s = plan(q("sim_ann_lsh")).toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), s)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val df = q("tpch_q1")
+    df.collect() // materialize so AQE finalizes the physical plan
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val s = plan(df).toString
+    assert(s.contains("WholeStageCodegen") || s.contains("*("), s)
+  }
+
+  test("agg_global plans partial + final aggregation (map-side combine)") {
+    val s = plan(q("agg_global")).toString
+    val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$s")
+  }
+}

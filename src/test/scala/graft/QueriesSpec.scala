@@ -1,0 +1,93 @@
+package graft
+
+/** Behavioral invariants for queries whose results can't be oracle
+  * hash-matched (approx sketches, sampling, hash-dependent dedup) —
+  * the accuracy claims the driver's rows-only check can't make.
+  */
+class QueriesSpec extends GraftSuite {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sfTiny).collect()
+
+  // legitimately empty at sf0.001 (near-dup pairs need duplicates; the
+  // HAVING threshold needs sf0.01 group sizes); non-empty verified at
+  // sf0.01 by the oracle diff
+  private val emptyOkAtTinySf =
+    Set("agg_having", "sim_ann_lsh") ++ SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
+
+  test("every registered query runs and is non-degenerate at sf0.001") {
+    val empty = Seq.newBuilder[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val out = fn(spark, sfTiny)
+      assert(out.columns.nonEmpty, s"$name has no columns")
+      if (out.count() == 0 && !emptyOkAtTinySf(name)) empty += name
+    }
+    assert(empty.result().isEmpty, s"unexpected empty results: ${empty.result()}")
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val exact = rows("agg_multi_distinct")
+      .map(r => r.getString(r.fieldIndex("l_returnflag")) -> r.getLong(r.fieldIndex("nd_part"))).toMap
+    rows("sketch_approx_distinct").foreach { r =>
+      val flag = r.getString(r.fieldIndex("l_returnflag"))
+      val est = r.getLong(r.fieldIndex("nd_part_approx"))
+      val act = exact(flag)
+      assert(math.abs(est - act).toDouble / act < 0.05, s"$flag: est=$est exact=$act")
+    }
+  }
+
+  test("sketch_hll_merge estimates total distinct partkeys within 5%") {
+    val est = rows("sketch_hll_merge").head.getLong(0)
+    val act = graft.engine.Tables.load(spark, sfTiny, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(math.abs(est - act).toDouble / act < 0.05, s"est=$est act=$act")
+  }
+
+  test("sample_bernoulli keeps roughly 5% of rows") {
+    val total = graft.engine.Tables.load(spark, sfTiny, "lineitem").count()
+    val sampled = rows("sample_bernoulli").length
+    val p = sampled.toDouble / total
+    assert(p > 0.02 && p < 0.09, s"sample fraction $p")
+  }
+
+  test("sketch_checksum is deterministic across runs") {
+    assert(rows("sketch_checksum").head.getLong(0) == rows("sketch_checksum").head.getLong(0))
+  }
+
+  test("sessionization: session counts bounded by event counts") {
+    val r = rows("evt_sessionize")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val nSessions = row.getLong(row.fieldIndex("n_sessions"))
+      val longest = row.getLong(row.fieldIndex("longest_session_events"))
+      assert(nSessions >= 1 && longest >= 1)
+    }
+  }
+
+  test("sim_topk_brute returns exactly k neighbors per query, ranked") {
+    val byQuery = rows("sim_topk_brute").groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val coss = rs.sortBy(r => r.getInt(r.fieldIndex("rn"))).map(r => r.getDouble(r.fieldIndex("cos")))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b }, coss.toSeq)
+    }
+  }
+
+  test("minhash-LSH recalls most exact-jaccard pairs (sf0.01)") {
+    // exact query blocks by lang; LSH does not — compare on the common
+    // (same-lang) pair space and require the standard LSH recall band
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("dedup_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact-jaccard found no near-dup pairs at sf0.01")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+}
