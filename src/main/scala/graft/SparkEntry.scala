@@ -72,7 +72,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ OperatorQueries.queries ++ FunctionQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries ++ sketchQueries
+      EventQueries.queries ++ PipelineQueries.queries ++ ExtendedQueries.queries ++
+      sketchQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -80,5 +81,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ OperatorQueries.oracles ++ FunctionQueries.oracles ++
-      EventQueries.oracles ++ PipelineQueries.oracles ++ sketchOracles
+      EventQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
+      sketchOracles
 }

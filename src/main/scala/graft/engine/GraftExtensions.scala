@@ -1,0 +1,27 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** `SparkSessionExtensions` injection point so the engine's native
+  * expressions are available in any session created with
+  * `--conf spark.sql.extensions=graft.engine.GraftExtensions` — the
+  * deployment analog of the reference's plugin loading
+  * (`io.trino.spi.Plugin#getFunctions`). Interactive/test sessions get the
+  * same registrations via `GraftFunctions.register`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    inject("cosine_sim_native", es => CosineSimilarityExpr(es(0), es(1)))
+    inject("sorted_intersect_count", es => SortedIntersectCountExpr(es(0), es(1)))
+    inject("shingle_hashes", es => ShingleHashesExpr(es(0), es(1)))
+    inject("try", es => TryExpr(es.head))
+  }
+}

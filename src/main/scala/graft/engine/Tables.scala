@@ -52,6 +52,6 @@ object Tables {
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    spark.sql(query)
+    spark.sql(graft.sqlcompat.Dialect.rewrite(query))
   }
 }

@@ -138,6 +138,7 @@ object GraftFunctions {
     CosineSimilarityExpr.install(spark)
     SortedIntersectCountExpr.install(spark)
     ShingleHashesExpr.install(spark)
+    TryExpr.install(spark)
   }
 
   private def erf(x: Double): Double = {

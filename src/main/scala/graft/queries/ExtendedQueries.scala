@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.Tables
+
+/** Extended SURVEY §2 coverage: UNNEST variants (§2.8), map functions
+  * (§2.10), the TRY dialect shim and FETCH FIRST ... WITH TIES lowering
+  * (§4.3), numeric_histogram and map_agg analogs (§2.4).
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(sql: String): Q = (s, dir) => Tables.sql(s, dir, sql)
+
+  private val defs: Map[String, (String, String)] = Map(
+    // UNNEST WITH ORDINALITY (reference unnest/UnnestOperator.java:39)
+    "unnest_ordinality" -> (
+      """SELECT doc_id, pos + 1 AS ord, tok
+        |FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+        |LATERAL VIEW posexplode(toks) t AS pos, tok""".stripMargin,
+      """SELECT doc_id, i AS ord, toks[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20) d,
+        |LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g""".stripMargin),
+    // multi-argument zip unnest (UNNEST(a, b) in Trino zips arrays)
+    "unnest_zip" -> (
+      """SELECT n_nationkey, pos + 1 AS i, z.a AS a_val, z.b AS b_val
+        |FROM (SELECT n_nationkey,
+        |        sequence(1, 3) AS a,
+        |        sequence(n_regionkey, n_regionkey + 2) AS b
+        |      FROM nation)
+        |LATERAL VIEW posexplode(arrays_zip(a, b)) t AS pos, z""".stripMargin,
+      """SELECT n_nationkey, i, a[i] AS a_val, b[i] AS b_val
+        |FROM (SELECT n_nationkey, range(1, 4) AS a,
+        |        range(n_regionkey, n_regionkey + 3) AS b FROM nation) d,
+        |LATERAL (SELECT unnest(range(1, 4)) AS i) g""".stripMargin),
+    // map unnest (MapUnnester.java)
+    "unnest_map" -> (
+      """SELECT n_nationkey, k, v
+        |FROM (SELECT n_nationkey, map('nat', n_nationkey, 'reg', n_regionkey) AS m FROM nation)
+        |LATERAL VIEW explode(m) t AS k, v""".stripMargin,
+      """SELECT n_nationkey, 'nat' AS k, n_nationkey AS v FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, 'reg' AS k, n_regionkey AS v FROM nation""".stripMargin),
+    // map function family (Map*.java); scalar/array outputs for comparison
+    "fn_map" -> (
+      """SELECT n_nationkey,
+        |element_at(m, 'reg') AS reg_val,
+        |size(m) AS m_size,
+        |sort_array(map_keys(m)) AS keys_sorted,
+        |array_max(map_values(m)) AS max_val,
+        |element_at(map_concat(m, map('extra', 99)), 'extra') AS extra_val,
+        |size(map_filter(m, (k, v) -> v > 2)) AS n_big,
+        |element_at(transform_values(m, (k, v) -> v * 10), 'nat') AS nat_x10,
+        |element_at(str_to_map('a:1,b:2', ',', ':'), 'b') AS from_str
+        |FROM (SELECT n_nationkey, map('nat', n_nationkey, 'reg', n_regionkey) AS m FROM nation)""".stripMargin,
+      """SELECT n_nationkey,
+        |n_regionkey AS reg_val,
+        |2::int AS m_size,
+        |['nat', 'reg'] AS keys_sorted,
+        |greatest(n_nationkey, n_regionkey) AS max_val,
+        |99 AS extra_val,
+        |((CASE WHEN n_nationkey > 2 THEN 1 ELSE 0 END) +
+        | (CASE WHEN n_regionkey > 2 THEN 1 ELSE 0 END))::int AS n_big,
+        |n_nationkey * 10 AS nat_x10,
+        |'2' AS from_str
+        |FROM nation""".stripMargin),
+    // generic TRY (TryFunction.java) over ANSI error paths
+    "fn_try" -> (
+      """SELECT c_custkey,
+        |try(cast(c_name AS int)) AS bad_cast,
+        |try(c_custkey div (c_nationkey - c_nationkey)) AS div_zero,
+        |try(element_at(array(1, 2), 99)) AS oob,
+        |try(c_acctbal / 2.0) AS fine
+        |FROM customer WHERE c_custkey <= 100""".stripMargin,
+      """SELECT c_custkey,
+        |NULL::int AS bad_cast,
+        |NULL::bigint AS div_zero,
+        |NULL::int AS oob,
+        |c_acctbal / 2.0 AS fine
+        |FROM customer WHERE c_custkey <= 100""".stripMargin),
+    // FETCH FIRST ... WITH TIES via the dialect shim (ImplementLimitWithTies)
+    "fetch_with_ties" -> (
+      """SELECT o_custkey, o_totalprice FROM orders
+        |ORDER BY floor(o_totalprice / 100000) DESC
+        |FETCH FIRST 5 ROWS WITH TIES""".stripMargin,
+      """SELECT o_custkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    rank() OVER (ORDER BY floor(o_totalprice / 100000) DESC) AS r
+        |  FROM orders) t WHERE r <= 5""".stripMargin),
+    // numeric_histogram analog (NumericHistogramAggregation): fixed-width
+    // buckets via width_bucket + group-count
+    "agg_histogram" -> (
+      """SELECT width_bucket(o_totalprice, 0, 600000, 12) AS bucket,
+        |count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+      """SELECT least(greatest(floor(o_totalprice / 50000)::bigint + 1, 0), 13) AS bucket,
+        |count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin),
+    // map_agg analog (MapAggregationFunction): key→value assembly per
+    // group, rendered as a canonical string for engine-neutral comparison
+    "agg_map_agg" -> (
+      """SELECT n_regionkey,
+        |array_join(transform(sort_array(collect_list(struct(n_nationkey, n_name))),
+        |  e -> concat(e.n_nationkey, ':', e.n_name)), ',') AS kv_csv
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |string_agg(n_nationkey || ':' || n_name, ',' ORDER BY n_nationkey) AS kv_csv
+        |FROM nation GROUP BY n_regionkey""".stripMargin))
+
+  val queries: Map[String, Q] = defs.map { case (k, (sparkSql, _)) => k -> q(sparkSql) }
+  val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck }
+}
