@@ -68,6 +68,39 @@ object EventQueries {
           col("user_id") === col("buyer_id") && col("first_buy") > col("first_view"))
         .agg(count(lit(1)).as("n_converted"))
     }),
+    // MATCH_RECOGNIZE subset (graft.operators.MatchRecognize): funnel
+    // pattern V C+ P (view, 1+ clicks, purchase) per user, ONE ROW PER
+    // MATCH, SKIP PAST LAST ROW — the reference's row-pattern operator
+    // re-expressed as groupByKey+flatMapGroups
+    "mr_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.MatchRecognize
+      import graft.operators.MatchRecognize.{Plus, Step}
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("match_num", LongType),
+        StructField("start_ts", TimestampType), StructField("end_ts", TimestampType),
+        StructField("n_clicks", LongType)))
+      def typeIs(t: String)(r: org.apache.spark.sql.Row) =
+        r.getAs[String]("event_type") == t
+      MatchRecognize.oneRowPerMatch(
+        e,
+        partitionKey = r => r.getAs[Long]("user_id"),
+        orderKey = { r =>
+          val ts = r.getAs[java.sql.Timestamp]("ts")
+          ((ts.getTime / 1000) * 1000000000L + ts.getNanos, r.getAs[Long]("event_id"))
+        },
+        pattern = Seq(Step("V"), Step("C", Plus), Step("P")),
+        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
+        measures = (key, m) => org.apache.spark.sql.Row(
+          key, m.matchNumber.toLong,
+          m.rows.head.getAs[java.sql.Timestamp]("ts"),
+          m.rows.last.getAs[java.sql.Timestamp]("ts"),
+          m.rowsOf("C").length.toLong),
+        outSchema = outSchema)
+    }),
+
     // JSON property extraction + aggregation (props is a JSON string)
     "evt_json_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -113,6 +146,30 @@ object EventQueries {
         |      WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT count(*) AS n_converted FROM v JOIN b ON v.user_id = b.user_id
         |WHERE first_buy > first_view""".stripMargin,
+    // V C+ P matches are pairwise disjoint (a match interior is all
+    // clicks), so SKIP PAST LAST ROW semantics reduce to: every purchase
+    // whose nearest preceding non-click is a view with ≥1 click between
+    "mr_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type <> 'click' THEN rn END) OVER w1 AS prev_nc_rn,
+        |    last_value(CASE WHEN event_type <> 'click' THEN event_type END IGNORE NULLS) OVER w1 AS prev_nc_type,
+        |    last_value(CASE WHEN event_type <> 'click' THEN ts END IGNORE NULLS) OVER w1 AS prev_nc_ts
+        |  FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT user_id, prev_nc_ts AS start_ts, ts AS end_ts,
+        |    rn - prev_nc_rn - 1 AS n_clicks
+        |  FROM x WHERE event_type = 'purchase' AND prev_nc_type = 'view'
+        |    AND rn - prev_nc_rn >= 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY end_ts) AS match_num,
+        |  start_ts, end_ts, n_clicks
+        |FROM m""".stripMargin,
     "evt_json_agg" ->
       """SELECT event_type, avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k,
         |count(*) FILTER (WHERE k IS NULL) AS n_null_k
