@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured-Streaming specs over MemoryStream micro-batches. */
+class StreamingSpec extends GraftSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "view", 1.0),
+      Event(2, ts(15), 1, "view", 2.0),
+      Event(3, ts(25), 2, "click", 3.0))
+    val q = EventStream.windowedCounts(input.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      val views = rows.find(_.getString(1) == "view").get
+      assert(views.getLong(2) == 2 && views.getDouble(3) == 3.0)
+      assert(rows.find(_.getString(1) == "click").get.getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize tracks per-user session state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "view", 1.0), Event(2, ts(10), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(20), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sess").collect()
+        .filter(_.getLong(0) == 7).maxBy(_.getLong(1))
+      assert(last.getLong(1) == 3) // one session, three events, state carried
+    } finally q.stop()
+  }
+}
