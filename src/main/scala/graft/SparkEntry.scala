@@ -54,6 +54,22 @@ object SparkEntry {
           |  SELECT approx_top_k(o_orderpriority) AS m FROM orders
           |) LATERAL VIEW explode(m) t AS item, cnt""".stripMargin)
     }),
+    // qdigest/tdigest analog: sketch-as-value quantiles — build per-group,
+    // merge across groups, read quantiles from the merged sketch
+    // (reference QuantileDigestAggregationFunction + MergeQuantileDigest)
+    "sketch_qdigest" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT round(value_at_quantile(m, 0.5), 2) AS p50,
+          |round(value_at_quantile(m, 0.95), 2) AS p95,
+          |round(value_at_quantile(m, 0.99), 2) AS p99
+          |FROM (SELECT merge_qdigest(sk) AS m FROM (
+          |  SELECT l_returnflag, qdigest_agg(l_extendedprice) AS sk
+          |  FROM lineitem GROUP BY l_returnflag))""".stripMargin)
+    }),
+    // multimodal decode pipeline (operators.Multimodal): binary payloads →
+    // typed metadata + feature vectors via partition-wise stub decode
+    "mm_decode" -> ((s, dir) => graft.operators.Multimodal.pipeline(s, dir)),
     // order-independent checksum over rows (ChecksumAggregationFunction):
     // xor of xxhash64 is associative+commutative → distributes freely and
     // cannot overflow under ANSI arithmetic
@@ -67,7 +83,16 @@ object SparkEntry {
     // capacity > distinct ⇒ exact counts; plain GROUP BY reproduces them
     "sketch_top_k" ->
       """SELECT o_orderpriority AS item, count(*) AS cnt
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // stub decode is deterministic arithmetic over the payload bytes —
+    // restated directly in SQL
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, octet_length(text::blob) AS n_bytes,
+        |CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |(64 + ascii(text) % 128)::int AS width,
+        |(64 + ascii(substr(text, 2, 1)) % 128)::int AS height,
+        |1.0::double AS self_cos
+        |FROM documents""".stripMargin)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -133,6 +133,11 @@ object GraftFunctions {
     u.register("hll_cardinality", (sketch: Array[Byte]) =>
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
     u.register("approx_top_k", udaf(new SpaceSavingAggregator(64)))
+    u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
+    u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
+    u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>
+      if (sketch == null) null
+      else java.lang.Double.valueOf(QuantileSketch.valueAtQuantile(sketch.toArray, q)))
 
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)
