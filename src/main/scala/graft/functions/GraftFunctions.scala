@@ -139,6 +139,8 @@ object GraftFunctions {
       if (sketch == null) null
       else java.lang.Double.valueOf(QuantileSketch.valueAtQuantile(sketch.toArray, q)))
 
+    GeoFunctions.register(spark)
+
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)
     SortedIntersectCountExpr.install(spark)

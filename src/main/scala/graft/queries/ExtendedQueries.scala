@@ -96,6 +96,50 @@ object ExtendedQueries {
       """SELECT least(greatest(floor(o_totalprice / 50000)::bigint + 1, 0), 13) AS bucket,
         |count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin),
+    // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
+    // side replicated, containment as the join residual
+    "geo_spatial_join" -> (
+      """SELECT b.box_id, count(*) AS n_points,
+        |round(avg(st_distance(p.x, p.y, b.xmin, b.ymin)), 6) AS avg_dist_to_corner
+        |FROM (SELECT c_custkey, c_acctbal / 1000.0 AS x, c_nationkey + 0.5 AS y
+        |      FROM customer) p
+        |JOIN (VALUES (1, 0.0, 0.0, 5.0, 12.5), (2, 5.0, 0.0, 11.0, 12.5),
+        |             (3, 0.0, 12.5, 5.0, 25.5), (4, 5.0, 12.5, 11.0, 25.5))
+        |  AS b(box_id, xmin, ymin, xmax, ymax)
+        |ON st_contains_box(b.xmin, b.ymin, b.xmax, b.ymax, p.x, p.y)
+        |GROUP BY b.box_id""".stripMargin,
+      """SELECT b.box_id, count(*) AS n_points,
+        |round(avg(sqrt((p.x - b.xmin)*(p.x - b.xmin) + (p.y - b.ymin)*(p.y - b.ymin))), 6) AS avg_dist_to_corner
+        |FROM (SELECT c_custkey, c_acctbal / 1000.0 AS x, c_nationkey + 0.5 AS y
+        |      FROM customer) p
+        |JOIN (VALUES (1, 0.0, 0.0, 5.0, 12.5), (2, 5.0, 0.0, 11.0, 12.5),
+        |             (3, 0.0, 12.5, 5.0, 25.5), (4, 5.0, 12.5, 11.0, 25.5))
+        |  AS b(box_id, xmin, ymin, xmax, ymax)
+        |ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+        |GROUP BY b.box_id""".stripMargin),
+    // geo scalars: distance + ray-cast polygon containment (square,
+    // off-boundary points, so the oracle states it as range checks)
+    "geo_scalars" -> (
+      """SELECT n_nationkey,
+        |round(st_distance(n_nationkey + 0.5, n_regionkey + 0.5, 0.0, 0.0), 6) AS d_origin,
+        |st_contains_poly(array(0.0, 10.0, 10.0, 0.0), array(0.0, 0.0, 10.0, 10.0),
+        |  n_nationkey + 0.5, n_regionkey + 0.5) AS in_square,
+        |st_area_box(0.0, 0.0, cast(n_nationkey AS double), cast(n_regionkey AS double)) AS area
+        |FROM nation""".stripMargin,
+      """SELECT n_nationkey,
+        |round(sqrt((n_nationkey + 0.5)*(n_nationkey + 0.5) + (n_regionkey + 0.5)*(n_regionkey + 0.5)), 6) AS d_origin,
+        |(n_nationkey + 0.5 < 10 AND n_regionkey + 0.5 < 10) AS in_square,
+        |(n_nationkey * n_regionkey)::double AS area
+        |FROM nation""".stripMargin),
+    // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio)
+    "fn_misc" -> (
+      """SELECT word_stem('running') AS st1, word_stem('tables') AS st2,
+        |word_stem('quickly') AS st3,
+        |hamming_distance('karolin', 'kathrin') AS ham,
+        |round(levenshtein_distance_ratio('kitten', 'sitting'), 6) AS lev_ratio,
+        |hamming_distance64(255, 0) AS ham64""".stripMargin,
+      """SELECT 'runn' AS st1, 'table' AS st2, 'quick' AS st3,
+        |3::bigint AS ham, round(3.0/7.0, 6) AS lev_ratio, 8::int AS ham64""".stripMargin),
     // map_agg analog (MapAggregationFunction): key→value assembly per
     // group, rendered as a canonical string for engine-neutral comparison
     "agg_map_agg" -> (
