@@ -96,6 +96,69 @@ object TpchQueries {
         .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     }),
 
+    // Q7-style: volume shipping between two nations — double nation join
+    // with symmetric pair condition + year rollup.
+    "tpch_q7" -> ((s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation"))
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val n2 = broadcast(t(s, dir, "nation"))
+        .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("supp_nk"))
+        .join(n2, col("c_nationkey") === col("cust_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_6" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_6"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Q8-style: market share of one nation's suppliers within a region's
+    // orders — 7-way join + conditional share aggregation per year.
+    "tpch_q8" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation"))
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "AMERICA"),
+          col("c_rk") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "nation"))
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", col("volume")).otherwise(0.0)) /
+          sum(col("volume"))).as("mkt_share"))
+    }),
+
+    // Q15-style: top supplier by quarter revenue — aggregate subquery +
+    // join against its own max (the reference plans the revenue CTE twice).
+    "tpch_q15" -> ((s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+      t(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(maxRev, col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
     // Q10-style: returned-item ranking, 4-way join + top-k.
     "tpch_q10" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -228,6 +291,44 @@ object TpchQueries {
       """SELECT sum(l_extendedprice*l_discount) AS revenue FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |year(l_shipdate) AS l_year,
+        |round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6'))
+        |AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |sum(CASE WHEN n2.n_name = 'NATION_2'
+        |    THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
+        |sum(l_extendedprice*(1-l_discount)) AS mkt_share
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(l_extendedprice*(1-l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |sum(l_extendedprice*(1-l_discount)) AS revenue
