@@ -13,7 +13,9 @@ class QueriesSpec extends GraftSuite {
   // HAVING threshold needs sf0.01 group sizes); non-empty verified at
   // sf0.01 by the oracle diff
   private val emptyOkAtTinySf =
-    Set("agg_having", "sim_ann_lsh") ++ SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
+    Set("agg_having", "sim_ann_lsh",
+      "tpch_q7") ++ // needs NATION_6↔NATION_7 trade pairs; none among sf0.001's 100 suppliers
+      SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
 
   test("every registered query runs and is non-degenerate at sf0.001") {
     val empty = Seq.newBuilder[String]
