@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling toolbox. First line of defense is AQE's runtime skew-join
+  * splitting (on by default in the bench session); explicit salting is for
+  * the cases AQE can't fix — aggregations over hot keys and joins where
+  * the skewed side must stay co-partitioned across stages.
+  *
+  * Reference analog: the reference relies on its partitioning handles and
+  * scaled writers (`SystemPartitioningHandle`,
+  * `ScaledWriterScheduler`); salting is the Spark-idiomatic equivalent
+  * the pipeline author applies at the DataFrame level.
+  */
+object Skew {
+
+  /** Two-phase aggregation over a hot grouping key: group on
+    * (key, salt) first, then re-aggregate per key. `partialAggs` must be
+    * decomposable (sum/count/min/max style) with a matching `finalAggs`
+    * re-combination.
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      salts: Int,
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col("__key"))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+
+  /** Salted broadcast-free join of a skewed fact side against a small-ish
+    * dimension: the fact side gets a random salt in [0, salts), the dim
+    * side is replicated `salts` times, and the join key becomes
+    * (key, salt) — splitting each hot key's rows across `salts` tasks.
+    * Use when the dim side is too big to broadcast but small enough to
+    * replicate `salts`×.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
+}
