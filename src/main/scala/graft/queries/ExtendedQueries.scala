@@ -96,6 +96,27 @@ object ExtendedQueries {
       """SELECT least(greatest(floor(o_totalprice / 50000)::bigint + 1, 0), 13) AS bucket,
         |count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin),
+    // GROUPS window frames (reference GroupsFraming.java; no native Spark
+    // or DuckDB support): lowered to dense_rank + RANGE over the rank —
+    // the defining equivalence of GROUPS semantics. "GROUPS n PRECEDING"
+    // ≡ "RANGE n PRECEDING over the peer-group index".
+    "win_groups_frame" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000) AS bucket FROM orders))""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000) AS bucket FROM orders) t) t2""".stripMargin),
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual
     "geo_spatial_join" -> (
