@@ -117,6 +117,49 @@ object GraftFunctions {
         java.lang.Boolean.valueOf(sum % 10 == 0)
       })
     u.register("word_stem", (s: String) => if (s == null) null else Stemmer.stem(s))
+    // parse_data_size('2.3MB') → bytes (reference DataSizeFunctions.java)
+    u.register("parse_data_size", (s: String) =>
+      if (s == null) null
+      else {
+        val m = "^\\s*([0-9.]+)\\s*([A-Za-z]*)\\s*$".r.findFirstMatchIn(s)
+          .getOrElse(throw new IllegalArgumentException(s"Invalid data size: '$s'"))
+        val units = Map("B" -> 0, "kB" -> 1, "MB" -> 2, "GB" -> 3, "TB" -> 4,
+          "PB" -> 5, "EB" -> 6, "" -> 0)
+        val exp = units.getOrElse(m.group(2),
+          throw new IllegalArgumentException(s"Invalid data size unit: '${m.group(2)}'"))
+        java.lang.Long.valueOf(
+          java.math.BigDecimal.valueOf(m.group(1).toDouble)
+            .multiply(java.math.BigDecimal.valueOf(1024L).pow(exp)).longValue())
+      })
+    // human_readable_seconds(sec) (reference DateTimeFunctions.java)
+    u.register("human_readable_seconds", (secs: Double) => {
+      val total = math.round(math.abs(secs))
+      val parts = Seq(
+        ("week", total / 604800), ("day", total % 604800 / 86400),
+        ("hour", total % 86400 / 3600), ("minute", total % 3600 / 60),
+        ("second", total % 60))
+        .collect { case (u, n) if n > 0 => s"$n $u" + (if (n > 1) "s" else "") }
+      val sign = if (secs < 0) "-" else ""
+      sign + (if (parts.isEmpty) "0 seconds" else parts.mkString(", "))
+    })
+    // date_parse(str, mysql_pattern) → timestamp (reference MySQL-style
+    // patterns in DateTimeFunctions.java; subset of % specifiers)
+    u.register("date_parse", (s: String, fmt: String) =>
+      if (s == null || fmt == null) null
+      else {
+        val javaFmt = fmt
+          .replace("%Y", "yyyy").replace("%y", "yy").replace("%m", "MM")
+          .replace("%d", "dd").replace("%H", "HH").replace("%i", "mm")
+          .replace("%s", "ss").replace("%f", "SSSSSS")
+        import java.time.temporal.ChronoField
+        val f = new java.time.format.DateTimeFormatterBuilder()
+          .appendPattern(javaFmt)
+          .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+          .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+          .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+          .toFormatter
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s, f))
+      })
     u.register("levenshtein_distance_ratio", (a: String, b: String) =>
       if (a == null || b == null) null
       else {

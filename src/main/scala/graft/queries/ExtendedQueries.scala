@@ -152,15 +152,26 @@ object ExtendedQueries {
         |(n_nationkey + 0.5 < 10 AND n_regionkey + 0.5 < 10) AS in_square,
         |(n_nationkey * n_regionkey)::double AS area
         |FROM nation""".stripMargin),
-    // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio)
+    // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio,
+    // data-size parse, human-readable durations, MySQL date_parse, format)
     "fn_misc" -> (
       """SELECT word_stem('running') AS st1, word_stem('tables') AS st2,
         |word_stem('quickly') AS st3,
         |hamming_distance('karolin', 'kathrin') AS ham,
         |round(levenshtein_distance_ratio('kitten', 'sitting'), 6) AS lev_ratio,
-        |hamming_distance64(255, 0) AS ham64""".stripMargin,
+        |hamming_distance64(255, 0) AS ham64,
+        |parse_data_size('2.3MB') AS dsize,
+        |human_readable_seconds(93784.0) AS hsecs,
+        |date_parse('2024-03-05 07:08:09', '%Y-%m-%d %H:%i:%s') AS dparsed,
+        |format_string('%s scored %.2f', 'alice', cast(12.345 AS double)) AS fmt,
+        |format_number(1234567.891, 2) AS fnum""".stripMargin,
       """SELECT 'runn' AS st1, 'table' AS st2, 'quick' AS st3,
-        |3::bigint AS ham, round(3.0/7.0, 6) AS lev_ratio, 8::int AS ham64""".stripMargin),
+        |3::bigint AS ham, round(3.0/7.0, 6) AS lev_ratio, 8::int AS ham64,
+        |2411724::bigint AS dsize,
+        |'1 day, 2 hours, 3 minutes, 4 seconds' AS hsecs,
+        |TIMESTAMP '2024-03-05 07:08:09' AS dparsed,
+        |'alice scored 12.35' AS fmt,
+        |'1,234,567.89' AS fnum""".stripMargin),
     // map_agg analog (MapAggregationFunction): key→value assembly per
     // group, rendered as a canonical string for engine-neutral comparison
     "agg_map_agg" -> (
