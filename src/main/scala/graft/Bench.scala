@@ -17,7 +17,7 @@ object Bench {
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
     "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
     "dedup_minhash_lsh", "dedup_jaccard", "sim_topk_brute",
-    "text_token_stats")
+    "text_token_stats", "mr_funnel", "sketch_hll_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
