@@ -119,7 +119,10 @@ object PipelineQueries {
       // so colliding-band candidates are rejected without materializing;
       // dedup of the surviving (tiny) pair set happens after. A cheap size
       // ratio prune (implied by jaccard ≥ 0.8) runs before the intersect.
-      banded.as("x").join(banded.as("y"),
+      // The merge hint forces identical shuffle exchanges on both sides of
+      // the self-join: ReuseExchange then computes the shingle+minhash
+      // stage ONCE (a broadcast build side would recompute it).
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id") &&
