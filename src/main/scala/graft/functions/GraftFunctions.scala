@@ -97,11 +97,14 @@ object GraftFunctions {
       wilson(successes, trials, z, 1))
     u.register("to_base", (v: Long, radix: Long) => java.lang.Long.toString(v, radix.toInt))
     u.register("from_base", (s: String, radix: Long) => java.lang.Long.parseLong(s, radix.toInt))
-    u.register("cosine_distance", (a: Seq[Double], b: Seq[Double]) => {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-    })
+    u.register("cosine_distance", (a: Seq[Double], b: Seq[Double]) =>
+      if (a == null || b == null || a.isEmpty || a.length != b.length) null
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val d = math.sqrt(na) * math.sqrt(nb)
+        if (d == 0.0) null else java.lang.Double.valueOf(1.0 - dot / d)
+      })
 
     // --- string extras the Spark registry lacks ---
     u.register("luhn_check", (s: String) =>
@@ -158,7 +161,9 @@ object GraftFunctions {
           .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
           .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
           .toFormatter
-        java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s, f))
+        // via the UTC instant: java.sql.Timestamp.valueOf would interpret
+        // the wall-clock in the JVM default TZ, shifting on non-UTC hosts
+        java.time.LocalDateTime.parse(s, f).toInstant(java.time.ZoneOffset.UTC)
       })
     u.register("levenshtein_distance_ratio", (a: String, b: String) =>
       if (a == null || b == null) null
@@ -176,6 +181,7 @@ object GraftFunctions {
     u.register("hll_cardinality", (sketch: Array[Byte]) =>
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
     u.register("approx_top_k", udaf(new SpaceSavingAggregator(64)))
+    u.register("approx_most_frequent", udaf(new SpaceSavingKAggregator))
     u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
     u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>

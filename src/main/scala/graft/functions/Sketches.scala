@@ -85,11 +85,8 @@ class HllMergeAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte
   * correctness suite exploits that; at 100 TB the fixed capacity bounds
   * state per group to O(capacity) with the classic ±(n/capacity) error.
   */
-class SpaceSavingAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-  def zero: Map[String, Long] = Map.empty
-
-  def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+object SpaceSaving {
+  def reduce(b: Map[String, Long], a: String, capacity: Int): Map[String, Long] = {
     if (a == null) return b
     b.get(a) match {
       case Some(c) => b.updated(a, c + 1)
@@ -100,16 +97,57 @@ class SpaceSavingAggregator(capacity: Int)
     }
   }
 
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val m = mutable.Map.empty[String, Long] ++ a
-    b.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+  /** Classic mergeable-summaries merge: a key absent from a saturated side
+    * may have been counted up to that side's minimum, so the absent side
+    * contributes its min as an offset — keeps the overestimate invariant
+    * (±n/capacity) across merges instead of silently dropping mass.
+    */
+  def merge(a: Map[String, Long], b: Map[String, Long], capacity: Int): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val minA = if (a.size < capacity) 0L else a.values.min
+    val minB = if (b.size < capacity) 0L else b.values.min
+    val m = mutable.Map.empty[String, Long]
+    a.foreach { case (k, v) => m.update(k, v + b.getOrElse(k, minB)) }
+    b.foreach { case (k, v) => if (!a.contains(k)) m.update(k, v + minA) }
     if (m.size <= capacity) m.toMap
     else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity).toMap
   }
+}
 
+class SpaceSavingAggregator(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  def zero: Map[String, Long] = Map.empty
+  def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+    SpaceSaving.reduce(b, a, capacity)
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    SpaceSaving.merge(a, b, capacity)
   def finish(r: Map[String, Long]): Map[String, Long] = r
   def bufferEncoder: Encoder[Map[String, Long]] =
     Encoders.kryo[Map[String, Long]]
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+/** approx_most_frequent(value, k): parameterized-capacity variant
+  * (reference `ApproximateMostFrequentHistogram.java` takes the bucket
+  * count as a call argument; k is constant per call, read off the rows).
+  */
+class SpaceSavingKAggregator
+    extends Aggregator[(String, Int), (Int, Map[String, Long]), Map[String, Long]] {
+  def zero: (Int, Map[String, Long]) = (0, Map.empty)
+  def reduce(b: (Int, Map[String, Long]), a: (String, Int)): (Int, Map[String, Long]) = {
+    val cap = if (b._1 > 0) b._1 else math.max(a._2, 1)
+    (cap, SpaceSaving.reduce(b._2, a._1, cap))
+  }
+  def merge(a: (Int, Map[String, Long]), b: (Int, Map[String, Long])): (Int, Map[String, Long]) = {
+    val cap = math.max(a._1, b._1)
+    if (cap == 0) (0, Map.empty)
+    else (cap, SpaceSaving.merge(a._2, b._2, cap))
+  }
+  def finish(r: (Int, Map[String, Long])): Map[String, Long] = r._2
+  def bufferEncoder: Encoder[(Int, Map[String, Long])] =
+    Encoders.kryo[(Int, Map[String, Long])]
   def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

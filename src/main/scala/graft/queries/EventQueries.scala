@@ -125,7 +125,7 @@ object EventQueries {
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch(ts)::bigint - epoch(lag(ts) OVER w)::bigint > 1800
+        |      OR floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint > 1800
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessioned AS (

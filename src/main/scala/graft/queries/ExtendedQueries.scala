@@ -46,7 +46,7 @@ object ExtendedQueries {
       """SELECT n_nationkey,
         |element_at(m, 'reg') AS reg_val,
         |size(m) AS m_size,
-        |sort_array(map_keys(m)) AS keys_sorted,
+        |array_join(sort_array(map_keys(m)), ',') AS keys_sorted,
         |array_max(map_values(m)) AS max_val,
         |element_at(map_concat(m, map('extra', 99)), 'extra') AS extra_val,
         |size(map_filter(m, (k, v) -> v > 2)) AS n_big,
@@ -56,7 +56,7 @@ object ExtendedQueries {
       """SELECT n_nationkey,
         |n_regionkey AS reg_val,
         |2::int AS m_size,
-        |['nat', 'reg'] AS keys_sorted,
+        |'nat,reg' AS keys_sorted,
         |greatest(n_nationkey, n_regionkey) AS max_val,
         |99 AS extra_val,
         |((CASE WHEN n_nationkey > 2 THEN 1 ELSE 0 END) +
@@ -108,7 +108,7 @@ object ExtendedQueries {
         |  SELECT o_orderkey, o_orderstatus, bucket,
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
         |  FROM (SELECT o_orderkey, o_orderstatus,
-        |        floor(o_totalprice / 100000) AS bucket FROM orders))""".stripMargin,
+        |        cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders))""".stripMargin,
       """SELECT o_orderkey, o_orderstatus, bucket,
         |count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
         |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
@@ -116,7 +116,7 @@ object ExtendedQueries {
         |  SELECT o_orderkey, o_orderstatus, bucket,
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
         |  FROM (SELECT o_orderkey, o_orderstatus,
-        |        floor(o_totalprice / 100000) AS bucket FROM orders) t) t2""".stripMargin),
+        |        cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t) t2""".stripMargin),
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual
     "geo_spatial_join" -> (

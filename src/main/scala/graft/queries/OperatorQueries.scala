@@ -147,10 +147,11 @@ object OperatorQueries {
         .agg(exp(avg(log(col("l_quantity")))).as("geomean_qty"))
     }),
     // array_agg with deterministic order (ArrayAggregationFunction.java;
-    // sort_array makes the collected order canonical for comparison)
+    // sort_array canonicalizes the collected order; rendered as a joined
+    // string because the driver's comparator cannot sort raw array columns)
     "agg_array_collect" -> ((s, dir) => {
       t(s, dir, "nation").groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("nations"))
     }),
     // listagg (ListaggAggregationFunction.java) with within-group order
     "agg_listagg" -> ((s, dir) => {
@@ -451,7 +452,7 @@ object OperatorQueries {
       """SELECT l_linestatus, exp(avg(ln(l_quantity))) AS geomean_qty
         |FROM lineitem WHERE l_quantity > 0 GROUP BY l_linestatus""".stripMargin,
     "agg_array_collect" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations
+      """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey""".stripMargin,
     "agg_listagg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nation_csv

@@ -77,28 +77,34 @@ object PipelineQueries {
       // intersection is then a codegen'd sorted-merge over primitive longs
       // (sorted_intersect_count) instead of a per-pair hash set — and the
       // pair join shuffles compact long arrays, not shingle strings.
-      val sh = t(s, dir, "documents")
+      // Both sides emit the SAME symmetric probe set {band, band+1}: a pair
+      // with bands (x, y), |x−y| ≤ 1 always shares a probe (x=y shares two,
+      // deduped after), and |x−y| ≥ 2 never does — identical match set to
+      // the previous one-side-{b−1,b,b+1} emission, but now the two join
+      // inputs are byte-identical plans, so the merge hint makes Spark
+      // reuse ONE shuffle exchange for both sides and the shingle scan
+      // stage runs once instead of twice (the d15ed1e LSH pattern; the
+      // scan stage dominates at corpus scale).
+      val banded = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
         .withColumn("hsh", expr(shingleHashExpr))
         .withColumn("n_sh", size(col("hsh")))
         .withColumn("band", floor(log(1.25, col("n_sh"))))
-        .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"), col("band"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
-          col("hsh").as("h_a"), col("n_sh").as("n_a"),
-          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("probe_band"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("hsh").as("h_b"), col("n_sh").as("n_b"), col("band").as("band_b"))
+        .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"),
+          explode(array(col("band"), col("band") + 1)).as("probe_band"))
       // The jaccard test lives INSIDE the join condition (integer form,
       // single intersect evaluation): rejected pairs are dropped as
       // transient JoinedRows — the ~10⁶ candidate rows (each carrying two
       // long arrays) are never copied to join output.
-      a.join(b, col("lang") === col("lang_b") && col("probe_band") === col("band_b") &&
-          col("doc_a") < col("doc_b") &&
-          least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4 &&
-          expr(jacGe08("h_a, h_b", "n_a", "n_b")))
-        .select(col("doc_a"), col("doc_b"),
-          round(expr("cast(sorted_intersect_count(h_a, h_b) as double) / " +
-            "cast(n_a + n_b - sorted_intersect_count(h_a, h_b) as double)"), 6).as("jac"))
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+          col("x.lang") === col("y.lang") && col("x.probe_band") === col("y.probe_band") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
+          expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
+            "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
+        .dropDuplicates("doc_a", "doc_b")
     }),
 
     // ---- minhash + LSH banding (scale path for the above) ----
@@ -143,7 +149,9 @@ object PipelineQueries {
       val banded = fp.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))
           .as(Seq("band_idx", "band_val")))
-      banded.as("x").join(banded.as("y"),
+      // merge hints on both (identical) sides → one reused shuffle exchange;
+      // without them the broadcast self-join recomputes the signature scan
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -155,15 +163,30 @@ object PipelineQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
-    // ---- embedding near-dup: cosine over float vectors, blocked by label ----
+    // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
+    // fixture's clusters peak near 0.47, so 0.35 yields a real, stable
+    // match set at every SF). Scale shape: labels block the candidates,
+    // and each label's quadratic pair set is spread over S² chunk-pair
+    // tasks (chunk = hash(vec_id) mod S) — a dominant label costs S²
+    // parallel tasks of (n/S)² pairs instead of one O(n²) task. Each side
+    // replicates S×; the pairing key (label, ca, cb) covers every pair
+    // exactly once, so this is result-preserving, unlike an LSH prune. ----
     "dedup_embedding" -> ((s, dir) => {
+      val S = 4
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
-      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", expr("cosine_sim_native(emb_a, emb_b)"))
-        .filter(col("cos") >= 0.8)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .withColumn("chunk", pmod(xxhash64(col("vec_id")), lit(S)).cast("int"))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("emb_a"), col("chunk").as("ca"),
+        explode(expr(s"sequence(0, ${S - 1})")).as("cb"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"), col("chunk").as("cb_b"),
+        explode(expr(s"sequence(0, ${S - 1})")).as("ca_b"))
+      a.join(b, col("label") === col("label_b") &&
+          col("ca") === col("ca_b") && col("cb") === col("cb_b") &&
+          col("id_a") < col("id_b") &&
+          expr("cosine_sim_native(emb_a, emb_b)") >= 0.35)
+        .select(col("id_a"), col("id_b"),
+          round(expr("cosine_sim_native(emb_a, emb_b)"), 6).as("cos"))
     }),
 
     // ---- similarity search: brute-force cosine top-k (correctness
@@ -172,16 +195,19 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       val queriesSide = broadcast(e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      // rank on the 6-dp-rounded cosine: the raw double can differ in the
+      // last ULP between engines, which would flip near-tie rankings; at
+      // 6 dp ties break on vec_id identically everywhere
       val ranked = e.filter(col("vec_id") >= 5)
         .crossJoin(queriesSide)
-        .withColumn("cos", expr("cosine_sim_native(embedding, q_emb)"))
+        .withColumn("cos", round(expr("cosine_sim_native(embedding, q_emb)"), 6))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("query_id"))
             .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= 5)
       ranked.select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rn"))
+        col("cos"), col("rn"))
     }),
 
     // ---- similarity search, scale path: random-hyperplane LSH buckets.
@@ -304,6 +330,26 @@ object PipelineQueries {
         |      greatest(len(a.shingles), len(b.shingles)) * 4
         |WHERE len(list_intersect(a.shingles, b.shingles))::double /
         |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::double) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35""".stripMargin,
+    "sim_topk_brute" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::double) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 5),
+        |r AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(c.emb, q.q_emb), 6) AS cos
+        |      FROM c, q),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM r)
+        |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars,
         |len(tokens) AS n_tokens,

@@ -13,7 +13,10 @@ object Dialect {
     * `sql/planner/iterative/rule/ImplementLimitWithTies.java`.
     */
   private val FetchWithTies =
-    """(?is)^(.*?)\bORDER\s+BY\s+(.+?)\s+FETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$""".r
+    // greedy body so the rewrite anchors on the LAST ORDER BY — an ORDER BY
+    // inside a window spec or subquery must stay with the body, only the
+    // trailing top-level ORDER BY pairs with FETCH ... WITH TIES
+    """(?is)^(.*)\bORDER\s+BY\s+(.+?)\s+FETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$""".r
 
   /** `FETCH FIRST n ROWS ONLY` → LIMIT n (Spark parses LIMIT). */
   private val FetchOnly =
