@@ -22,7 +22,129 @@ object TpchQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  val queries: Map[String, Q] = Map(
+  /** The fixture drops `partsupp` (FIXTURES.md §A), so the five queries
+    * that need it (q2/q9/q11/q16/q20) run against a pseudo-partsupp
+    * derived from lineitem: supply cost = min observed unit price,
+    * availability = 10× observed line count. Grouping on (partkey,
+    * suppkey) is one shuffle; at scale this is the same partial-agg
+    * pattern as any fact rollup, and the oracle derives it identically.
+    */
+  private val psCte =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost,
+      |         count(*) * 10 AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** SQL-entry queries: the seven partsupp/decorrelation-heavy TPC-H
+    * members are expressed as SQL text so the engine's SQL surface —
+    * and Catalyst's subquery decorrelation (q2's correlated min, q20's
+    * nested IN + correlated scalar, q21's EXISTS/NOT EXISTS pair) — is
+    * what gets exercised, exactly how the reference runs them
+    * (`testing/trino-benchto-benchmarks/.../tpch.yaml:8-39`).
+    */
+  private val sqlDefs: Map[String, (String, String)] = {
+    // Spark and DuckDB accept the same ANSI spelling for all seven;
+    // only the interval literal differs (quoted unit count in Spark).
+    def both(sql: String): (String, String) =
+      (sql.replace("INTERVAL_30D", "INTERVAL '30' DAY").replace("INTERVAL_60D", "INTERVAL '60' DAY"),
+       sql.replace("INTERVAL_30D", "INTERVAL 30 DAY").replace("INTERVAL_60D", "INTERVAL 60 DAY"))
+    Map(
+      // Q2: min-cost supplier per part in a region — correlated scalar
+      // subquery against min() (the classic decorrelation stress test)
+      "tpch_q2" -> both(psCte +
+        """
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+          |FROM part, supplier, ps, nation, region
+          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          |  AND p_size <= 15 AND p_type = 'LARGE'
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+          |  AND ps_supplycost = (
+          |    SELECT min(ps2.ps_supplycost) FROM ps ps2, supplier s2, nation n2, region r2
+          |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+      // Q9: product-type profit by nation and year (6-way join)
+      "tpch_q9" -> both(psCte +
+        """
+          |SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+          |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          |    l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+          |  FROM part, supplier, lineitem, ps, orders, nation
+          |  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+          |    AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          |    AND p_name LIKE '%widget%') profit
+          |GROUP BY nation, o_year""".stripMargin),
+      // Q11: important stock — HAVING against a scalar subquery over the
+      // same aggregated CTE (region-scoped: nation-level filters can go
+      // empty at sf0.001 with only 10 suppliers)
+      "tpch_q11" -> both(psCte +
+        """,
+          |val AS (
+          |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+          |  FROM ps, supplier, nation, region
+          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |  GROUP BY ps_partkey)
+          |SELECT ps_partkey, value FROM val
+          |WHERE value > (SELECT sum(value) * 0.001 FROM val)""".stripMargin),
+      // Q12: late-shipment priority counts; the fixture has no
+      // l_commitdate/l_receiptdate/l_shipmode, so "late" = shipped >30
+      // days after order date and linestatus stands in for shipmode
+      "tpch_q12" -> both(
+        """SELECT l_linestatus AS shipmode,
+          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+          |FROM orders, lineitem
+          |WHERE o_orderkey = l_orderkey
+          |  AND l_shipdate > o_orderdate + INTERVAL_30D
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_linestatus""".stripMargin),
+      // Q16: supplier count per part descriptor, excluding a supplier
+      // subquery via NOT IN (no s_comment in fixture → balance filter)
+      "tpch_q16" -> both(psCte +
+        """
+          |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM ps, part
+          |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size""".stripMargin),
+      // Q20: nested IN subqueries + correlated scalar aggregate
+      "tpch_q20" -> both(psCte +
+        """
+          |SELECT s_name, s_acctbal FROM supplier, nation, region
+          |WHERE s_suppkey IN (
+          |  SELECT ps_suppkey FROM ps
+          |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          |    AND ps_availqty > (
+          |      SELECT 0.5 * sum(l_quantity) FROM lineitem
+          |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'))
+          |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'""".stripMargin),
+      // Q21: suppliers who were the sole late shipper on a finished
+      // multi-supplier order — EXISTS + NOT EXISTS pair ("late" =
+      // shipped >60 days after order date, see q12 note)
+      "tpch_q21" -> both(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier, lineitem l1, orders, nation
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL_60D
+          |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+          |              AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+          |              AND l3.l_suppkey <> l1.l_suppkey
+          |              AND l3.l_shipdate > o_orderdate + INTERVAL_60D)
+          |  AND s_nationkey = n_nationkey
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+  }
+
+  val queries: Map[String, Q] =
+    sqlDefs.map { case (k, (sparkSql, _)) =>
+      k -> ((s: SparkSession, dir: String) => Tables.sql(s, dir, sparkSql))
+    } ++ Map(
     // Q1: scan + filter + wide grouped aggregation. Partial aggregation
     // (map-side combine) reduces the shuffle to |groups| * partitions rows.
     "tpch_q1" -> ((s, dir) => {
@@ -253,7 +375,8 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    sqlDefs.map { case (k, (_, duck)) => k -> duck } ++ Map(
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |sum(l_extendedprice) AS sum_base_price,
