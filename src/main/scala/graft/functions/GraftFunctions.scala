@@ -194,6 +194,7 @@ object GraftFunctions {
     CosineSimilarityExpr.install(spark)
     SortedIntersectCountExpr.install(spark)
     ShingleHashesExpr.install(spark)
+    SimHash64Expr.install(spark)
     TryExpr.install(spark)
   }
 

@@ -142,9 +142,12 @@ object PipelineQueries {
 
     // ---- simhash near-dup: 64-bit fingerprint, 4×16-bit band blocking ----
     "dedup_simhash" -> ((s, dir) => {
+      // simhash64_native fuses tokenize+hash+vote into one codegen'd pass
+      // over the UTF-8 bytes — no split() array, no UDF boundary, in the
+      // scan stage (the round-1 per-row Scala UDF was the stage bottleneck)
       val fp = t(s, dir, "documents")
-        .withColumn("tokens", split(normText(col("text")), " "))
-        .withColumn("sh", callUDF("simhash64", col("tokens")))
+        .withColumn("norm", normText(col("text")))
+        .withColumn("sh", expr("simhash64_native(norm)"))
         .select(col("doc_id"), col("sh"))
       val banded = fp.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))

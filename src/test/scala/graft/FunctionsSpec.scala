@@ -43,6 +43,20 @@ class FunctionsSpec extends GraftSuite {
     assert(near < far, s"near=$near should be < far=$far")
   }
 
+  test("simhash64_native is bit-identical to the split+UDF path") {
+    val r = one(
+      """SELECT
+        |simhash64_native('the quick brown fox') AS n1,
+        |simhash64(split('the quick brown fox', ' ')) AS u1,
+        |simhash64_native('héllo wörld ünïcode') AS n2,
+        |simhash64(split('héllo wörld ünïcode', ' ')) AS u2,
+        |simhash64_native('') AS n3,
+        |simhash64(split('', ' ')) AS u3""".stripMargin)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getLong(4) == r.getLong(5))
+  }
+
   test("url family parses every component") {
     val r = one(
       """SELECT url_extract_protocol(u) p, url_extract_host(u) h,

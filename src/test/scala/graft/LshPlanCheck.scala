@@ -5,10 +5,20 @@ package graft
   * stage (observed 1.8× slowdown at sf0.1).
   */
 class LshPlanCheck extends GraftSuite {
-  test("dedup_minhash_lsh computes the banded base once (ReusedExchange)") {
-    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.01")
+  private def assertReused(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("dedup_minhash_lsh computes the banded base once (ReusedExchange)") {
+    assertReused("dedup_minhash_lsh")
+  }
+  test("dedup_jaccard computes the shingle stage once (ReusedExchange)") {
+    assertReused("dedup_jaccard")
+  }
+  test("dedup_simhash computes the signature stage once (ReusedExchange)") {
+    assertReused("dedup_simhash")
   }
 }
