@@ -189,6 +189,7 @@ object GraftFunctions {
       else java.lang.Double.valueOf(QuantileSketch.valueAtQuantile(sketch.toArray, q)))
 
     GeoFunctions.register(spark)
+    TrinoAliases.register(spark)
 
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)

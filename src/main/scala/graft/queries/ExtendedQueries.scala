@@ -41,6 +41,24 @@ object ExtendedQueries {
       """SELECT n_nationkey, 'nat' AS k, n_nationkey AS v FROM nation
         |UNION ALL
         |SELECT n_nationkey, 'reg' AS k, n_regionkey AS v FROM nation""".stripMargin),
+    // Trino's own UNNEST spelling, driven through the dialect shim
+    // (Dialect.rewriteUnnest lowers CROSS JOIN UNNEST ... WITH ORDINALITY
+    // to a Spark lateral posexplode subquery)
+    "unnest_trino_ordinality" -> (
+      """SELECT doc_id, ord, tok
+        |FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+        |CROSS JOIN UNNEST(toks) WITH ORDINALITY AS t(tok, ord)""".stripMargin,
+      """SELECT doc_id, i AS ord, toks[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20) d,
+        |LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g""".stripMargin),
+    // map-typed UNNEST (two output columns, no ordinality → entries)
+    "unnest_trino_map" -> (
+      """SELECT n_nationkey, k, v
+        |FROM (SELECT n_nationkey, map('nat', n_nationkey, 'reg', n_regionkey) AS m FROM nation)
+        |CROSS JOIN UNNEST(m) AS t(k, v)""".stripMargin,
+      """SELECT n_nationkey, 'nat' AS k, n_nationkey AS v FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, 'reg' AS k, n_regionkey AS v FROM nation""".stripMargin),
     // map function family (Map*.java); scalar/array outputs for comparison
     "fn_map" -> (
       """SELECT n_nationkey,

@@ -220,6 +220,76 @@ object FunctionQueries {
         |FROM (SELECT 'https://example.com:8443/docs/index.html?a=1&b=two#frag' AS u)""".stripMargin,
       """SELECT 'https' AS proto, 'example.com' AS host, 8443::bigint AS port,
         |'/docs/index.html' AS path, 'a=1&b=two' AS query, 'two' AS param_b""".stripMargin),
+    // Trino spellings end-to-end through the SQL entry: name aliases
+    // (strpos/to_hex/to_utf8/format_datetime), the JSON family under
+    // Trino names, split_to_map/multimap, hmac, array stragglers, and
+    // the AT TIME ZONE dialect rewrite. Oracle restates expected values
+    // in DuckDB-computable form.
+    "fn_trino_names" -> (
+      """SELECT n_name,
+        |strpos(n_name, 'AN') AS pos,
+        |to_hex(to_utf8(n_name)) AS hx,
+        |format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm') AS fdt,
+        |TIMESTAMP '2024-01-15 12:00:00' AT TIME ZONE 'America/New_York' AS attz,
+        |element_at(split_to_map('a=1;b=2', ';', '='), 'b') AS stm_b,
+        |array_join(element_at(split_to_multimap('k=1;k=2;j=9', ';', '='), 'k'), ',') AS stmm_k,
+        |hmac_sha256('message', 'key') AS hm256,
+        |hmac_md5('message', 'key') AS hmmd5,
+        |contains_sequence(array('a', 'b', 'c', 'd'), array('b', 'c')) AS cseq,
+        |contains_sequence(array('a', 'b', 'c', 'd'), array('b', 'd')) AS cseq_no,
+        |size(ngrams(array('w', 'x', 'y', 'z'), 2)) AS n_ngrams,
+        |size(combinations(array('a', 'b', 'c', 'd'), 2)) AS n_comb,
+        |array_join(regexp_extract_all(lower(n_name), '[aeiou]+', 0), '') AS vowels
+        |FROM nation""".stripMargin,
+      """SELECT n_name,
+        |CASE WHEN position('AN' IN n_name) IS NULL THEN 0
+        |     ELSE position('AN' IN n_name) END AS pos,
+        |upper(hex(n_name::blob)) AS hx,
+        |'2024-03-05 07:08' AS fdt,
+        |TIMESTAMP '2024-01-15 07:00:00' AS attz,
+        |'2' AS stm_b, '1,2' AS stmm_k,
+        |'6e9ef29b75fffc5b7abae527d58fdadb2fe42e7219011976917343065f58ed4a' AS hm256,
+        |'4e4748e62b463521f6775fbf921234b5' AS hmmd5,
+        |true AS cseq, false AS cseq_no,
+        |3::int AS n_ngrams, 6::int AS n_comb,
+        |array_to_string(regexp_extract_all(lower(n_name), '[aeiou]+'), '') AS vowels
+        |FROM nation""".stripMargin),
+    // JSON family under Trino names (JsonFunctions.java) over real rows
+    "fn_json_trino" -> (
+      """SELECT event_id,
+        |json_extract_scalar(props, '$.k') AS k_scalar,
+        |json_extract(props, '$.k') AS k_json,
+        |json_size(props, '$') AS root_size,
+        |json_parse(props) AS canon,
+        |json_array_length('[1,2,3,4]') AS jal,
+        |json_array_contains('[1,2,3]', '2') AS jac,
+        |json_array_get('[10,20,30]', -1) AS jag
+        |FROM events WHERE event_id <= 500""".stripMargin,
+      """SELECT event_id,
+        |json_extract_string(props, '$.k') AS k_scalar,
+        |json_extract(props, '$.k')::varchar AS k_json,
+        |len(json_keys(props)) AS root_size,
+        |json_extract(props, '$')::varchar AS canon,
+        |4::int AS jal, true AS jac, '30' AS jag
+        |FROM events WHERE event_id <= 500""".stripMargin),
+    // aggregate-name aliases: approx_distinct (exact at this cardinality),
+    // arbitrary (constant within group), bitwise_and/or_agg, map_union
+    "agg_trino_extras" -> (
+      """SELECT n_regionkey, nd, arb, band, bor,
+        |element_at(mu, first_name) AS mu_first FROM (
+        |  SELECT n_regionkey,
+        |    approx_distinct(n_name) AS nd,
+        |    arbitrary(n_regionkey + 100) AS arb,
+        |    bitwise_and_agg(n_nationkey) AS band,
+        |    bitwise_or_agg(n_nationkey) AS bor,
+        |    map_union(map(n_name, cast(n_nationkey AS string))) AS mu,
+        |    min(n_name) AS first_name
+        |  FROM nation GROUP BY n_regionkey)""".stripMargin,
+      """SELECT n_regionkey, count(DISTINCT n_name) AS nd,
+        |min(n_regionkey + 100) AS arb,
+        |bit_and(n_nationkey) AS band, bit_or(n_nationkey) AS bor,
+        |arg_min(n_nationkey, n_name)::varchar AS mu_first
+        |FROM nation GROUP BY n_regionkey""".stripMargin),
     "fn_stats_cdf" -> (
       """SELECT round(normal_cdf(0.0, 1.0, 1.96), 6) AS p_gauss,
         |round(inverse_normal_cdf(0.0, 1.0, 0.975), 4) AS z_975,

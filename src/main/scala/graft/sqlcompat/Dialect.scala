@@ -22,6 +22,94 @@ object Dialect {
   private val FetchOnly =
     """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r
 
+  /** `CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c1[, c2])` → a Spark
+    * lateral subquery over explode/posexplode. The same lowering the
+    * reference's planner applies to unnest nodes
+    * (`sql/planner/.../UnnestNode`-to-`UnnestOperator`); here as a text
+    * rewrite because Spark's parser has no UNNEST production. Three
+    * single-argument shapes (the dominant Trino idiom):
+    *   - 1 output column              → array explode
+    *   - 2 output columns             → map explode (key, value)
+    *   - WITH ORDINALITY + 2 columns  → posexplode, ordinality = pos + 1
+    * `UNNEST(a, b)` zip form is not rewritten (use arrays_zip directly).
+    */
+  private val UnnestStart = """(?is)\bCROSS\s+JOIN\s+UNNEST\s*\(""".r
+  private val UnnestTail =
+    """(?is)^\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*([A-Za-z_]\w*))?\s*\)""".r
+
+  /** Index just past the parenthesis that closes the one opening at
+    * `open` (which must point AT the '('), or -1 if unbalanced.
+    */
+  private def closeParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def rewriteUnnest(sql: String): String =
+    UnnestStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val openIdx = sql.lastIndexOf('(', m.end - 1)
+        val close = closeParen(sql, openIdx)
+        if (close < 0) return sql
+        val arg = sql.substring(openIdx + 1, close - 1)
+        if (topLevelComma(arg)) return sql // zip form: leave as written
+        UnnestTail.findFirstMatchIn(sql.substring(close)) match {
+          case None => sql
+          case Some(t) =>
+            val ord = t.group(1) != null
+            val alias = t.group(2); val c1 = t.group(3); val c2 = t.group(4)
+            val replacement = (ord, c2) match {
+              case (true, c2c) if c2c != null =>
+                s"CROSS JOIN LATERAL (SELECT col AS $c1, pos + 1 AS $c2c FROM posexplode($arg)) AS $alias"
+              case (false, null) =>
+                s"CROSS JOIN LATERAL (SELECT col AS $c1 FROM explode($arg)) AS $alias"
+              case (false, c2c) =>
+                s"CROSS JOIN LATERAL (SELECT key AS $c1, value AS $c2c FROM explode($arg)) AS $alias"
+              case _ => return sql
+            }
+            rewriteUnnest(
+              sql.substring(0, m.start) + replacement + sql.substring(close + t.end))
+        }
+    }
+
+  private def topLevelComma(s: String): Boolean = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** `<operand> AT TIME ZONE '<tz>'` → `from_utc_timestamp(operand, tz)`:
+    * the engine pins the session to UTC, so shifting the wall-clock into
+    * the target zone reproduces Trino's display semantics. Operand capture
+    * is conservative: an identifier, one-level function call, or a
+    * TIMESTAMP literal.
+    */
+  private val AtTimeZone =
+    """(?is)\b(TIMESTAMP\s+'[^']+'|[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*)\s+AT\s+TIME\s+ZONE\s+('[^']+')""".r
+
   def rewrite(sql: String): String = {
     val afterTies = sql match {
       case FetchWithTies(body, orderKeys, n) =>
@@ -31,6 +119,10 @@ object Dialect {
            |) WHERE __graft_rank <= $n""".stripMargin
       case other => other
     }
-    FetchOnly.replaceAllIn(afterTies, m => s"LIMIT ${m.group(1)}")
+    val afterFetch = FetchOnly.replaceAllIn(afterTies, m => s"LIMIT ${m.group(1)}")
+    val afterUnnest = rewriteUnnest(afterFetch)
+    AtTimeZone.replaceAllIn(afterUnnest,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))
   }
 }

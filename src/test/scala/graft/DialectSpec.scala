@@ -29,6 +29,41 @@ class DialectSpec extends GraftSuite {
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("UNNEST WITH ORDINALITY rewrites to a lateral posexplode (1-based)") {
+    val df = spark.sql(Dialect.rewrite(
+      """SELECT id, tok, ord
+        |FROM (SELECT 1 AS id, array('a', 'b') AS arr)
+        |CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(tok, ord)""".stripMargin))
+    assert(df.collect().map(r => (r.getString(1), r.getInt(2))).sorted.toSeq ==
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("UNNEST of a map yields key/value columns") {
+    val df = spark.sql(Dialect.rewrite(
+      """SELECT k, v FROM (SELECT map('x', 1, 'y', 2) AS m)
+        |CROSS JOIN UNNEST(m) AS t(k, v)""".stripMargin))
+    assert(df.collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq ==
+      Seq(("x", 1), ("y", 2)))
+  }
+
+  test("UNNEST single-column array form explodes without ordinality") {
+    val df = spark.sql(Dialect.rewrite(
+      "SELECT v FROM (SELECT array(7, 8) AS a) CROSS JOIN UNNEST(a) AS t(v)"))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+  }
+
+  test("zip-form UNNEST(a, b) is left untouched") {
+    val sql = "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS z(x, y)"
+    assert(Dialect.rewrite(sql) == sql)
+  }
+
+  test("AT TIME ZONE rewrites to from_utc_timestamp") {
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT TIMESTAMP '2024-01-15 12:00:00' AT TIME ZONE 'America/New_York' AS x"))
+      .collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-15 07:00:00"))
+  }
+
   test("TRY yields NULL on ANSI errors and passes values through") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
