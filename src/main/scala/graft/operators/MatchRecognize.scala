@@ -1,118 +1,275 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
+import scala.collection.mutable.ArrayBuffer
 
-/** Row-pattern matching — a working subset of SQL MATCH_RECOGNIZE, the
-  * reference's biggest capability Spark lacks (grammar `SqlBase.g4:331`,
-  * NFA matcher `operator/window/matcher/Matcher.java`, plan node
+/** Row-pattern matching — SQL MATCH_RECOGNIZE, the reference's biggest
+  * capability Spark lacks (grammar `SqlBase.g4:329-331`, NFA matcher
+  * `operator/window/matcher/Matcher.java`, plan node
   * `sql/planner/plan/PatternRecognitionNode.java:51`; SURVEY §2.5/§7).
   *
-  * Supported subset:
-  *   - PARTITION BY / ORDER BY
-  *   - PATTERN: concatenation of symbols with greedy `?`/`+`/`*`
-  *     quantifiers (no alternation, no nested groups)
-  *   - DEFINE: row-local predicates (no PREV/NEXT navigation)
-  *   - ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW
+  * Supported:
+  *   - PARTITION BY / ORDER BY (by column name)
+  *   - PATTERN: concatenation, grouping, alternation `(A|B)`, greedy
+  *     quantifiers `? + *` — parsed from the SQL pattern text
+  *   - DEFINE: predicates over a navigable [[Ctx]] (current row +
+  *     PREV/NEXT physical navigation, like the reference's
+  *     `LogicalIndexNavigation`)
+  *   - ONE ROW PER MATCH and ALL ROWS PER MATCH
+  *   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW
   *
-  * Execution model: `groupByKey(partition key)` + `flatMapGroups` — the
-  * idiomatic Spark shape for per-group sequential logic. One hash
-  * exchange on the partition key; the matcher runs data-local per group
-  * with backtracking over the sorted group buffer. State is bounded by
-  * group size (per-user event counts), never by table size, so the
-  * operator scales with the number of groups across executors.
+  * Execution model (the 100 TB shape): `repartition(partition cols)` +
+  * `sortWithinPartitions(partition ++ order cols)` + `mapPartitions`.
+  * The sort is Spark's external (spillable) sort, and the matcher
+  * consumes each partition as a STREAM: rows are buffered only from the
+  * current match start (plus a small PREV tail) to the probe position,
+  * then dropped. Memory is bounded by the longest single match, not by
+  * the hottest partition key — the round-1 `flatMapGroups` version
+  * buffered whole groups and would OOM on a skewed key.
   */
 object MatchRecognize extends Serializable {
 
-  sealed trait Quant
-  case object One extends Quant
-  case object Opt extends Quant
-  case object Plus extends Quant
-  case object Star extends Quant
+  // ---- pattern AST + parser -------------------------------------------
 
-  /** One pattern element: symbol name + quantifier. */
-  case class Step(symbol: String, quant: Quant = One)
+  sealed trait Pat
+  final case class Sym(name: String) extends Pat
+  final case class Cat(ps: List[Pat]) extends Pat
+  final case class Alt(ps: List[Pat]) extends Pat
+  /** Greedy quantifier: min occurrences, optional max. */
+  final case class Quant(p: Pat, min: Int, max: Option[Int]) extends Pat
 
-  /** A completed match handed to the measures function. */
-  case class Match(matchNumber: Int, rows: IndexedSeq[Row], classifier: IndexedSeq[String]) {
+  /** Parse `"V (C|E)+ P?"` into a [[Pat]]. Symbols are identifiers;
+    * whitespace separates concatenation; `|` alternates; `()` groups.
+    */
+  def parsePattern(s: String): Pat = {
+    val toks = ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("()|?+*".indexOf(c) >= 0) { toks += c.toString; i += 1 }
+      else {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        require(i > start, s"bad pattern char '${s.charAt(i)}' in: $s")
+        toks += s.substring(start, i)
+      }
+    }
+    var pos = 0
+    def peek: String = if (pos < toks.length) toks(pos) else null
+    def next(): String = { val t = toks(pos); pos += 1; t }
+    def atom(): Pat = next() match {
+      case "(" =>
+        val a = alt()
+        require(next() == ")", s"missing ) in: $s")
+        a
+      case sym => Sym(sym)
+    }
+    def term(): Pat = {
+      var a = atom()
+      peek match {
+        case "?" => next(); a = Quant(a, 0, Some(1))
+        case "+" => next(); a = Quant(a, 1, None)
+        case "*" => next(); a = Quant(a, 0, None)
+        case _ =>
+      }
+      a
+    }
+    def seq(): Pat = {
+      val ps = ArrayBuffer[Pat]()
+      while (peek != null && peek != ")" && peek != "|") ps += term()
+      if (ps.length == 1) ps.head else Cat(ps.toList)
+    }
+    def alt(): Pat = {
+      val ps = ArrayBuffer(seq())
+      while (peek == "|") { next(); ps += seq() }
+      if (ps.length == 1) ps.head else Alt(ps.toList)
+    }
+    val out = alt()
+    require(pos == toks.length, s"trailing pattern tokens in: $s")
+    out
+  }
+
+  // ---- matcher context -------------------------------------------------
+
+  /** DEFINE evaluation context at one candidate row: PREV/NEXT navigate
+    * PHYSICAL rows of the partition (reference semantics). `prev` is
+    * limited to the retained tail (`prevTail` rows before the current
+    * match start); `next` pulls ahead from the stream on demand. Both
+    * return null past the partition edge.
+    */
+  final class Ctx private[MatchRecognize] (buf: StreamBuf, idx: Int) {
+    def row: Row = buf.get(idx)
+    def prev(n: Int = 1): Row = if (idx - n < buf.base) null else buf.get(idx - n)
+    def next(n: Int = 1): Row = if (buf.ensure(idx + n)) buf.get(idx + n) else null
+  }
+
+  /** A completed match handed to the measures functions. */
+  final case class Match(matchNumber: Long, rows: IndexedSeq[Row], classifier: IndexedSeq[String]) {
     def rowsOf(symbol: String): IndexedSeq[Row] =
       rows.indices.collect { case i if classifier(i) == symbol => rows(i) }
   }
 
-  /** ONE ROW PER MATCH over `df`.
-    *
-    * @param partitionKey  extracts the PARTITION BY key (grouping column)
-    * @param orderKey      total order within a partition
-    * @param pattern       concatenation of quantified symbols
-    * @param define        symbol → row predicate (undefined symbols match always)
-    * @param measures      builds the output row values for a match
-    * @param outSchema     schema of the produced rows
+  sealed trait SkipMode
+  case object SkipPastLastRow extends SkipMode
+  case object SkipToNextRow extends SkipMode
+
+  // ---- streaming row buffer -------------------------------------------
+
+  /** Window over one partition's sorted row stream: absolute indexing,
+    * on-demand fill from the iterator, and front-trimming once a match
+    * boundary passes. `base` is the absolute index of the first retained
+    * row.
     */
+  private[operators] final class StreamBuf(it: Iterator[Row]) {
+    private val rows = ArrayBuffer[Row]()
+    private[operators] var base = 0
+    var maxRetained = 0 // observed high-water mark (spec hook)
+
+    /** True iff absolute index `i` exists in the partition. */
+    def ensure(i: Int): Boolean = {
+      while (base + rows.length <= i && it.hasNext) rows += it.next()
+      maxRetained = math.max(maxRetained, rows.length)
+      base + rows.length > i
+    }
+    def get(i: Int): Row = rows(i - base)
+    def dropBefore(abs: Int): Unit = {
+      val k = abs - base
+      if (k > 0) { rows.remove(0, math.min(k, rows.length)); base += k }
+    }
+    def slice(from: Int, until: Int): IndexedSeq[Row] =
+      (from until until).map(get).toIndexedSeq
+  }
+
+  // ---- public entry points --------------------------------------------
+
   def oneRowPerMatch(
       df: DataFrame,
-      partitionKey: Row => Long,
-      orderKey: Row => (Long, Long),
-      pattern: Seq[Step],
-      define: Map[String, Row => Boolean],
-      measures: (Long, Match) => Row,
-      outSchema: StructType): DataFrame = {
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, Ctx => Boolean],
+      measures: (Row, Match) => Row,
+      outSchema: StructType,
+      afterMatchSkip: SkipMode = SkipPastLastRow,
+      prevTail: Int = 8): DataFrame =
+    run(df, partitionCols, orderCols, parsePattern(pattern), define,
+      (key, m) => Iterator.single(measures(key, m)), outSchema, afterMatchSkip, prevTail)
 
-    val steps = pattern.toIndexedSeq
-    df.groupByKey(partitionKey)(Encoders.scalaLong)
-      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
-        val rows = it.toIndexedSeq.sortBy(orderKey)
-        val out = Seq.newBuilder[Row]
+  /** ALL ROWS PER MATCH: `rowMeasures(key, match, i)` produces the output
+    * row for the i-th matched row (the caller appends measures columns to
+    * the input row, like the reference's pass-through + measures layout).
+    */
+  def allRowsPerMatch(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, Ctx => Boolean],
+      rowMeasures: (Row, Match, Int) => Row,
+      outSchema: StructType,
+      afterMatchSkip: SkipMode = SkipPastLastRow,
+      prevTail: Int = 8): DataFrame =
+    run(df, partitionCols, orderCols, parsePattern(pattern), define,
+      (key, m) => m.rows.indices.iterator.map(i => rowMeasures(key, m, i)),
+      outSchema, afterMatchSkip, prevTail)
+
+  // ---- core ------------------------------------------------------------
+
+  private def run(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: Pat,
+      define: Map[String, Ctx => Boolean],
+      emit: (Row, Match) => Iterator[Row],
+      outSchema: StructType,
+      skip: SkipMode,
+      prevTail: Int): DataFrame = {
+
+    val sorted = df
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+    val keyIdx = partitionCols.map(sorted.schema.fieldIndex)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+
+    sorted.mapPartitions { it =>
+      def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+
+      def matchGroup(keyRow: Row, group: Iterator[Row]): Iterator[Row] = {
+        val buf = new StreamBuf(group)
+        val res = ArrayBuffer[Row]()
         var start = 0
-        var matchNum = 0
+        var matchNum = 0L
 
-        def pred(sym: String, r: Row): Boolean = define.get(sym).forall(_(r))
+        def pred(sym: String, i: Int): Boolean =
+          buf.ensure(i) && define.get(sym).forall(_(new Ctx(buf, i)))
 
-        // Greedy backtracking: returns classifier tags for the longest
-        // match anchored at `from`, or null.
-        def tryMatch(from: Int): IndexedSeq[String] = {
-          val tags = Array.newBuilder[String]
-          def go(pos: Int, step: Int, acc: List[String]): List[String] = {
-            if (step == steps.length) return acc
-            val Step(sym, quant) = steps(step)
-            def matches(p: Int) = p < rows.length && pred(sym, rows(p))
-            quant match {
-              case One =>
-                if (matches(pos)) go(pos + 1, step + 1, sym :: acc) else null
-              case Opt =>
-                if (matches(pos)) {
-                  val r = go(pos + 1, step + 1, sym :: acc)
-                  if (r != null) r else go(pos, step + 1, acc)
-                } else go(pos, step + 1, acc)
-              case Plus | Star =>
-                var n = 0
-                while (matches(pos + n)) n += 1
-                val minN = if (quant == Plus) 1 else 0
-                var k = n
-                while (k >= minN) { // greedy, backtrack on failure
-                  val r = go(pos + k, step + 1,
-                    List.fill(k)(sym) reverse_::: acc)
-                  if (r != null) return r
-                  k -= 1
-                }
-                null
+        // Greedy backtracking matcher in CPS; first success = the
+        // leftmost-greedy match (reference NFA preference order).
+        def go(p: Pat, pos: Int, acc: List[String],
+               k: (Int, List[String]) => Option[(Int, List[String])]): Option[(Int, List[String])] =
+          p match {
+            case Sym(s) => if (pred(s, pos)) k(pos + 1, s :: acc) else None
+            case Cat(Nil) => k(pos, acc)
+            case Cat(h :: t) => go(h, pos, acc, (p2, a2) => go(Cat(t), p2, a2, k))
+            case Alt(ps) =>
+              ps.iterator.map(pp => go(pp, pos, acc, k)).collectFirst { case Some(r) => r }
+            case Quant(pp, min, max) =>
+              def rep(cnt: Int, pos2: Int, acc2: List[String]): Option[(Int, List[String])] = {
+                val more =
+                  if (max.forall(cnt < _))
+                    go(pp, pos2, acc2,
+                      (p3, a3) => if (p3 == pos2) None else rep(cnt + 1, p3, a3))
+                  else None
+                more.orElse(if (cnt >= min) k(pos2, acc2) else None)
+              }
+              rep(0, pos, acc)
+          }
+
+        while (buf.ensure(start)) {
+          go(pattern, start, Nil, (end, acc) => Some((end, acc))) match {
+            case Some((end, accRev)) if end > start =>
+              matchNum += 1
+              val m = Match(matchNum, buf.slice(start, end), accRev.reverse.toIndexedSeq)
+              res ++= emit(keyRow, m)
+              start = skip match {
+                case SkipPastLastRow => end
+                case SkipToNextRow => start + 1
+              }
+            case _ =>
+              start += 1
+          }
+          buf.dropBefore(start - prevTail)
+        }
+        res.iterator
+      }
+
+      // group chaining with a one-slot lookahead (explicit pushback;
+      // rows are fresh external Rows from the deserializer, safe to hold)
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private var lookahead: Row = if (it.hasNext) it.next() else null
+        private def refill(): Unit =
+          while (!out.hasNext && lookahead != null) {
+            val keyRow = lookahead
+            val key = keyOf(keyRow)
+            val group = new Iterator[Row] {
+              def hasNext: Boolean = lookahead != null && keyOf(lookahead) == key
+              def next(): Row = {
+                val r = lookahead
+                lookahead = if (it.hasNext) it.next() else null
+                r
+              }
             }
+            out = matchGroup(keyRow, group)
+            while (group.hasNext) group.next() // guard: group fully drained
           }
-          val res = go(from, 0, Nil)
-          if (res == null) null else res.reverse.toIndexedSeq
-        }
-
-        while (start < rows.length) {
-          val tags = tryMatch(start)
-          if (tags != null && tags.nonEmpty) {
-            matchNum += 1
-            out += measures(key,
-              Match(matchNum, rows.slice(start, start + tags.length), tags))
-            start += tags.length // AFTER MATCH SKIP PAST LAST ROW
-          } else {
-            start += 1
-          }
-        }
-        out.result().iterator
-      }(Encoders.row(outSchema))
+        def hasNext: Boolean = { refill(); out.hasNext }
+        def next(): Row = { refill(); out.next() }
+      }
+    }(enc)
   }
 }

@@ -75,30 +75,119 @@ object EventQueries {
     "mr_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       import graft.operators.MatchRecognize
-      import graft.operators.MatchRecognize.{Plus, Step}
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       val outSchema = StructType(Seq(
         StructField("user_id", LongType), StructField("match_num", LongType),
         StructField("start_ts", TimestampType), StructField("end_ts", TimestampType),
         StructField("n_clicks", LongType)))
-      def typeIs(t: String)(r: org.apache.spark.sql.Row) =
-        r.getAs[String]("event_type") == t
+      def typeIs(t: String)(c: MatchRecognize.Ctx) =
+        c.row.getAs[String]("event_type") == t
       MatchRecognize.oneRowPerMatch(
         e,
-        partitionKey = r => r.getAs[Long]("user_id"),
-        orderKey = { r =>
-          val ts = r.getAs[java.sql.Timestamp]("ts")
-          ((ts.getTime / 1000) * 1000000000L + ts.getNanos, r.getAs[Long]("event_id"))
-        },
-        pattern = Seq(Step("V"), Step("C", Plus), Step("P")),
+        partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        pattern = "V C+ P",
         define = Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
         measures = (key, m) => org.apache.spark.sql.Row(
-          key, m.matchNumber.toLong,
+          key.getAs[Long]("user_id"), m.matchNumber,
           m.rows.head.getAs[java.sql.Timestamp]("ts"),
           m.rows.last.getAs[java.sql.Timestamp]("ts"),
           m.rowsOf("C").length.toLong),
         outSchema = outSchema)
+    }),
+
+    // MATCH_RECOGNIZE with alternation: V (C|E)+ P — clicks OR errors
+    // between view and purchase (pattern parser: grouping + `|`)
+    "mr_alternation" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.MatchRecognize
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("match_num", LongType),
+        StructField("n_mid", LongType)))
+      def typeIs(t: String)(c: MatchRecognize.Ctx) =
+        c.row.getAs[String]("event_type") == t
+      MatchRecognize.oneRowPerMatch(
+        e,
+        partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        pattern = "V (C|E)+ P",
+        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"),
+          "E" -> typeIs("error"), "P" -> typeIs("purchase")),
+        measures = (key, m) => org.apache.spark.sql.Row(
+          key.getAs[Long]("user_id"), m.matchNumber,
+          (m.rows.length - 2).toLong),
+        outSchema = outSchema)
+    }),
+
+    // ALL ROWS PER MATCH: every matched row with its CLASSIFIER()
+    "mr_all_rows" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.MatchRecognize
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("cls", StringType), StructField("match_num", LongType)))
+      def typeIs(t: String)(c: MatchRecognize.Ctx) =
+        c.row.getAs[String]("event_type") == t
+      MatchRecognize.allRowsPerMatch(
+        e,
+        partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        pattern = "V C+ P",
+        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
+        rowMeasures = (key, m, i) => org.apache.spark.sql.Row(
+          key.getAs[Long]("user_id"), m.rows(i).getAs[Long]("event_id"),
+          m.classifier(i), m.matchNumber),
+        outSchema = outSchema)
+    }),
+
+    // PREV navigation in DEFINE: maximal strictly-ascending value runs
+    // (R defined as value > PREV(value), physical-row navigation)
+    "mr_prev_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.MatchRecognize
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("match_num", LongType),
+        StructField("n_rows", LongType)))
+      MatchRecognize.oneRowPerMatch(
+        e,
+        partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        pattern = "S R+",
+        define = Map("R" -> (c => {
+          val p = c.prev(1)
+          p != null && c.row.getAs[Double]("value") > p.getAs[Double]("value")
+        })),
+        measures = (key, m) => org.apache.spark.sql.Row(
+          key.getAs[Long]("user_id"), m.matchNumber, m.rows.length.toLong),
+        outSchema = outSchema)
+    }),
+
+    // AFTER MATCH SKIP TO NEXT ROW: overlapping consecutive click pairs
+    "mr_skip_next" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.{MatchRecognize => MR}
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("start_event", LongType)))
+      def typeIs(t: String)(c: MR.Ctx) = c.row.getAs[String]("event_type") == t
+      MR.oneRowPerMatch(
+        e,
+        partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        pattern = "C C2",
+        define = Map("C" -> typeIs("click"), "C2" -> typeIs("click")),
+        measures = (key, m) => org.apache.spark.sql.Row(
+          key.getAs[Long]("user_id"), m.rows.head.getAs[Long]("event_id")),
+        outSchema = outSchema,
+        afterMatchSkip = MR.SkipToNextRow)
     }),
 
     // JSON property extraction + aggregation (props is a JSON string)
@@ -170,6 +259,72 @@ object EventQueries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY end_ts) AS match_num,
         |  start_ts, end_ts, n_clicks
         |FROM m""".stripMargin,
+    // same disjointness argument as mr_funnel, interior = click|error
+    "mr_alternation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type NOT IN ('click', 'error') THEN rn END) OVER w1 AS prev_nm_rn,
+        |    last_value(CASE WHEN event_type NOT IN ('click', 'error') THEN event_type END IGNORE NULLS) OVER w1 AS prev_nm_type
+        |  FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT user_id, rn, rn - prev_nm_rn - 1 AS n_mid
+        |  FROM x WHERE event_type = 'purchase' AND prev_nm_type = 'view'
+        |    AND rn - prev_nm_rn >= 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_num, n_mid
+        |FROM m""".stripMargin,
+    // funnel matches expanded to their member rows with classifiers
+    "mr_all_rows" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type <> 'click' THEN rn END) OVER w1 AS prev_nc_rn,
+        |    last_value(CASE WHEN event_type <> 'click' THEN event_type END IGNORE NULLS) OVER w1 AS prev_nc_type
+        |  FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT user_id, prev_nc_rn AS srn, rn AS ern
+        |  FROM x WHERE event_type = 'purchase' AND prev_nc_type = 'view'
+        |    AND rn - prev_nc_rn >= 2),
+        |mm AS (
+        |  SELECT user_id, srn, ern,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY srn) AS match_num
+        |  FROM m)
+        |SELECT mm.user_id, e.event_id,
+        |  CASE WHEN e.rn = mm.srn THEN 'V' WHEN e.rn = mm.ern THEN 'P' ELSE 'C' END AS cls,
+        |  mm.match_num
+        |FROM mm JOIN e ON e.user_id = mm.user_id AND e.rn BETWEEN mm.srn AND mm.ern""".stripMargin,
+    // ascending runs via lag + break cumsum ≡ S (R: value > PREV(value))+
+    "mr_prev_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN lag(value) OVER w IS NULL OR value <= lag(value) OVER w
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, rn,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS run_id FROM e),
+        |runs AS (
+        |  SELECT user_id, run_id, count(*) AS n_rows, min(rn) AS srn
+        |  FROM r GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY srn) AS match_num, n_rows
+        |FROM runs""".stripMargin,
+    // overlapping pairs: every click whose successor is also a click
+    "mr_skip_next" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, event_id AS start_event
+        |FROM e WHERE event_type = 'click' AND nxt = 'click'""".stripMargin,
     "evt_json_agg" ->
       """SELECT event_type, avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k,
         |count(*) FILTER (WHERE k IS NULL) AS n_null_k

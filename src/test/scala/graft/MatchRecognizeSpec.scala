@@ -17,55 +17,118 @@ class MatchRecognizeSpec extends GraftSuite {
     StructField("k", LongType), StructField("n", LongType),
     StructField("start_seq", LongType), StructField("len", LongType)))
 
-  private def run(events: Seq[(Long, Long, String)], pattern: Seq[Step]): Seq[Row] = {
-    val df = spark.createDataFrame(
+  private def df(events: Seq[(Long, Long, String)]) =
+    spark.createDataFrame(
       spark.sparkContext.parallelize(events.map(e => Row(e._1, e._2, e._3))), schema)
+
+  private val define: Map[String, Ctx => Boolean] = Map(
+    "A" -> (c => c.row.getString(2) == "a"),
+    "B" -> (c => c.row.getString(2) == "b"),
+    "C" -> (c => c.row.getString(2) == "c"))
+
+  private def run(events: Seq[(Long, Long, String)], pattern: String,
+      skip: SkipMode = SkipPastLastRow): Seq[Row] =
     MatchRecognize.oneRowPerMatch(
-      df,
-      partitionKey = _.getLong(0),
-      orderKey = r => (r.getLong(1), r.getLong(1)),
-      pattern = pattern,
-      define = Map(
-        "A" -> (r => r.getString(2) == "a"),
-        "B" -> (r => r.getString(2) == "b"),
-        "C" -> (r => r.getString(2) == "c")),
-      measures = (k, m) => Row(k, m.matchNumber.toLong,
+      df(events), Seq("k"), Seq("seq"), pattern, define,
+      measures = (key, m) => Row(key.getLong(0), m.matchNumber,
         m.rows.head.getLong(1), m.rows.length.toLong),
-      outSchema = outSchema
+      outSchema = outSchema, afterMatchSkip = skip
     ).collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
-  }
 
   private def ev(k: Long, syms: String*): Seq[(Long, Long, String)] =
     syms.zipWithIndex.map { case (s, i) => (k, i.toLong, s) }
 
   test("A B+ C: greedy with skip-past-last-row") {
-    val out = run(ev(1, "a", "b", "b", "c", "a", "c", "a", "b", "c"),
-      Seq(Step("A"), Step("B", Plus), Step("C")))
-    // match 1: a b b c (len 4 at 0); "a c" has no click → no match;
-    // match 2: a b c (len 3 at 6)
+    val out = run(ev(1, "a", "b", "b", "c", "a", "c", "a", "b", "c"), "A B+ C")
     assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 4L), (6L, 3L)))
   }
 
   test("optional element matches with and without") {
-    val out = run(ev(1, "a", "c", "a", "b", "c"),
-      Seq(Step("A"), Step("B", Opt), Step("C")))
+    val out = run(ev(1, "a", "c", "a", "b", "c"), "A B? C")
     assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 2L), (2L, 3L)))
   }
 
   test("star backtracks when the greedy run consumes the closer") {
-    // B* is greedy but C must still match: b b b c with pattern B* C
-    val out = run(ev(1, "b", "b", "b", "c"), Seq(Step("B", Star), Step("C")))
+    val out = run(ev(1, "b", "b", "b", "c"), "B* C")
     assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 4L)))
   }
 
+  test("alternation (A|B)+ C consumes mixed runs") {
+    val out = run(ev(1, "a", "b", "a", "c", "x", "b", "c"), "(A|B)+ C")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 4L), (5L, 2L)))
+  }
+
+  test("grouped alternation with quantifier inside concatenation") {
+    // A (B|C)* A: 'a b c b a' and then 'a a' (zero mid elements)
+    val out = run(ev(1, "a", "b", "c", "b", "a", "a"), "A (B|C)* A")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 5L)))
+  }
+
   test("partitions are independent") {
-    val out = run(ev(1, "a", "b", "c") ++ ev(2, "a", "b", "c"),
-      Seq(Step("A"), Step("B", Plus), Step("C")))
+    val out = run(ev(1, "a", "b", "c") ++ ev(2, "a", "b", "c"), "A B+ C")
     assert(out.map(_.getLong(0)) == Seq(1L, 2L))
   }
 
   test("no match on unsatisfiable pattern") {
-    val out = run(ev(1, "b", "b"), Seq(Step("A"), Step("C")))
-    assert(out.isEmpty)
+    assert(run(ev(1, "b", "b"), "A C").isEmpty)
+  }
+
+  test("SKIP TO NEXT ROW yields overlapping matches") {
+    // b b b: pairs at 0-1 and 1-2 overlap
+    val past = run(ev(1, "b", "b", "b"), "B B", SkipPastLastRow)
+    val nxt = run(ev(1, "b", "b", "b"), "B B", SkipToNextRow)
+    assert(past.map(_.getLong(2)) == Seq(0L))
+    assert(nxt.map(_.getLong(2)) == Seq(0L, 1L))
+  }
+
+  test("PREV and NEXT navigate physical rows; edges return null") {
+    val defs: Map[String, Ctx => Boolean] = Map(
+      // F: first row of partition (no physical predecessor)
+      "F" -> (c => c.prev(1) == null),
+      // L: sym equals the NEXT row's sym (lookahead)
+      "L" -> (c => { val n = c.next(1); n != null && n.getString(2) == c.row.getString(2) }))
+    // x x x: F matches row 0 only (no predecessor); L at row 1 needs the
+    // NEXT row to carry the same sym (row 2 = x) → single match (0, 1).
+    // After skip-past-last, row 2 has a predecessor → F fails → no more.
+    val out = MatchRecognize.oneRowPerMatch(
+      df(ev(1, "x", "x", "x")), Seq("k"), Seq("seq"), "F L", defs,
+      measures = (key, m) => Row(key.getLong(0), m.matchNumber,
+        m.rows.head.getLong(1), m.rows.length.toLong),
+      outSchema = outSchema).collect().toSeq
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 2L)))
+  }
+
+  test("ALL ROWS PER MATCH emits every matched row with its classifier") {
+    val allSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("cls", StringType), StructField("n", LongType)))
+    val out = MatchRecognize.allRowsPerMatch(
+      df(ev(1, "a", "b", "b", "c", "x")), Seq("k"), Seq("seq"), "A B+ C", define,
+      rowMeasures = (key, m, i) => Row(key.getLong(0), m.rows(i).getLong(1),
+        m.classifier(i), m.matchNumber),
+      outSchema = allSchema).collect().toSeq.sortBy(_.getLong(1))
+    assert(out.map(r => (r.getLong(1), r.getString(2))) ==
+      Seq((0L, "A"), (1L, "B"), (2L, "B"), (3L, "C")))
+  }
+
+  test("pattern parser round-trips the supported grammar") {
+    assert(parsePattern("A B+ C") ==
+      Cat(List(Sym("A"), Quant(Sym("B"), 1, None), Sym("C"))))
+    assert(parsePattern("(A|B)* C?") ==
+      Cat(List(Quant(Alt(List(Sym("A"), Sym("B"))), 0, None),
+        Quant(Sym("C"), 0, Some(1)))))
+    assert(parsePattern("V (C|E)+ P") ==
+      Cat(List(Sym("V"), Quant(Alt(List(Sym("C"), Sym("E"))), 1, None), Sym("P"))))
+  }
+
+  test("one hot key with 50k rows streams without whole-group buffering") {
+    // alternating a b a b ... : every (a, b) pair matches A B → 12500
+    // matches after skip-past-last; the streaming buffer never needs more
+    // than the current match span, so this completes in bounded memory
+    val n = 50000
+    val events = (0 until n).map(i => (7L, i.toLong, if (i % 2 == 0) "a" else "b"))
+    val out = run(events, "A B")
+    assert(out.length == n / 2)
+    assert(out.map(_.getLong(3)).forall(_ == 2L))
   }
 }
