@@ -31,12 +31,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
     // reference: ApproximateSetAggregation + HyperLogLogFunctions —
-    // sketch-as-a-value: build per-group HLLs, merge them, read cardinality
+    // sketch-as-a-value: build per-group HLLs, merge them, read
+    // cardinality; typed (long) input path, no per-row String round-trip
     "sketch_hll_merge" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql(
         """SELECT hll_cardinality(merge_hll(sketch)) AS nd_merged
-          |FROM (SELECT l_returnflag, approx_set_agg(cast(l_partkey AS string)) AS sketch
+          |FROM (SELECT l_returnflag, approx_set_agg_long(l_partkey) AS sketch
           |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
     }),
     // reference: ApproximateLongPercentileAggregations (tdigest)

@@ -35,5 +35,236 @@ object GeoFunctions {
       })
     u.register("st_area_box", (xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
       math.max(0.0, xmax - xmin) * math.max(0.0, ymax - ymin))
+
+    // --- WKT geometry subset (reference GeoFunctions.java ships 75 ST_*
+    // functions over a geometry type; here geometry IS its WKT string —
+    // POINT / LINESTRING / POLYGON (with holes) — parsed per call. The
+    // predicates (contains/intersects/within) implement standard
+    // ray-casting + segment-intersection tests over simple polygons. ---
+    u.register("st_geometry_from_text", (wkt: String) =>
+      if (wkt == null) null
+      else Wkt.write(Wkt.parse(wkt))) // validate + canonicalize
+    u.register("st_astext", (g: String) =>
+      if (g == null) null else Wkt.write(Wkt.parse(g)))
+    u.register("st_point", (x: Double, y: Double) => s"POINT (${Wkt.fmt(x)} ${Wkt.fmt(y)})")
+    u.register("st_x", (g: String) => Wkt.parse(g) match {
+      case Wkt.Point(p) => java.lang.Double.valueOf(p.x); case _ => null
+    })
+    u.register("st_y", (g: String) => Wkt.parse(g) match {
+      case Wkt.Point(p) => java.lang.Double.valueOf(p.y); case _ => null
+    })
+    u.register("st_npoints", (g: String) => Wkt.npoints(Wkt.parse(g)))
+    u.register("st_area", (g: String) => Wkt.area(Wkt.parse(g)))
+    u.register("st_length", (g: String) => Wkt.length(Wkt.parse(g)))
+    u.register("st_centroid", (g: String) => Wkt.write(Wkt.centroid(Wkt.parse(g))))
+    u.register("st_envelope", (g: String) => Wkt.write(Wkt.envelope(Wkt.parse(g))))
+    u.register("st_contains", (a: String, b: String) =>
+      java.lang.Boolean.valueOf(Wkt.contains(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_within", (a: String, b: String) =>
+      java.lang.Boolean.valueOf(Wkt.contains(Wkt.parse(b), Wkt.parse(a))))
+    u.register("st_intersects", (a: String, b: String) =>
+      java.lang.Boolean.valueOf(Wkt.intersects(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_distance_wkt", (a: String, b: String) =>
+      Wkt.distance(Wkt.parse(a), Wkt.parse(b)))
+  }
+}
+
+/** WKT parse/write + planar geometry kernels. Simple (non-self-
+  * intersecting) polygons; first ring is the shell, the rest are holes.
+  */
+object Wkt extends Serializable {
+  final case class Pt(x: Double, y: Double)
+  sealed trait Geom
+  final case class Point(p: Pt) extends Geom
+  final case class LineString(pts: Vector[Pt]) extends Geom
+  final case class Polygon(rings: Vector[Vector[Pt]]) extends Geom
+
+  def fmt(d: Double): String =
+    if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  def parse(wkt: String): Geom = {
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    require(open > 0, s"bad WKT: $wkt")
+    val kind = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open, s.lastIndexOf(')') + 1)
+    def coords(t: String): Vector[Pt] =
+      t.split(",").iterator.map { c =>
+        val xy = c.trim.split("\\s+")
+        Pt(xy(0).toDouble, xy(1).toDouble)
+      }.toVector
+    kind match {
+      case "POINT" =>
+        Point(coords(body.stripPrefix("(").stripSuffix(")")).head)
+      case "LINESTRING" =>
+        LineString(coords(body.stripPrefix("(").stripSuffix(")")))
+      case "POLYGON" =>
+        // split top-level rings: ( (...), (...) )
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val rings = Vector.newBuilder[Vector[Pt]]
+        var depth = 0; var start = -1
+        for (i <- inner.indices) inner.charAt(i) match {
+          case '(' => if (depth == 0) start = i + 1; depth += 1
+          case ')' => depth -= 1; if (depth == 0) rings += coords(inner.substring(start, i))
+          case _ =>
+        }
+        Polygon(rings.result())
+      case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
+    }
+  }
+
+  def write(g: Geom): String = g match {
+    case Point(p) => s"POINT (${fmt(p.x)} ${fmt(p.y)})"
+    case LineString(ps) => "LINESTRING (" + ps.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
+    case Polygon(rs) =>
+      "POLYGON (" + rs.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")").mkString(", ") + ")"
+  }
+
+  def npoints(g: Geom): Int = g match {
+    case Point(_) => 1
+    case LineString(ps) => ps.length
+    case Polygon(rs) => rs.map(_.length).sum
+  }
+
+  /** Shoelace area of one ring (absolute). */
+  private def ringArea(r: Vector[Pt]): Double = {
+    var s = 0.0; var i = 0; val n = r.length
+    while (i < n) { val j = (i + 1) % n; s += r(i).x * r(j).y - r(j).x * r(i).y; i += 1 }
+    math.abs(s) / 2
+  }
+
+  def area(g: Geom): Double = g match {
+    case Polygon(rs) if rs.nonEmpty => ringArea(rs.head) - rs.tail.map(ringArea).sum
+    case _ => 0.0
+  }
+
+  def length(g: Geom): Double = g match {
+    case LineString(ps) =>
+      ps.sliding(2).map { case Vector(a, b) => math.hypot(b.x - a.x, b.y - a.y) }.sum
+    case _ => 0.0
+  }
+
+  def centroid(g: Geom): Geom = g match {
+    case p: Point => p
+    case LineString(ps) =>
+      Point(Pt(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length))
+    case Polygon(rs) =>
+      // shell centroid (area-weighted shoelace form); holes ignored like
+      // the vertex count, documented simplification
+      val r = dedupClosed(rs.head)
+      var cx = 0.0; var cy = 0.0; var a = 0.0
+      val n = r.length
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val cross = r(i).x * r(j).y - r(j).x * r(i).y
+        cx += (r(i).x + r(j).x) * cross; cy += (r(i).y + r(j).y) * cross; a += cross
+        i += 1
+      }
+      Point(Pt(cx / (3 * a), cy / (3 * a)))
+  }
+
+  def envelope(g: Geom): Geom = {
+    val ps = g match {
+      case Point(p) => Vector(p)
+      case LineString(l) => l
+      case Polygon(rs) => rs.flatten
+    }
+    val (x0, x1) = (ps.map(_.x).min, ps.map(_.x).max)
+    val (y0, y1) = (ps.map(_.y).min, ps.map(_.y).max)
+    Polygon(Vector(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0))))
+  }
+
+  private def dedupClosed(r: Vector[Pt]): Vector[Pt] =
+    if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+
+  private def pointInRing(r0: Vector[Pt], p: Pt): Boolean = {
+    val r = dedupClosed(r0)
+    var inside = false
+    var i = 0; var j = r.length - 1
+    while (i < r.length) {
+      if ((r(i).y > p.y) != (r(j).y > p.y) &&
+          p.x < (r(j).x - r(i).x) * (p.y - r(i).y) / (r(j).y - r(i).y) + r(i).x)
+        inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  private def pointInPolygon(poly: Polygon, p: Pt): Boolean =
+    poly.rings.nonEmpty && pointInRing(poly.rings.head, p) &&
+      !poly.rings.tail.exists(h => pointInRing(h, p))
+
+  private def segIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    def orient(p: Pt, q: Pt, r: Pt): Int =
+      math.signum((q.y - p.y) * (r.x - q.x) - (q.x - p.x) * (r.y - q.y)).toInt
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    o1 != o2 && o3 != o4
+  }
+
+  private def edges(g: Geom): Seq[(Pt, Pt)] = g match {
+    case Point(_) => Seq.empty
+    case LineString(ps) => ps.sliding(2).collect { case Vector(a, b) => (a, b) }.toSeq
+    case Polygon(rs) => rs.flatMap { r0 =>
+      val r = dedupClosed(r0)
+      r.indices.map(i => (r(i), r((i + 1) % r.length)))
+    }
+  }
+
+  private def anyEdgeCross(a: Geom, b: Geom): Boolean = {
+    val ea = edges(a); val eb = edges(b)
+    ea.exists { case (p, q) => eb.exists { case (r, s) => segIntersect(p, q, r, s) } }
+  }
+
+  /** A contains B: every vertex of B inside A and no proper edge crossing
+    * (exact for simple polygons whose boundaries don't touch).
+    */
+  def contains(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (pa: Polygon, Point(p)) => pointInPolygon(pa, p)
+    case (pa: Polygon, LineString(ps)) =>
+      ps.forall(pointInPolygon(pa, _)) && !anyEdgeCross(pa, LineString(ps))
+    case (pa: Polygon, pb: Polygon) =>
+      pb.rings.headOption.exists(_.forall(pointInPolygon(pa, _))) && !anyEdgeCross(pa, pb)
+    case _ => false
+  }
+
+  def intersects(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (Point(p), Point(q)) => p == q
+    case (pa: Polygon, Point(p)) => pointInPolygon(pa, p)
+    case (Point(p), pb: Polygon) => pointInPolygon(pb, p)
+    case _ =>
+      anyEdgeCross(a, b) ||
+        contains(a, b) || contains(b, a) ||
+        // linestring endpoint inside polygon
+        ((a, b) match {
+          case (pa: Polygon, LineString(ps)) => ps.exists(pointInPolygon(pa, _))
+          case (LineString(ps), pb: Polygon) => ps.exists(pointInPolygon(pb, _))
+          case _ => false
+        })
+  }
+
+  def distance(a: Geom, b: Geom): Double = (a, b) match {
+    case (Point(p), Point(q)) => math.hypot(p.x - q.x, p.y - q.y)
+    case (Point(p), other) => pointGeomDist(p, other)
+    case (other, Point(p)) => pointGeomDist(p, other)
+    case _ =>
+      if (intersects(a, b)) 0.0
+      else edges(a).flatMap { case (p, q) => Seq(p, q) }
+        .map(pointGeomDist(_, b)).min
+  }
+
+  private def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val l2 = dx * dx + dy * dy
+    val t = if (l2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((p.x - a.x) * dx + (p.y - a.y) * dy) / l2))
+    math.hypot(p.x - (a.x + t * dx), p.y - (a.y + t * dy))
+  }
+
+  private def pointGeomDist(p: Pt, g: Geom): Double = g match {
+    case Point(q) => math.hypot(p.x - q.x, p.y - q.y)
+    case poly: Polygon if pointInPolygon(poly, p) => 0.0
+    case _ => edges(g).map { case (a, b) => pointSegDist(p, a, b) }.min
   }
 }

@@ -177,6 +177,7 @@ object GraftFunctions {
     // ApproximateMostFrequentHistogram; ours are semantically compatible,
     // not wire compatible — SURVEY §7 known-hard list) ---
     u.register("approx_set_agg", udaf(new HllAggregator))
+    u.register("approx_set_agg_long", udaf(new HllLongAggregator))
     u.register("merge_hll", udaf(new HllMergeAggregator))
     u.register("hll_cardinality", (sketch: Array[Byte]) =>
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))

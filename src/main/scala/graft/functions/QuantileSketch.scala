@@ -28,13 +28,27 @@ object QuantileSketch extends Serializable {
     val mag = math.min(HalfB - 1, math.floor(math.log1p(math.abs(v)) / LogBase).toInt)
     if (v >= 0) HalfB + mag else HalfB - 1 - mag
   }
-  /** Representative value (bucket lower edge) — quantile answers. */
+  /** Representative value (bucket lower edge). */
   def valueOf(bucket: Int): Double = {
     val mag = if (bucket >= HalfB) bucket - HalfB else HalfB - 1 - bucket
     val v = math.expm1(mag * LogBase)
     if (bucket >= HalfB) v else -v
   }
 
+  /** Bucket edges in ascending VALUE order (negative buckets flip). */
+  def lowerOf(b: Int): Double =
+    if (b >= HalfB) math.expm1((b - HalfB) * LogBase)
+    else -math.expm1((HalfB - b) * LogBase)
+  def upperOf(b: Int): Double =
+    if (b >= HalfB) math.expm1((b - HalfB + 1) * LogBase)
+    else -math.expm1((HalfB - 1 - b) * LogBase)
+
+  /** Interpolated quantile: locate the bucket holding the target rank,
+    * then linearly interpolate by rank position within the bucket — the
+    * same read-side refinement the reference's tdigest applies
+    * (`TDigestFunctions.java` valueAt), vs the round-1 lower-edge answer
+    * whose error was a full bucket width.
+    */
   def valueAtQuantile(counts: Array[Long], q: Double): Double = {
     val total = counts.sum
     if (total == 0) return Double.NaN
@@ -42,8 +56,12 @@ object QuantileSketch extends Serializable {
     var acc = 0L
     var i = 0
     while (i < counts.length) {
+      if (acc + counts(i) >= target) {
+        val frac = (target - acc - 0.5) / counts(i).toDouble
+        val lo = lowerOf(i); val hi = upperOf(i)
+        return lo + math.max(0.0, math.min(1.0, frac)) * (hi - lo)
+      }
       acc += counts(i)
-      if (acc >= target) return valueOf(i)
       i += 1
     }
     valueOf(counts.length - 1)

@@ -67,6 +67,25 @@ class HllAggregator extends Aggregator[String, Array[Byte], Array[Byte]] {
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** approx_set_agg_long(x): HLL over bigint without the String round-trip
+  * (the round-1 hot path allocated a string per row and hashed UTF-8;
+  * here the key is avalanched directly — splitmix64 finalizer).
+  */
+class HllLongAggregator extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  def zero: Array[Byte] = Hll.empty
+  def reduce(b: Array[Byte], a: Long): Array[Byte] = { Hll.add(b, mix(a)); b }
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(r: Array[Byte]): Array[Byte] = r
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /** merge(hll): re-aggregate previously built sketches (rollup path —
   * reference `MergeHyperLogLogAggregation.java`).
   */

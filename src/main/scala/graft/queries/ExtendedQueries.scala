@@ -156,6 +156,45 @@ object ExtendedQueries {
         |  AS b(box_id, xmin, ymin, xmax, ymax)
         |ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
         |GROUP BY b.box_id""".stripMargin),
+    // WKT geometry pack: parse/write, point-in-polygon (with a hole),
+    // polygon-polygon containment/intersection, area/centroid/envelope/
+    // npoints/length/distance. Coordinates chosen so no point ever lies
+    // on a ring boundary (half-integer points vs non-integer edges) —
+    // boundary semantics differ between ray-casting implementations.
+    "geo_wkt" -> (
+      """SELECT n_nationkey,
+        |st_contains(tri, pt) AS in_tri,
+        |st_within(pt, holed) AS in_holed,
+        |round(st_area(tri), 6) AS tri_area,
+        |round(st_area(holed), 6) AS holed_area,
+        |round(st_x(st_centroid(tri)), 6) AS cx,
+        |st_astext(st_envelope(tri)) AS env,
+        |st_npoints(holed) AS np,
+        |st_contains('POLYGON ((-1 -1, 30 -1, 30 30, -1 30, -1 -1))', tri) AS poly_in_poly,
+        |st_intersects(tri, holed) AS tri_meets_rect,
+        |round(st_distance_wkt(pt, 'POINT (0 0)'), 6) AS d0,
+        |round(st_length('LINESTRING (0 0, 3 4, 3 8)'), 6) AS llen,
+        |st_astext(st_geometry_from_text('POINT (3 4)')) AS rt
+        |FROM (SELECT n_nationkey,
+        |  st_point(n_nationkey + 0.5, n_regionkey * 2 + 0.5) AS pt,
+        |  'POLYGON ((0 0, 20.3 0, 0 20.3, 0 0))' AS tri,
+        |  'POLYGON ((-0.1 -0.1, 24.6 -0.1, 24.6 9.7, -0.1 9.7, -0.1 -0.1), (10.2 2.1, 14.3 2.1, 14.3 6.2, 10.2 6.2, 10.2 2.1))' AS holed
+        |  FROM nation)""".stripMargin,
+      """SELECT n_nationkey,
+        |(x > 0 AND y > 0 AND x + y < 20.3) AS in_tri,
+        |(x > -0.1 AND x < 24.6 AND y > -0.1 AND y < 9.7
+        | AND NOT (x > 10.2 AND x < 14.3 AND y > 2.1 AND y < 6.2)) AS in_holed,
+        |round(20.3 * 20.3 / 2, 6) AS tri_area,
+        |round((24.6 - (-0.1)) * (9.7 - (-0.1)) - (14.3 - 10.2) * (6.2 - 2.1), 6) AS holed_area,
+        |round(20.3 / 3, 6) AS cx,
+        |'POLYGON ((0 0, 20.3 0, 20.3 20.3, 0 20.3, 0 0))' AS env,
+        |10::int AS np,
+        |true AS poly_in_poly, true AS tri_meets_rect,
+        |round(sqrt(x * x + y * y), 6) AS d0,
+        |9.0::double AS llen,
+        |'POINT (3 4)' AS rt
+        |FROM (SELECT n_nationkey, n_nationkey + 0.5 AS x, n_regionkey * 2 + 0.5 AS y
+        |      FROM nation) t""".stripMargin),
     // geo scalars: distance + ray-cast polygon containment (square,
     // off-boundary points, so the oracle states it as range checks)
     "geo_scalars" -> (

@@ -97,6 +97,26 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(r.getLong(0) - 10000) < 500)
   }
 
+  test("typed-long hll path matches string path within 5% on 10k distinct") {
+    val r = one(
+      """SELECT hll_cardinality(approx_set_agg_long(id)) AS est FROM range(10000)""")
+    val est = r.getLong(0)
+    assert(math.abs(est - 10000) < 500, s"est=$est")
+  }
+
+  test("approx_most_frequent honors the per-call k parameter") {
+    // 10 distinct keys, k=4 buckets: result is capped at 4 entries and the
+    // heavy key (id % 10 = 0 boosted via skew) survives
+    val rows = spark.sql(
+      """SELECT t.item, t.cnt FROM (
+        |  SELECT approx_most_frequent(cast(CASE WHEN id % 2 = 0 THEN 0 ELSE id % 10 END AS string), 4) AS m
+        |  FROM range(1000)
+        |) LATERAL VIEW explode(m) t AS item, cnt""".stripMargin).collect()
+    assert(rows.length <= 4)
+    val top = rows.maxBy(_.getLong(1))
+    assert(top.getString(0) == "0", s"expected heavy key 0, got ${top.getString(0)}")
+  }
+
   test("approx_top_k is exact when capacity exceeds distinct count") {
     val rows = spark.sql(
       """SELECT t.item, t.cnt FROM (

@@ -57,14 +57,14 @@ class QueriesSpec extends GraftSuite {
     assert(p > 0.02 && p < 0.09, s"sample fraction $p")
   }
 
-  test("qdigest sketch quantiles within 2% relative error of exact") {
+  test("qdigest sketch quantiles within 1% relative error of exact") {
     val sk = rows("sketch_qdigest").head
     val exact = graft.engine.Tables.load(spark, sfTiny, "lineitem")
       .selectExpr("percentile(l_extendedprice, 0.5) p50",
         "percentile(l_extendedprice, 0.95) p95").collect().head
-    assert(math.abs(sk.getDouble(0) - exact.getDouble(0)) / exact.getDouble(0) < 0.02,
+    assert(math.abs(sk.getDouble(0) - exact.getDouble(0)) / exact.getDouble(0) < 0.01,
       s"p50 sketch=${sk.getDouble(0)} exact=${exact.getDouble(0)}")
-    assert(math.abs(sk.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) < 0.02,
+    assert(math.abs(sk.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) < 0.01,
       s"p95 sketch=${sk.getDouble(1)} exact=${exact.getDouble(1)}")
   }
 
