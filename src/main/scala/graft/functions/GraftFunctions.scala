@@ -183,6 +183,8 @@ object GraftFunctions {
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
     u.register("approx_top_k", udaf(new SpaceSavingAggregator(64)))
     u.register("approx_most_frequent", udaf(new SpaceSavingKAggregator))
+    u.register("min_n", udaf(new MinNAggregator))
+    u.register("max_n", udaf(new MaxNAggregator))
     u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
     u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>

@@ -148,6 +148,48 @@ class SpaceSavingAggregator(capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
 
+/** min_n(x, n) / max_n(x, n): the reference's `min(x, n)`/`max(x, n)`
+  * overloads (`MinMaxNAggregations`) — bounded top-n kept sorted in the
+  * buffer, so shuffle state is O(n) per group regardless of input size.
+  */
+class MinNAggregator extends Aggregator[(Double, Int), (Int, Vector[Double]), Seq[Double]] {
+  def zero: (Int, Vector[Double]) = (0, Vector.empty)
+  def reduce(b: (Int, Vector[Double]), a: (Double, Int)): (Int, Vector[Double]) = {
+    val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
+    val idx = b._2.indexWhere(_ > a._1)
+    val ins = if (idx < 0) b._2 :+ a._1 else (b._2.take(idx) :+ a._1) ++ b._2.drop(idx)
+    (n, ins.take(n))
+  }
+  def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {
+    val n = math.max(a._1, b._1)
+    if (n == 0) (0, Vector.empty)
+    else (n, (a._2 ++ b._2).sorted.take(n))
+  }
+  def finish(r: (Int, Vector[Double])): Seq[Double] = r._2
+  def bufferEncoder: Encoder[(Int, Vector[Double])] = Encoders.kryo[(Int, Vector[Double])]
+  def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
+class MaxNAggregator extends Aggregator[(Double, Int), (Int, Vector[Double]), Seq[Double]] {
+  def zero: (Int, Vector[Double]) = (0, Vector.empty)
+  def reduce(b: (Int, Vector[Double]), a: (Double, Int)): (Int, Vector[Double]) = {
+    val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
+    val idx = b._2.indexWhere(_ < a._1)
+    val ins = if (idx < 0) b._2 :+ a._1 else (b._2.take(idx) :+ a._1) ++ b._2.drop(idx)
+    (n, ins.take(n))
+  }
+  def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {
+    val n = math.max(a._1, b._1)
+    if (n == 0) (0, Vector.empty)
+    else (n, (a._2 ++ b._2).sorted(Ordering[Double].reverse).take(n))
+  }
+  def finish(r: (Int, Vector[Double])): Seq[Double] = r._2
+  def bufferEncoder: Encoder[(Int, Vector[Double])] = Encoders.kryo[(Int, Vector[Double])]
+  def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 /** approx_most_frequent(value, k): parameterized-capacity variant
   * (reference `ApproximateMostFrequentHistogram.java` takes the bucket
   * count as a call argument; k is constant per call, read off the rows).

@@ -272,6 +272,17 @@ object FunctionQueries {
         |json_extract(props, '$')::varchar AS canon,
         |4::int AS jal, true AS jac, '30' AS jag
         |FROM events WHERE event_id <= 500""".stripMargin),
+    // bounded top-n aggregates — reference min(x, n)/max(x, n) overloads
+    // (MinMaxNAggregations); ties make the int-rendered result exact
+    "agg_min_max_n" -> (
+      """SELECT l_returnflag,
+        |array_join(transform(min_n(l_quantity, 5), x -> cast(cast(x AS int) AS string)), ',') AS min5,
+        |array_join(transform(max_n(l_quantity, 5), x -> cast(cast(x AS int) AS string)), ',') AS max5
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |array_to_string(list_transform((list_sort(list(l_quantity)))[1:5], x -> (x::int)::varchar), ',') AS min5,
+        |array_to_string(list_transform((list_reverse_sort(list(l_quantity)))[1:5], x -> (x::int)::varchar), ',') AS max5
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
     // aggregate-name aliases: approx_distinct (exact at this cardinality),
     // arbitrary (constant within group), bitwise_and/or_agg, map_union
     "agg_trino_extras" -> (
