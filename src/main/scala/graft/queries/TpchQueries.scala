@@ -65,8 +65,27 @@ object TpchQueries {
           |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
           |      AND r2.r_name = 'EUROPE')
           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
-      // Q9: product-type profit by nation and year (6-way join)
-      "tpch_q9" -> both(psCte +
+      // Q9: product-type profit by nation and year (6-way join). Spark
+      // spelling computes the pseudo-partsupp cost as a window min over
+      // (partkey, suppkey) — ONE lineitem scan and one hash exchange,
+      // where the ps-CTE self-join form scans the fact table twice (the
+      // oracle keeps the equivalent CTE form: every row joins to its own
+      // group's min ≡ the window min).
+      "tpch_q9" -> (
+        """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+          |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          |    l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+          |  FROM (SELECT l_suppkey, l_orderkey, l_quantity, l_extendedprice, l_discount,
+          |          min(l_extendedprice / l_quantity)
+          |            OVER (PARTITION BY l_partkey, l_suppkey) AS ps_supplycost
+          |        FROM lineitem
+          |        WHERE l_partkey IN (SELECT p_partkey FROM part
+          |                            WHERE p_name LIKE '%widget%')) l,
+          |       supplier, orders, nation
+          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |    AND s_nationkey = n_nationkey) profit
+          |GROUP BY nation, o_year""".stripMargin,
+        psCte +
         """
           |SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
           |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
