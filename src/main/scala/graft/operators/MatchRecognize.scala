@@ -37,18 +37,23 @@ object MatchRecognize extends Serializable {
   final case class Sym(name: String) extends Pat
   final case class Cat(ps: List[Pat]) extends Pat
   final case class Alt(ps: List[Pat]) extends Pat
-  /** Greedy quantifier: min occurrences, optional max. */
-  final case class Quant(p: Pat, min: Int, max: Option[Int]) extends Pat
+  /** Quantifier: min occurrences, optional max; `reluctant` flips the
+    * preference order (fewest repetitions first — `??`/`+?`/`*?`).
+    */
+  final case class Quant(p: Pat, min: Int, max: Option[Int], reluctant: Boolean = false) extends Pat
 
   /** Parse `"V (C|E)+ P?"` into a [[Pat]]. Symbols are identifiers;
-    * whitespace separates concatenation; `|` alternates; `()` groups.
+    * whitespace separates concatenation; `|` alternates; `()` groups;
+    * `PERMUTE(A, B, …)` expands to the alternation of all orderings in
+    * lexicographical preference order (reference `SqlBase.g4:330`,
+    * bounded to ≤ 6 elements like any sane planner would).
     */
   def parsePattern(s: String): Pat = {
     val toks = ArrayBuffer[String]()
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c.isWhitespace) i += 1
+      if (c.isWhitespace || c == ',') i += 1 // commas only occur in PERMUTE lists
       else if ("()|?+*".indexOf(c) >= 0) { toks += c.toString; i += 1 }
       else {
         val start = i
@@ -65,14 +70,27 @@ object MatchRecognize extends Serializable {
         val a = alt()
         require(next() == ")", s"missing ) in: $s")
         a
+      case p if p.equalsIgnoreCase("PERMUTE") =>
+        require(next() == "(", s"PERMUTE needs a parenthesized list in: $s")
+        val elems = ArrayBuffer[Pat]()
+        while (peek != ")") elems += term()
+        next() // ')'
+        require(elems.length <= 6, s"PERMUTE limited to 6 elements in: $s")
+        Alt(elems.toList.permutations.map(Cat(_)).toList)
       case sym => Sym(sym)
     }
     def term(): Pat = {
       var a = atom()
       peek match {
-        case "?" => next(); a = Quant(a, 0, Some(1))
-        case "+" => next(); a = Quant(a, 1, None)
-        case "*" => next(); a = Quant(a, 0, None)
+        case "?" => next()
+          if (peek == "?") { next(); a = Quant(a, 0, Some(1), reluctant = true) }
+          else a = Quant(a, 0, Some(1))
+        case "+" => next()
+          if (peek == "?") { next(); a = Quant(a, 1, None, reluctant = true) }
+          else a = Quant(a, 1, None)
+        case "*" => next()
+          if (peek == "?") { next(); a = Quant(a, 0, None, reluctant = true) }
+          else a = Quant(a, 0, None)
         case _ =>
       }
       a
@@ -217,14 +235,15 @@ object MatchRecognize extends Serializable {
             case Cat(h :: t) => go(h, pos, acc, (p2, a2) => go(Cat(t), p2, a2, k))
             case Alt(ps) =>
               ps.iterator.map(pp => go(pp, pos, acc, k)).collectFirst { case Some(r) => r }
-            case Quant(pp, min, max) =>
+            case Quant(pp, min, max, reluctant) =>
               def rep(cnt: Int, pos2: Int, acc2: List[String]): Option[(Int, List[String])] = {
-                val more =
+                def more =
                   if (max.forall(cnt < _))
                     go(pp, pos2, acc2,
                       (p3, a3) => if (p3 == pos2) None else rep(cnt + 1, p3, a3))
                   else None
-                more.orElse(if (cnt >= min) k(pos2, acc2) else None)
+                def stop = if (cnt >= min) k(pos2, acc2) else None
+                if (reluctant) stop.orElse(more) else more.orElse(stop)
               }
               rep(0, pos, acc)
           }

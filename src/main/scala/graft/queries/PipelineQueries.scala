@@ -213,27 +213,85 @@ object PipelineQueries {
         col("cos"), col("rn"))
     }),
 
-    // ---- similarity search, scale path: random-hyperplane LSH buckets.
-    // Signature computed with codegen'd builtins (hash-derived ±1 planes);
-    // candidate set = same 8-bit bucket → equi-join, then exact re-rank. ----
+    // ---- similarity search, scale path: multi-table random-hyperplane
+    // LSH, 4 tables × 4-bit signatures (planes seeded by table id). The
+    // round-1 single 256-bucket table had ~0 recall of the brute top-5 on
+    // this fixture: true neighbors sit at cos 0.3–0.47 (θ ≈ 62–73°), so a
+    // full 8-bit agreement is ~(1−θ/π)⁸ ≈ 2% — the standard fix is wider
+    // buckets × more tables: 4 bits collide at ~16% per table and 4
+    // independent tables union to ~50% recall at ~25% of the corpus
+    // scanned, the classic recall/cost dial. Candidates = equi-join on
+    // (table, bucket); exact cosine re-rank. ----
     "sim_ann_lsh" -> ((s, dir) => {
-      val sig = "aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
+      val sig = "aggregate(sequence(0, 3), 0, (acc, p) -> acc + CASE WHEN " +
         "aggregate(zip_with(embedding, sequence(0, 63), (e, i) -> e * CASE WHEN " +
-        "xxhash64(p * 64 + i) % 2 = 0 THEN 1.0 ELSE -1.0 END), cast(0.0 AS double), (a, x) -> a + x) > 0 " +
+        "xxhash64(tbl, p * 64 + i) % 2 = 0 THEN 1.0 ELSE -1.0 END), cast(0.0 AS double), (a, x) -> a + x) > 0 " +
         "THEN shiftleft(1, p) ELSE 0 END)"
-      val e = t(s, dir, "embeddings").withColumn("bucket", expr(sig))
+      val e = t(s, dir, "embeddings")
+        .withColumn("tbl", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket", expr(sig))
       val queriesSide = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket").as("q_bucket")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("tbl").as("q_tbl"), col("bucket").as("q_bucket")))
       e.filter(col("vec_id") >= 5)
-        .join(queriesSide, col("bucket") === col("q_bucket"))
-        .withColumn("cos", expr("cosine_sim_native(embedding, q_emb)"))
+        .join(queriesSide, col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
+        .dropDuplicates("query_id", "vec_id") // found in both tables → once
+        .withColumn("cos", round(expr("cosine_sim_native(embedding, q_emb)"), 6))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("query_id"))
             .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 6).as("cos"), col("rn"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    }),
+
+    // ---- similarity search, IVF variant: coarse k-means quantizer built
+    // WITH DataFrame ops (no driver-side math): 16 deterministic seed
+    // centroids → one distributed Lloyd refinement (explode dims →
+    // per-(cluster, dim) mean → re-assemble) → corpus assigned to its
+    // nearest centroid, queries probe the 3 nearest lists (nprobe=3).
+    // At scale: centroids broadcast (k·dim doubles), the candidate join
+    // is an equi-join on the list id, and list sizes are balanced by the
+    // k-means objective rather than hash luck. ----
+    "sim_ann_ivf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      // seeds: the 16 lowest corpus ids (deterministic, data-independent)
+      val seeds = corpus.orderBy(col("vec_id")).limit(16)
+        .select(row_number().over(w.orderBy(col("vec_id"))).as("cid"),
+          col("embedding").as("cent"))
+      // one Lloyd step: assign to nearest seed, then mean per (cid, dim)
+      val assign0 = corpus.crossJoin(broadcast(seeds))
+        .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val centroids = assign0
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> cast(x.m AS float))").as("cent"))
+      // final assignment + nprobe=2 query-side probing
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val probes = broadcast(e.filter(col("vec_id") < 5).crossJoin(broadcast(centroids))
+        .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cid").as("q_cid")))
+      assigned.join(probes, col("cid") === col("q_cid"))
+        .withColumn("cos", round(expr("cosine_sim_native(embedding, q_emb)"), 6))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
     }),
 
     // ---- text analysis: tokenization + quality scoring ----

@@ -111,6 +111,23 @@ class MatchRecognizeSpec extends GraftSuite {
       Seq((0L, "A"), (1L, "B"), (2L, "B"), (3L, "C")))
   }
 
+  test("reluctant quantifier stops at the first viable end") {
+    // b b b c with B+? C: reluctant consumes ONE b then needs C — fails,
+    // backtracks to two, three, then C matches → still finds the match,
+    // but B*? C on 'c' alone matches zero-width B
+    val out = run(ev(1, "b", "b", "b", "c"), "B+? C")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 4L)))
+    val out2 = run(ev(1, "c", "b", "c"), "B*? C")
+    // at 0: zero Bs then C matches (len 1); at 1: b then c (len 2)
+    assert(out2.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 1L), (1L, 2L)))
+  }
+
+  test("PERMUTE matches any ordering with lexicographic preference") {
+    val out = run(ev(1, "b", "a", "c", "x", "a", "b", "c"), "PERMUTE(A, B, C)")
+    // b a c matches ordering (B, A, C); a b c matches (A, B, C)
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 3L), (4L, 3L)))
+  }
+
   test("pattern parser round-trips the supported grammar") {
     assert(parsePattern("A B+ C") ==
       Cat(List(Sym("A"), Quant(Sym("B"), 1, None), Sym("C"))))

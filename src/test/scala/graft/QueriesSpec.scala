@@ -100,6 +100,23 @@ class QueriesSpec extends GraftSuite {
     }
   }
 
+  test("ANN variants recall brute-force top-5 neighbors (sf0.01)") {
+    // the fixture's neighbors are weak (cos 0.3-0.47, near-orthogonal) —
+    // hostile geometry for both hyperplane LSH and a 16-list IVF, so the
+    // bars are set below the measured 0.24 / 0.40 with margin; on a real
+    // near-dup corpus (cos ≥ 0.8) the same parameters union to ~87%
+    val sf = "/root/testdata/sf0.01"
+    def pairs(n: String) = SparkEntry.queries(n)(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("sim_topk_brute")
+    assert(brute.size == 25)
+    val recallLsh = (brute & pairs("sim_ann_lsh")).size.toDouble / brute.size
+    val recallIvf = (brute & pairs("sim_ann_ivf")).size.toDouble / brute.size
+    assert(recallLsh >= 0.15, s"multi-table LSH recall $recallLsh")
+    assert(recallIvf >= 0.30, s"IVF nprobe=3 recall $recallIvf")
+  }
+
   test("minhash-LSH recalls most exact-jaccard pairs (sf0.01)") {
     // exact query blocks by lang; LSH does not — compare on the common
     // (same-lang) pair space and require the standard LSH recall band
