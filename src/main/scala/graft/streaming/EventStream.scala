@@ -36,32 +36,51 @@ object EventStream {
         col("n"), col("total_value"))
 
   /** Stateful sessionization (30-min inactivity gap) via
-    * mapGroupsWithState — streaming analog of `evt_sessionize`. Emits one
-    * update per user per trigger. State eviction for idle users (event-time
-    * timeout + watermark) is future work; `expired` is reserved for it.
+    * flatMapGroupsWithState with EVENT-TIME TIMEOUT — streaming analog of
+    * `evt_sessionize`. Per trigger it emits the running session (expired
+    * = false); when the watermark passes last-event + gap, the state
+    * times out, the CLOSED session is emitted with expired = true and the
+    * state is removed — so idle users hold no state and a long-running
+    * stream's state store is bounded by the active-user set, not by
+    * everyone ever seen. A session closed by a later in-batch event is
+    * emitted closed in the same trigger.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, it, state: GroupState[SessionState]) =>
-          val batch = it.toList.sortBy(_.ts.getTime)
-          val prev = state.getOption
-          val merged = batch.foldLeft(prev) { (acc, e) =>
-            val t = e.ts.getTime
-            acc match {
-              case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                Some(SessionState(s.n + 1, s.start, math.max(s.last, t)))
-              case _ => // gap exceeded (or first event): start new session
-                Some(SessionState(1, t, t))
-            }
-          }.get
-          state.update(merged)
-          SessionUpdate(userId, merged.n, new Timestamp(merged.start),
-            new Timestamp(merged.last), expired = false)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.n,
+              new Timestamp(s.start), new Timestamp(s.last), expired = true))
+          } else {
+            val batch = it.toList.sortBy(_.ts.getTime)
+            val closed = List.newBuilder[SessionState]
+            val merged = batch.foldLeft(state.getOption) { (acc, e) =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  Some(SessionState(s.n + 1, s.start, math.max(s.last, t)))
+                case other => // gap exceeded (or first event): new session
+                  other.foreach(closed += _)
+                  Some(SessionState(1, t, t))
+              }
+            }.get
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.last + gapSeconds * 1000)
+            val closedOut = closed.result().iterator.map(s =>
+              SessionUpdate(userId, s.n, new Timestamp(s.start),
+                new Timestamp(s.last), expired = true))
+            closedOut ++ Iterator.single(SessionUpdate(userId, merged.n,
+              new Timestamp(merged.start), new Timestamp(merged.last), expired = false))
+          }
       }
   }
 

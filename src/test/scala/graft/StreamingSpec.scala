@@ -48,4 +48,47 @@ class StreamingSpec extends GraftSuite {
       assert(last.getLong(1) == 3) // one session, three events, state carried
     } finally q.stop()
   }
+
+  test("sessionize closes a session in-batch when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Update).start()
+    try {
+      // 10:00 and 10:30 with a 10-minute gap → first session closes with
+      // n=1 in the same trigger, second opens
+      input.addData(Event(1, ts(0), 9, "view", 1.0), Event(2, ts(30), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess2").collect().filter(_.getLong(0) == 9)
+      val closed = rows.filter(_.getBoolean(4))
+      val open = rows.filter(!_.getBoolean(4))
+      assert(closed.length == 1 && closed.head.getLong(1) == 1)
+      assert(open.length == 1 && open.head.getLong(1) == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize evicts idle state via event-time timeout (expired row)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600, watermark = "1 minutes")
+      .writeStream.format("memory").queryName("sess3").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "view", 1.0))
+      q.processAllAvailable()
+      // another user far in the future advances the watermark past
+      // user 7's (last + gap) → 7's state times out and is evicted
+      input.addData(Event(2, ts(45), 8, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(50), 8, "click", 1.0))
+      q.processAllAvailable()
+      val expired7 = spark.table("sess3").collect()
+        .filter(r => r.getLong(0) == 7 && r.getBoolean(4))
+      assert(expired7.length == 1, spark.table("sess3").collect().mkString("; "))
+      assert(expired7.head.getLong(1) == 1)
+    } finally q.stop()
+  }
 }
