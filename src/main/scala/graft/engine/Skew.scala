@@ -20,13 +20,21 @@ object Skew {
     * decomposable (sum/count/min/max style) with a matching `finalAggs`
     * re-combination.
     */
+  /** Deterministic per-row salt: a pure function of the row's content, so
+    * a retried task re-derives the SAME salt (monotonically_increasing_id
+    * or partition-id salts change under retry, making the plan
+    * retry-sensitive). Distribution quality matches the hash.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
   def saltedAggregate(
       df: DataFrame,
       key: Column,
       salts: Int,
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col("__key"))
@@ -43,8 +51,7 @@ object Skew {
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, salts))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     saltedFact.join(replicatedDim,

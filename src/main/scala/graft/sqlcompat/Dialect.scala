@@ -110,6 +110,25 @@ object Dialect {
   private val AtTimeZone =
     """(?is)\b(TIMESTAMP\s+'[^']+'|[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*)\s+AT\s+TIME\s+ZONE\s+('[^']+')""".r
 
+  /** Apply `f` only to the segments of `sql` OUTSIDE single-quoted string
+    * literals — keeps the regex rewrites from touching literal text
+    * (`''`-escaped quotes toggle through an empty outside segment, which
+    * is harmless).
+    */
+  private def outsideLiterals(sql: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0; var start = 0; var inStr = false
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        if (!inStr) { sb.append(f(sql.substring(start, i))); start = i; inStr = true }
+        else { sb.append(sql.substring(start, i + 1)); start = i + 1; inStr = false }
+      }
+      i += 1
+    }
+    sb.append(if (inStr) sql.substring(start) else f(sql.substring(start)))
+    sb.toString
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = sql match {
       case FetchWithTies(body, orderKeys, n) =>
@@ -119,8 +138,13 @@ object Dialect {
            |) WHERE __graft_rank <= $n""".stripMargin
       case other => other
     }
-    val afterFetch = FetchOnly.replaceAllIn(afterTies, m => s"LIMIT ${m.group(1)}")
+    val afterFetch = outsideLiterals(afterTies)(
+      seg => FetchOnly.replaceAllIn(seg, m => s"LIMIT ${m.group(1)}"))
     val afterUnnest = rewriteUnnest(afterFetch)
+    // AT TIME ZONE's operand may be a TIMESTAMP literal, so this one runs
+    // on the full text; its pattern requires the quoted zone to FOLLOW
+    // the keywords, which cannot occur inside a literal that the
+    // tokenizer above would have isolated
     AtTimeZone.replaceAllIn(afterUnnest,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))

@@ -22,6 +22,13 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(sql) == sql)
   }
 
+  test("FETCH phrase inside a string literal is not rewritten") {
+    val sql = "SELECT 'fetch first 5 rows only' AS s FROM t FETCH FIRST 2 ROWS ONLY"
+    val out = Dialect.rewrite(sql)
+    assert(out.contains("'fetch first 5 rows only'"))
+    assert(out.endsWith("LIMIT 2"))
+  }
+
   test("WITH TIES end-to-end keeps all tied rows") {
     val df = spark.sql(Dialect.rewrite(
       """SELECT * FROM VALUES (1, 'x'), (2, 'x'), (3, 'y'), (4, 'z') AS t(id, grp)
