@@ -107,6 +107,35 @@ object PipelineQueries {
         .dropDuplicates("doc_a", "doc_b")
     }),
 
+    // ---- PPJoin-style prefix filtering: same result set as
+    // dedup_jaccard via a different blocking theorem — two sets with
+    // jaccard ≥ t MUST share an element among their first
+    // n − ⌈t·n⌉ + 1 tokens under any fixed global token order (we use
+    // the sorted hash order). Blocking key = (lang, prefix hash):
+    // at corpus scale this beats length-banding when the vocabulary is
+    // sparse (prefix tokens are rare → small buckets), while banding
+    // wins on saturated vocabularies. Conservative prefix length
+    // (floor + 1 ≥ the ⌈⌉-form) never drops a qualifying pair. ----
+    "dedup_jaccard_ppjoin" -> ((s, dir) => {
+      val pref = t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("hsh", expr(shingleHashExpr))
+        .withColumn("n_sh", size(col("hsh")))
+        .withColumn("plen",
+          greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
+        .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"),
+          explode(expr("slice(hsh, 1, plen)")).as("ptok"))
+      pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
+          col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
+          expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
+            "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
+        .dropDuplicates("doc_a", "doc_b")
+    }),
+
     // ---- minhash + LSH banding (scale path for the above) ----
     // 16 hashes, 4 bands of 4: docs sharing any band bucket are candidates;
     // candidates verified with exact Jaccard. The only join is an equi-join
@@ -372,25 +401,29 @@ object PipelineQueries {
           substring(base64(col("payload")), 1, 8).as("magic64"))
     }))
 
+  private val jaccardOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+      |  FROM (SELECT doc_id, lang,
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.shingles, b.shingles))::double /
+      |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double, 6) AS jac
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  AND least(len(a.shingles), len(b.shingles)) * 5 >=
+      |      greatest(len(a.shingles), len(b.shingles)) * 4
+      |WHERE len(list_intersect(a.shingles, b.shingles))::double /
+      |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
-        |  FROM (SELECT doc_id, lang,
-        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.shingles, b.shingles))::double /
-        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double, 6) AS jac
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  AND least(len(a.shingles), len(b.shingles)) * 5 >=
-        |      greatest(len(a.shingles), len(b.shingles)) * 4
-        |WHERE len(list_intersect(a.shingles, b.shingles))::double /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin,
+    "dedup_jaccard" -> jaccardOracle,
+    // prefix filtering is result-preserving → the SAME oracle pins it
+    "dedup_jaccard_ppjoin" -> jaccardOracle,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> x::double) AS emb FROM embeddings)

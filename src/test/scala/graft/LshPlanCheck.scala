@@ -21,4 +21,17 @@ class LshPlanCheck extends GraftSuite {
   test("dedup_simhash computes the signature stage once (ReusedExchange)") {
     assertReused("dedup_simhash")
   }
+  test("dedup_jaccard_ppjoin computes the prefix stage once (ReusedExchange)") {
+    assertReused("dedup_jaccard_ppjoin")
+  }
+
+  test("tpch_q9 scans lineitem exactly once (window form, no ps self-join)") {
+    val df = SparkEntry.queries("tpch_q9")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    // AQE plan strings repeat the tree under "== Initial Plan ==" —
+    // count scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n$plan")
+  }
 }
