@@ -272,6 +272,45 @@ object FunctionQueries {
         |json_extract(props, '$')::varchar AS canon,
         |4::int AS jal, true AS jac, '30' AS jag
         |FROM events WHERE event_id <= 500""".stripMargin),
+    // typed edge cases (FIXTURES.md §B: nulls, NaN, empty collections,
+    // multibyte unicode, extreme integers, pre-epoch/leap timestamps) —
+    // the semantics where engines habitually disagree, pinned to the
+    // spellings where they provably agree
+    "fn_edge_cases" -> (
+      """SELECT
+        |cast(NULL AS int) IS NULL AS null_is_null,
+        |coalesce(concat('a', cast(NULL AS string)), '<null>') AS concat_null,
+        |isnan(cast('NaN' AS double)) AS nan_detected,
+        |greatest(cast('NaN' AS double), 1.0d) AS g_nan,
+        |size(filter(array(1), x -> false)) AS empty_size,
+        |length('héllo wörld') AS ulen,
+        |reverse('héllo') AS urev,
+        |upper('héllo') AS uupper,
+        |9223372036854775807 AS max_long,
+        |-7 % 3 AS neg_mod,
+        |substring('hello', -3, 2) AS sub_neg,
+        |nullif('', '') IS NULL AS empty_nullif,
+        |year(TIMESTAMP '1960-05-04 10:00:00') AS pre_epoch_year,
+        |unix_timestamp(TIMESTAMP '1960-05-04 10:00:00') AS pre_epoch_secs,
+        |date_format(TIMESTAMP '1960-02-29 00:00:00', 'yyyy-MM-dd') AS leap_day,
+        |coalesce(cast(try_element_at(map('k', 1), 'missing') AS string), '<null>') AS missing_key""".stripMargin,
+      """SELECT
+        |cast(NULL AS int) IS NULL AS null_is_null,
+        |coalesce('a' || NULL::varchar, '<null>') AS concat_null,
+        |isnan('NaN'::double) AS nan_detected,
+        |greatest('NaN'::double, 1.0) AS g_nan,
+        |len([]::int[]) AS empty_size,
+        |length('héllo wörld') AS ulen,
+        |reverse('héllo') AS urev,
+        |upper('héllo') AS uupper,
+        |9223372036854775807 AS max_long,
+        |-7 % 3 AS neg_mod,
+        |substr('hello', -3, 2) AS sub_neg,
+        |nullif('', '') IS NULL AS empty_nullif,
+        |year(TIMESTAMP '1960-05-04 10:00:00') AS pre_epoch_year,
+        |epoch(TIMESTAMP '1960-05-04 10:00:00')::bigint AS pre_epoch_secs,
+        |strftime(TIMESTAMP '1960-02-29 00:00:00', '%Y-%m-%d') AS leap_day,
+        |'<null>' AS missing_key""".stripMargin),
     // bounded top-n aggregates — reference min(x, n)/max(x, n) overloads
     // (MinMaxNAggregations); ties make the int-rendered result exact
     "agg_min_max_n" -> (
