@@ -144,18 +144,44 @@ object TpchQueries {
           |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'""".stripMargin),
       // Q21: suppliers who were the sole late shipper on a finished
       // multi-supplier order — EXISTS + NOT EXISTS pair ("late" =
-      // shipped >60 days after order date, see q12 note)
-      "tpch_q21" -> both(
+      // shipped >60 days after order date, see q12 note). The Spark
+      // spelling folds both correlated subqueries into per-order
+      // aggregates — EXISTS(other supplier) ≡ the order has ≥ 2 distinct
+      // suppliers, NOT EXISTS(other late supplier) ≡ exactly one distinct
+      // late supplier — so lineitem is scanned ONCE instead of the three
+      // times Catalyst's decorrelation pays for the subquery form (which
+      // stays as the oracle, pinning the rewrite's equivalence).
+      "tpch_q21" -> (
+        """WITH lo AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY THEN 1 ELSE 0 END AS is_late
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  WHERE o_orderstatus = 'F'),
+          |per_supp AS (
+          |  SELECT l_orderkey, l_suppkey, sum(is_late) AS my_late
+          |  FROM lo GROUP BY l_orderkey, l_suppkey),
+          |flagged AS (
+          |  SELECT l_orderkey, l_suppkey, my_late,
+          |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+          |    sum(CASE WHEN my_late > 0 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY l_orderkey) AS n_late_supp
+          |  FROM per_supp)
+          |SELECT s_name, sum(my_late) AS numwait
+          |FROM flagged
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE my_late > 0 AND n_supp >= 2 AND n_late_supp = 1
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
         """SELECT s_name, count(*) AS numwait
           |FROM supplier, lineitem l1, orders, nation
           |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
           |  AND o_orderstatus = 'F'
-          |  AND l1.l_shipdate > o_orderdate + INTERVAL_60D
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
           |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
           |              AND l2.l_suppkey <> l1.l_suppkey)
           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
           |              AND l3.l_suppkey <> l1.l_suppkey
-          |              AND l3.l_shipdate > o_orderdate + INTERVAL_60D)
+          |              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
           |  AND s_nationkey = n_nationkey
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
   }

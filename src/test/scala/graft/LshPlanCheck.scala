@@ -25,13 +25,20 @@ class LshPlanCheck extends GraftSuite {
     assertReused("dedup_jaccard_ppjoin")
   }
 
-  test("tpch_q9 scans lineitem exactly once (window form, no ps self-join)") {
-    val df = SparkEntry.queries("tpch_q9")(spark, "/root/testdata/sf0.01")
+  private def assertSingleLineitemScan(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
     df.collect()
     // AQE plan strings repeat the tree under "== Initial Plan ==" —
     // count scans in the final section only
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val scans = "lineitem\\.parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n$plan")
+    assert(scans == 1, s"$name: expected 1 lineitem scan, found $scans:\n$plan")
+  }
+
+  test("tpch_q9 scans lineitem exactly once (window form, no ps self-join)") {
+    assertSingleLineitemScan("tpch_q9")
+  }
+  test("tpch_q21 scans lineitem exactly once (aggregate form, no EXISTS rescan)") {
+    assertSingleLineitemScan("tpch_q21")
   }
 }
