@@ -199,6 +199,7 @@ object GraftFunctions {
     SortedIntersectCountExpr.install(spark)
     ShingleHashesExpr.install(spark)
     SimHash64Expr.install(spark)
+    MinHashExpr.install(spark)
     TryExpr.install(spark)
   }
 

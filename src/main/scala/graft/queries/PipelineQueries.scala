@@ -38,11 +38,11 @@ object PipelineQueries {
     */
   private val shingleHashExpr = "shingle_hashes(norm, 3)"
 
-  /** k minhash values over hashed shingles; per-seed rehash via xxhash64
-    * (reference analog: SetDigest's k minwise hashes).
+  /** k minhash values over hashed shingles — fused one-pass native
+    * expression (see [[graft.functions.MinHashExpr]]; the builtin
+    * composition walks the input k times and allocates k temporaries).
     */
-  private def minhashExpr(k: Int): String =
-    s"transform(sequence(0, ${k - 1}), s -> array_min(transform(hsh, h -> xxhash64(h, s))))"
+  private def minhashExpr(k: Int): String = s"minhash(hsh, $k)"
 
   /** Integer form of `jaccard(A,B) ≥ 0.8`: c/(nₐ+n_b−c) ≥ 4/5 ⟺ 9c ≥
     * 4(nₐ+n_b) — lets the join condition evaluate the sorted-merge

@@ -43,6 +43,21 @@ class FunctionsSpec extends GraftSuite {
     assert(near < far, s"near=$near should be < far=$far")
   }
 
+  test("minhash: k values, deterministic, monotone under set overlap") {
+    val r = one(
+      """SELECT
+        |minhash(array(1L, 2L, 3L, 4L, 5L), 8) AS a,
+        |minhash(array(1L, 2L, 3L, 4L, 5L), 8) AS a2,
+        |minhash(array(1L, 2L, 3L, 4L, 6L), 8) AS near,
+        |minhash(array(9L, 10L, 11L, 12L, 13L), 8) AS far""".stripMargin)
+    val a = r.getSeq[Long](0); val a2 = r.getSeq[Long](1)
+    val near = r.getSeq[Long](2); val far = r.getSeq[Long](3)
+    assert(a.length == 8 && a == a2)
+    val nearMatch = a.zip(near).count { case (x, y) => x == y }
+    val farMatch = a.zip(far).count { case (x, y) => x == y }
+    assert(nearMatch > farMatch, s"near=$nearMatch far=$farMatch")
+  }
+
   test("simhash64_native is bit-identical to the split+UDF path") {
     val r = one(
       """SELECT
