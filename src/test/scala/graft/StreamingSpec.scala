@@ -69,6 +69,31 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("run(): file-drop source to parquet sink end-to-end (append mode)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    // first drop: events spanning 3 hours — the 10-minute watermark will
+    // pass the first windows' end, so append mode can finalize them
+    Seq(
+      Event(1, ts(5), 1, "view", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 2, "click", 3.0),
+      Event(4, Timestamp.valueOf("2024-01-01 13:30:00"), 2, "view", 4.0)
+    ).toDF().write.mode("append").parquet(src)
+    val q = EventStream.run(spark, src, ckpt, out)
+    try {
+      q.processAllAvailable()
+      // second drop advances the watermark further and triggers emission
+      Seq(Event(5, Timestamp.valueOf("2024-01-01 15:00:00"), 3, "view", 5.0))
+        .toDF().write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      val hour10 = rows.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10:00"))
+      assert(hour10.length == 1 && hour10.head.getLong(2) == 2,
+        rows.mkString("; "))
+    } finally q.stop()
+  }
+
   test("sessionize evicts idle state via event-time timeout (expired row)") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
