@@ -120,6 +120,48 @@ object GraftFunctions {
         java.lang.Boolean.valueOf(sum % 10 == 0)
       })
     u.register("word_stem", (s: String) => if (s == null) null else Stemmer.stem(s))
+    // unicode normalize (reference StringFunctions.normalize; NFC default)
+    u.register("normalize_unicode", (s: String, form: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.valueOf(if (form == null) "NFC" else form.toUpperCase)))
+    // ISO-8601 conversions (DateTimeFunctions.toIso8601 / fromIso8601Timestamp)
+    u.register("to_iso8601", (ts: java.time.Instant) =>
+      if (ts == null) null
+      else java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(ts))
+    u.register("from_iso8601_timestamp", (s: String) =>
+      if (s == null) null
+      else java.time.OffsetDateTime.parse(s).toInstant)
+    // parse_duration('3.2m') → seconds as double (DurationFunctions)
+    u.register("parse_duration", (s: String) =>
+      if (s == null) null
+      else {
+        val m = "^\\s*([0-9.]+)\\s*([a-z]+)\\s*$".r.findFirstMatchIn(s.toLowerCase)
+          .getOrElse(throw new IllegalArgumentException(s"Invalid duration: '$s'"))
+        val unit = m.group(2) match {
+          case "ns" => 1e-9; case "us" => 1e-6; case "ms" => 1e-3
+          case "s" => 1.0; case "m" => 60.0; case "h" => 3600.0; case "d" => 86400.0
+          case u => throw new IllegalArgumentException(s"Invalid duration unit: '$u'")
+        }
+        java.lang.Double.valueOf(m.group(1).toDouble * unit)
+      })
+    // teradata-compat pack (char2hexint; `index` registers as a strpos
+    // alias in TrinoAliases)
+    u.register("char2hexint", (s: String) =>
+      if (s == null) null
+      else s.map(c => f"${c.toInt}%04X").mkString)
+    // Trino's own cosine_similarity signature: sparse map<varchar,double>
+    u.register("cosine_similarity_sparse",
+      (a: Map[String, Double], b: Map[String, Double]) =>
+        if (a == null || b == null || a.isEmpty || b.isEmpty) null
+        else {
+          var dot = 0.0
+          a.foreach { case (k, v) => b.get(k).foreach(w => dot += v * w) }
+          val na = math.sqrt(a.valuesIterator.map(v => v * v).sum)
+          val nb = math.sqrt(b.valuesIterator.map(v => v * v).sum)
+          if (na == 0.0 || nb == 0.0) null else java.lang.Double.valueOf(dot / (na * nb))
+        })
     // parse_data_size('2.3MB') → bytes (reference DataSizeFunctions.java)
     u.register("parse_data_size", (s: String) =>
       if (s == null) null

@@ -31,6 +31,7 @@ object TrinoAliases {
 
     // --- codegen-preserving renames ---
     alias("strpos", es => StringInstr(es(0), es(1)))
+    alias("index", es => StringInstr(es(0), es(1))) // teradata-compat
     alias("to_hex", es => Hex(es.head))
     alias("to_utf8", es => Encode(es.head, Literal("UTF-8")))
     alias("from_utf8", es => StringDecode(es.head, Literal("UTF-8")))

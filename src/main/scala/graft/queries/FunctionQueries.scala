@@ -272,6 +272,27 @@ object FunctionQueries {
         |json_extract(props, '$')::varchar AS canon,
         |4::int AS jal, true AS jac, '30' AS jag
         |FROM events WHERE event_id <= 500""".stripMargin),
+    // second misc pack: unicode normalize, ISO-8601 conversions,
+    // parse_duration, teradata index/char2hexint, Trino's sparse-map
+    // cosine_similarity signature
+    "fn_misc2" -> (
+      s"""SELECT
+        |length(normalize_unicode('é', 'NFC')) AS nfc_len,
+        |to_iso8601(TIMESTAMP '2024-03-05 07:08:09') AS iso,
+        |cast(from_iso8601_timestamp('2024-03-05T07:08:09.500Z') AS string) AS from_iso,
+        |parse_duration('3.2m') AS dur_m,
+        |parse_duration('150ms') AS dur_ms,
+        |index('FRANCE', 'AN') AS idx,
+        |char2hexint('AB') AS hexint,
+        |round(cosine_similarity_sparse(map('a', 1.0d, 'b', 2.0d),
+        |  map('b', 2.0d, 'c', 1.0d)), 6) AS cos_sparse""".stripMargin,
+      """SELECT 1 AS nfc_len,
+        |'2024-03-05T07:08:09.000Z' AS iso,
+        |'2024-03-05 07:08:09.5' AS from_iso,
+        |192.0::double AS dur_m, 0.15::double AS dur_ms,
+        |position('AN' IN 'FRANCE') AS idx,
+        |'00410042' AS hexint,
+        |0.8::double AS cos_sparse""".stripMargin),
     // typed edge cases (FIXTURES.md §B: nulls, NaN, empty collections,
     // multibyte unicode, extreme integers, pre-epoch/leap timestamps) —
     // the semantics where engines habitually disagree, pinned to the
