@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim_native", es => CosineSimilarityExpr(es(0), es(1)))
     inject("sorted_intersect_count", es => SortedIntersectCountExpr(es(0), es(1)))
     inject("shingle_hashes", es => ShingleHashesExpr(es(0), es(1)))
+    inject("simhash64_native", es => SimHash64Expr(es.head))
+    inject("minhash", es => MinHashExpr(es(0), es(1)))
     inject("try", es => TryExpr(es.head))
   }
 }
