@@ -66,6 +66,19 @@ object GeoFunctions {
       java.lang.Boolean.valueOf(Wkt.intersects(Wkt.parse(a), Wkt.parse(b))))
     u.register("st_distance_wkt", (a: String, b: String) =>
       Wkt.distance(Wkt.parse(a), Wkt.parse(b)))
+    // great-circle distance in meters over (lon, lat) degrees — the
+    // geographic half of the reference's SphericalGeoFunctions
+    // (ST_Distance on SphericalGeography); haversine on the mean radius
+    u.register("great_circle_distance",
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
+        val r = 6371008.8 // IUGG mean earth radius, meters
+        val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+        val dPhi = math.toRadians(lat2 - lat1)
+        val dLam = math.toRadians(lon2 - lon1)
+        val a = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
+          math.cos(phi1) * math.cos(phi2) * math.sin(dLam / 2) * math.sin(dLam / 2)
+        2 * r * math.asin(math.min(1.0, math.sqrt(a)))
+      })
   }
 }
 

@@ -57,6 +57,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("longest_session_events"))
     }),
+    // Spark's NATIVE session-window operator (SessionWindow/
+    // UpdatingSessionsExec) — same 30-min-gap semantics as the manual
+    // gaps-and-islands evt_sessionize, but expressed as one groupBy on
+    // session_window(ts): the windows merge at aggregation time, so the
+    // plan is a single hash exchange on (user_id) + session merge, no
+    // window-function pass. A new session starts when the gap is >= the
+    // duration (window extent is [start, last + gap)).
+    "evt_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("longest_session_events"))
+    }),
+
     // funnel: users who viewed then purchased (order-sensitive via min-ts)
     "evt_funnel" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -227,6 +243,31 @@ object EventQueries {
         |  FROM sessioned GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions,
         |max(n_events) AS longest_session_events
+        |FROM per_session GROUP BY 1""".stripMargin,
+    // gaps-and-islands at MICROSECOND precision with the session-window
+    // boundary rule (gap >= duration starts a new session) — exactly the
+    // comparison Spark's SessionWindow makes after the nanos->micros
+    // truncation both engines apply on read
+    "evt_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    lag(epoch_ns(ts) // 1000) OVER w AS prev_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |marked AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM m),
+        |sessioned AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events
+        |  FROM sessioned GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS longest_session_events
         |FROM per_session GROUP BY 1""".stripMargin,
     "evt_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
