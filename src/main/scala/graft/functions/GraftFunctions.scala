@@ -86,6 +86,44 @@ object GraftFunctions {
         .collectFirst { case Array(k, v) if k == name => v; case Array(k) if k == name => "" }.orNull
     })
 
+    u.register("url_encode", (s: String) =>
+      if (s == null) null
+      else java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20"))
+    u.register("url_decode", (s: String) =>
+      if (s == null) null
+      else java.net.URLDecoder.decode(s, "UTF-8"))
+
+    // --- varbinary stragglers (VarbinaryFunctions.java) ---
+    u.register("to_big_endian_64", (v: Long) =>
+      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    u.register("from_big_endian_64", (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length != 8) throw new IllegalArgumentException("expected 8-byte value")
+      else java.lang.Long.valueOf(java.nio.ByteBuffer.wrap(b).getLong))
+    u.register("to_big_endian_32", (v: Int) =>
+      java.nio.ByteBuffer.allocate(4).putInt(v).array())
+    u.register("from_big_endian_32", (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length != 4) throw new IllegalArgumentException("expected 4-byte value")
+      else java.lang.Integer.valueOf(java.nio.ByteBuffer.wrap(b).getInt))
+    u.register("to_base64url", (b: Array[Byte]) =>
+      if (b == null) null else java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b))
+    u.register("from_base64url", (s: String) =>
+      if (s == null) null else java.util.Base64.getUrlDecoder.decode(s))
+
+    // --- json scalar probe (JsonFunctions.isJsonScalar) ---
+    u.register("is_json_scalar", (s: String) => {
+      val n = JsonKit.parse(s)
+      if (n == null) null else java.lang.Boolean.valueOf(!n.isContainerNode)
+    })
+
+    // --- array straggler: trim_array(arr, n) drops n tail elements ---
+    u.register("trim_array", (arr: Seq[String], n: Int) =>
+      if (arr == null) null
+      else if (n < 0 || n > arr.length)
+        throw new IllegalArgumentException(s"size must be in [0, ${arr.length}]")
+      else arr.dropRight(n))
+
     // --- math/stats CDFs (reference MathFunctions.java:  normal_cdf etc.) ---
     u.register("normal_cdf", (mean: Double, sd: Double, v: Double) =>
       0.5 * (1 + erf((v - mean) / (sd * math.sqrt(2.0)))))
@@ -95,6 +133,10 @@ object GraftFunctions {
       wilson(successes, trials, z, -1))
     u.register("wilson_interval_upper", (successes: Long, trials: Long, z: Double) =>
       wilson(successes, trials, z, 1))
+    u.register("beta_cdf", (a: Double, b: Double, x: Double) =>
+      java.lang.Double.valueOf(Beta.regularizedIncomplete(a, b, x)))
+    u.register("inverse_beta_cdf", (a: Double, b: Double, p: Double) =>
+      java.lang.Double.valueOf(Beta.inverse(a, b, p)))
     u.register("to_base", (v: Long, radix: Long) => java.lang.Long.toString(v, radix.toInt))
     u.register("from_base", (s: String, radix: Long) => java.lang.Long.parseLong(s, radix.toInt))
     u.register("cosine_distance", (a: Seq[Double], b: Seq[Double]) =>
@@ -269,5 +311,81 @@ object GraftFunctions {
     val p = s.toDouble / n
     val z2 = z * z
     (p + z2 / (2 * n) + dir * z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (1 + z2 / n)
+  }
+}
+
+/** Regularized incomplete beta I_x(a,b) via the Lentz continued fraction
+  * (the classic numerical-recipes formulation) + bisection inverse —
+  * backs beta_cdf/inverse_beta_cdf (reference MathFunctions.java).
+  */
+object Beta extends Serializable {
+  private def lnGamma(x: Double): Double = {
+    // Lanczos g=7, n=9
+    val c = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1 - x)
+    else {
+      val x1 = x - 1
+      var a = c(0)
+      val t = x1 + 7.5
+      var i = 1
+      while (i < 9) { a += c(i) / (x1 + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x1 + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-14; val fpmin = 1e-300
+    val qab = a + b; val qap = a + 1; val qam = a - 1
+    var c = 1.0
+    var d = 1 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d; h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  def regularizedIncomplete(a: Double, b: Double, x: Double): Double = {
+    require(a > 0 && b > 0, "a, b must be > 0")
+    require(x >= 0 && x <= 1, "x must be in [0, 1]")
+    if (x == 0) 0.0
+    else if (x == 1) 1.0
+    else {
+      val front = math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+        a * math.log(x) + b * math.log1p(-x))
+      if (x < (a + 1) / (a + b + 2)) front * betacf(a, b, x) / a
+      else 1 - math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+        b * math.log1p(-x) + a * math.log(x)) * betacf(b, a, 1 - x) / b
+    }
+  }
+
+  def inverse(a: Double, b: Double, p: Double): Double = {
+    require(p >= 0 && p <= 1, "p must be in [0, 1]")
+    var lo = 0.0; var hi = 1.0
+    var i = 0
+    while (i < 200) {
+      val mid = (lo + hi) / 2
+      if (regularizedIncomplete(a, b, mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
   }
 }

@@ -293,6 +293,34 @@ object FunctionQueries {
         |position('AN' IN 'FRANCE') AS idx,
         |'00410042' AS hexint,
         |0.8::double AS cos_sparse""".stripMargin),
+    // third misc pack: url_encode/decode, big-endian + base64url
+    // varbinary helpers, is_json_scalar, trim_array, beta CDFs (checked
+    // against their closed forms: I_x(1,b) = 1-(1-x)^b, I_x(a,1) = x^a)
+    "fn_misc3" -> (
+      """SELECT
+        |url_encode('a b/c') AS enc,
+        |url_decode('a%20b%2Fc') AS dec,
+        |from_big_endian_64(to_big_endian_64(123456789L)) AS be64_rt,
+        |hex(to_big_endian_64(1L)) AS be64_hex,
+        |from_big_endian_32(to_big_endian_32(-5)) AS be32_rt,
+        |to_base64url(to_utf8('ab?cd~')) AS b64url,
+        |cast(from_utf8(from_base64url('YWI_Y2R-')) AS string) AS b64url_rt,
+        |is_json_scalar('123') AS js_scalar,
+        |is_json_scalar('[1, 2]') AS js_arr,
+        |array_join(trim_array(array('a', 'b', 'c'), 1), ',') AS trimmed,
+        |round(beta_cdf(1.0d, 3.0d, 0.25d), 6) AS beta1,
+        |round(beta_cdf(2.0d, 1.0d, 0.5d), 6) AS beta2,
+        |round(inverse_beta_cdf(1.0d, 3.0d, 0.578125d), 6) AS ibeta""".stripMargin,
+      """SELECT
+        |'a%20b%2Fc' AS enc, 'a b/c' AS dec,
+        |123456789::bigint AS be64_rt,
+        |'0000000000000001' AS be64_hex,
+        |-5::int AS be32_rt,
+        |'YWI_Y2R-' AS b64url, 'ab?cd~' AS b64url_rt,
+        |true AS js_scalar, false AS js_arr,
+        |'a,b' AS trimmed,
+        |round(1 - 0.75 * 0.75 * 0.75, 6)::double AS beta1,
+        |0.25::double AS beta2, 0.25::double AS ibeta""".stripMargin),
     // typed edge cases (FIXTURES.md §B: nulls, NaN, empty collections,
     // multibyte unicode, extreme integers, pre-epoch/leap timestamps) —
     // the semantics where engines habitually disagree, pinned to the
