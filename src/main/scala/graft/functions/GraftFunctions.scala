@@ -269,6 +269,11 @@ object GraftFunctions {
     u.register("approx_most_frequent", udaf(new SpaceSavingKAggregator))
     u.register("min_n", udaf(new MinNAggregator))
     u.register("max_n", udaf(new MaxNAggregator))
+
+    // --- ml-plugin analog (trino-ml LearnRegressorAggregation):
+    // deterministic distributed least squares + prediction ---
+    u.register("learn_linear_regressor", udaf(new LinearRegressorAggregator))
+    u.register("regress", (x: Seq[Double], model: Seq[Double]) => LinReg.predict(x, model))
     u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
     u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>

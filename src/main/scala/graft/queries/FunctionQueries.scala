@@ -293,6 +293,23 @@ object FunctionQueries {
         |position('AN' IN 'FRANCE') AS idx,
         |'00410042' AS hexint,
         |0.8::double AS cos_sparse""".stripMargin),
+    // ml-plugin analog: the aggregate accumulates normal equations, so
+    // the learned single-feature model must agree with the closed-form
+    // regr_slope/regr_intercept the oracle computes
+    "ml_linear_regression" -> (
+      """SELECT l_linestatus,
+        |round(element_at(m, 1), 4) AS slope,
+        |round(element_at(m, 2), 4) AS intercept,
+        |round(regress(array(10.0d), m), 4) AS pred_at_10
+        |FROM (SELECT l_linestatus,
+        |      learn_linear_regressor(array(l_quantity), l_extendedprice) AS m
+        |      FROM lineitem GROUP BY l_linestatus)""".stripMargin,
+      """SELECT l_linestatus,
+        |round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |round(regr_slope(l_extendedprice, l_quantity) * 10 +
+        |      regr_intercept(l_extendedprice, l_quantity), 4) AS pred_at_10
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin),
     // third misc pack: url_encode/decode, big-endian + base64url
     // varbinary helpers, is_json_scalar, trim_array, beta CDFs (checked
     // against their closed forms: I_x(1,b) = 1-(1-x)^b, I_x(a,1) = x^a)

@@ -141,6 +141,18 @@ class FunctionsSpec extends GraftSuite {
     assert(rows == Map("0" -> 3L, "1" -> 3L, "2" -> 3L))
   }
 
+  test("learn_linear_regressor recovers exact synthetic weights") {
+    // y = 2*x1 - 3*x2 + 7, no noise → solution is exact up to fp
+    val r = spark.sql(
+      """SELECT learn_linear_regressor(array(x1, x2), 2*x1 - 3*x2 + 7) AS m
+        |FROM (SELECT cast(id % 13 AS double) AS x1,
+        |             cast((id * 7) % 11 AS double) AS x2
+        |      FROM range(0, 500))""".stripMargin).collect().head
+    val w = r.getSeq[Double](0)
+    assert(math.abs(w(0) - 2.0) < 1e-8 && math.abs(w(1) + 3.0) < 1e-8 &&
+      math.abs(w(2) - 7.0) < 1e-8, w)
+  }
+
   test("word_stem strips common suffixes") {
     val r = one("SELECT word_stem('running') a, word_stem('tables') b, word_stem('cat') c")
     assert(r.getString(0) == "runn" && r.getString(1) == "table" && r.getString(2) == "cat")
