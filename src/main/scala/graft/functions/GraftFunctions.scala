@@ -274,6 +274,9 @@ object GraftFunctions {
     // deterministic distributed least squares + prediction ---
     u.register("learn_linear_regressor", udaf(new LinearRegressorAggregator))
     u.register("regress", (x: Seq[Double], model: Seq[Double]) => LinReg.predict(x, model))
+    u.register("learn_classifier", udaf(new NearestCentroidAggregator))
+    u.register("classify", (x: Seq[Double], model: Map[String, Seq[Double]]) =>
+      Centroids.classify(x, model))
     u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
     u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>

@@ -29,6 +29,61 @@ class LinearRegressorAggregator
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
+/** Nearest-centroid classifier (trino-ml `LearnClassifierAggregation` /
+  * `classify` analog). Training accumulates per-class (sum, count) —
+  * associative, order-independent — so the model (class → mean vector)
+  * is deterministic and the oracle can recompute it in SQL; classify is
+  * argmin euclidean distance to the centroids.
+  */
+class NearestCentroidAggregator extends Aggregator[
+    (Seq[Double], String), Map[String, (Array[Double], Long)], Map[String, Seq[Double]]] {
+  def zero: Map[String, (Array[Double], Long)] = Map.empty
+  def reduce(b: Map[String, (Array[Double], Long)], a: (Seq[Double], String)): Map[String, (Array[Double], Long)] = {
+    if (a._1 == null || a._2 == null) return b
+    val x = a._1
+    b.get(a._2) match {
+      case Some((s, n)) =>
+        var i = 0
+        while (i < s.length) { s(i) += x(i); i += 1 }
+        b.updated(a._2, (s, n + 1))
+      case None => b.updated(a._2, (x.toArray, 1L))
+    }
+  }
+  def merge(a: Map[String, (Array[Double], Long)], b: Map[String, (Array[Double], Long)]): Map[String, (Array[Double], Long)] =
+    b.foldLeft(a) { case (acc, (k, (s, n))) =>
+      acc.get(k) match {
+        case Some((s0, n0)) =>
+          var i = 0
+          while (i < s0.length) { s0(i) += s(i); i += 1 }
+          acc.updated(k, (s0, n0 + n))
+        case None => acc.updated(k, (s, n))
+      }
+    }
+  def finish(r: Map[String, (Array[Double], Long)]): Map[String, Seq[Double]] =
+    r.map { case (k, (s, n)) => k -> s.map(_ / n).toSeq }
+  def bufferEncoder: Encoder[Map[String, (Array[Double], Long)]] =
+    Encoders.kryo[Map[String, (Array[Double], Long)]]
+  def outputEncoder: Encoder[Map[String, Seq[Double]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Seq[Double]]]()
+}
+
+object Centroids {
+  def classify(x: Seq[Double], model: Map[String, Seq[Double]]): String = {
+    if (x == null || model == null || model.isEmpty) return null
+    var bestLabel: String = null
+    var bestDist = Double.MaxValue
+    model.foreach { case (label, c) =>
+      var d = 0.0
+      var i = 0
+      while (i < x.length) { val t = x(i) - c(i); d += t * t; i += 1 }
+      if (d < bestDist || (d == bestDist && (bestLabel == null || label < bestLabel))) {
+        bestDist = d; bestLabel = label
+      }
+    }
+    bestLabel
+  }
+}
+
 object LinReg {
   /** d = augmented dimension (features + intercept); xtx is the packed
     * upper triangle row-major, xty the augmented right-hand side.

@@ -310,6 +310,27 @@ object FunctionQueries {
         |round(regr_slope(l_extendedprice, l_quantity) * 10 +
         |      regr_intercept(l_extendedprice, l_quantity), 4) AS pred_at_10
         |FROM lineitem GROUP BY l_linestatus""".stripMargin),
+    // nearest-centroid classifier: training = per-class means (order-
+    // independent sums → deterministic model), classify = argmin
+    // euclidean; the oracle recomputes centroids per dimension and takes
+    // min_by over list_distance
+    "ml_classifier" -> (
+      """WITH model AS (
+        |  SELECT learn_classifier(transform(embedding, x -> cast(x AS double)),
+        |    cast(label AS string)) AS m
+        |  FROM embeddings)
+        |SELECT e.vec_id,
+        |  classify(transform(e.embedding, x -> cast(x AS double)), model.m) AS pred
+        |FROM embeddings e CROSS JOIN model""".stripMargin,
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::double) AS emb FROM embeddings),
+        |dims AS (
+        |  SELECT label, i AS dim, avg(emb[i]) AS m
+        |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) g
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS cvec FROM dims GROUP BY label)
+        |SELECT e.vec_id, min_by(c.label, list_distance(e.emb, c.cvec))::varchar AS pred
+        |FROM e CROSS JOIN cent c GROUP BY e.vec_id""".stripMargin),
     // third misc pack: url_encode/decode, big-endian + base64url
     // varbinary helpers, is_json_scalar, trim_array, beta CDFs (checked
     // against their closed forms: I_x(1,b) = 1-(1-x)^b, I_x(a,1) = x^a)
