@@ -243,8 +243,10 @@ object OperatorQueries {
         "o_orderkey", "o_orderstatus", "o_totalprice",
         """count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
           |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_within_10k""".stripMargin,
-        """sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-          |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS sum_within_10k""".stripMargin)
+        // 2-dp rounding on both sides: frame sums at sf0.1 can straddle
+        // the comparator's 9-significant-digit boundary on add order
+        """round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS sum_within_10k""".stripMargin)
     }),
     // custom AGGREGATE EXTENSION used as a window function — the §2.12
     // "window-function extension point" Spark lacks natively: a
@@ -515,7 +517,8 @@ object OperatorQueries {
         |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "win_range_frame" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |count(*) OVER w AS n_within_10k, sum(o_totalprice) OVER w AS sum_within_10k
+        |count(*) OVER w AS n_within_10k,
+        |round(sum(o_totalprice) OVER w, 2) AS sum_within_10k
         |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""".stripMargin,
     "win_running_sum" ->

@@ -248,7 +248,9 @@ object TpchQueries {
         .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        // 2-dp rounding on BOTH sides: at sf0.1 the raw sum can straddle
+        // the comparator's 9-significant-digit boundary on summation order
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
     // Q6: the minimum end-to-end slice (SURVEY §7) — filter + global agg;
@@ -446,7 +448,7 @@ object TpchQueries {
         |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
     "tpch_q5" ->
-      """SELECT n_name, sum(l_extendedprice*(1-l_discount)) AS revenue
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
