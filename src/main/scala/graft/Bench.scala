@@ -11,8 +11,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   // Headline set: one representative per heavy operator family —
-  // wide agg, join+topk, star join, pushdown scan, having+join,
-  // window topN, sessionization, LSH dedup, ANN, explode+agg, distinct agg.
   // wide agg, join+topk, star join, pushdown scan, having+join, profit
   // rollup (q9), EXISTS/NOT EXISTS decorrelation (q21), window topN,
   // sessionization, LSH dedup, ANN, explode+agg, distinct agg.

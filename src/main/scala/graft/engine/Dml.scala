@@ -19,13 +19,6 @@ import org.apache.spark.sql.functions.{expr, not}
   */
 object Dml {
 
-  private def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
-  }
-
   /** DELETE FROM <tablePath> WHERE <predicate>; returns rows deleted. */
   def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
     val df = spark.read.parquet(tablePath)
@@ -34,29 +27,43 @@ object Dml {
     val staging = s"$tablePath.__staging"
     remaining.write.mode("overwrite").parquet(staging)
     val kept = spark.read.parquet(staging).count()
-    swapIn(spark, tablePath, staging)
+    Fs.swapIn(spark, tablePath, staging)
     total - kept
   }
 
   /** UPDATE <tablePath> SET col = expr, ... WHERE <predicate>; returns
-    * rows updated. Assignments evaluate against the OLD row values
-    * (standard UPDATE semantics — all right-hand sides see the
-    * pre-update row).
+    * rows updated. All assignments are evaluated in ONE projection, so
+    * every right-hand side — and the predicate — sees the PRE-update row
+    * (standard UPDATE semantics; a sequential withColumn fold would let
+    * later assignments observe earlier ones).
     */
   def update(spark: SparkSession, tablePath: String, predicate: String,
       set: Map[String, String]): Long = {
     val df = spark.read.parquet(tablePath)
     val cond = expr(predicate)
-    val updated = df.columns.foldLeft(df.select(df.columns.map(org.apache.spark.sql.functions.col): _*)) {
-      (acc, c) =>
-        if (set.contains(c))
-          acc.withColumn(c, org.apache.spark.sql.functions.when(cond, expr(set(c))).otherwise(org.apache.spark.sql.functions.col(c)))
-        else acc
+    val projected = df.columns.map { c =>
+      if (set.contains(c))
+        org.apache.spark.sql.functions.when(cond, expr(set(c)))
+          .otherwise(org.apache.spark.sql.functions.col(c)).as(c)
+      else org.apache.spark.sql.functions.col(c)
     }
+    val updated = df.select(projected.toIndexedSeq: _*)
     val n = df.filter(cond).count()
     val staging = s"$tablePath.__staging"
     updated.write.mode("overwrite").parquet(staging)
-    swapIn(spark, tablePath, staging)
+    Fs.swapIn(spark, tablePath, staging)
     n
+  }
+}
+
+/** Shared staging-swap: write-new-then-rename so readers see either the
+  * old or the new table, never a partial one (used by DML and MV refresh).
+  */
+object Fs {
+  def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
   }
 }

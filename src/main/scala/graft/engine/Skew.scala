@@ -20,13 +20,19 @@ object Skew {
     * decomposable (sum/count/min/max style) with a matching `finalAggs`
     * re-combination.
     */
-  /** Deterministic per-row salt: a pure function of the row's content, so
-    * a retried task re-derives the SAME salt (monotonically_increasing_id
-    * or partition-id salts change under retry, making the plan
-    * retry-sensitive). Distribution quality matches the hash.
+  /** Per-row salt = hash(row content, monotonically_increasing_id).
+    * Content alone is retry-stable but maps byte-identical duplicate
+    * rows — the canonical hot-key skew shape — to ONE salt bucket,
+    * no-opting the salting; the id alone spreads duplicates but is the
+    * retry-sensitive part. Mixing both spreads duplicates while the id
+    * stays stable in the common salting position (directly over a
+    * deterministic scan, where a retried task re-reads the same split in
+    * the same order); salting above a nondeterministically-ordered
+    * shuffle inherits the id's retry caveat.
     */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(salts))
 
   def saltedAggregate(
       df: DataFrame,

@@ -47,11 +47,7 @@ object Views {
     val path = storagePath(storageDir, name)
     val staging = s"$path.__staging"
     Tables.sql(spark, dir, query).write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    Fs.swapIn(spark, path, staging)
     spark.read.parquet(path).createOrReplaceTempView(name)
   }
 }

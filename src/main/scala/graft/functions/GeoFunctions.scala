@@ -263,8 +263,17 @@ object Wkt extends Serializable {
     case (other, Point(p)) => pointGeomDist(p, other)
     case _ =>
       if (intersects(a, b)) 0.0
-      else edges(a).flatMap { case (p, q) => Seq(p, q) }
-        .map(pointGeomDist(_, b)).min
+      else {
+        // when two segments don't intersect, the closest pair always
+        // involves an endpoint — but it may be an endpoint of EITHER
+        // geometry against the other's edge interior, so minimize over
+        // both directions (one direction alone is wrong and asymmetric)
+        val aToB = edges(a).flatMap { case (p, q) => Seq(p, q) }
+          .map(pointGeomDist(_, b)).min
+        val bToA = edges(b).flatMap { case (p, q) => Seq(p, q) }
+          .map(pointGeomDist(_, a)).min
+        math.min(aToB, bToA)
+      }
   }
 
   private def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {

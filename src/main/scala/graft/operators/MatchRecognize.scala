@@ -120,7 +120,13 @@ object MatchRecognize extends Serializable {
     */
   final class Ctx private[MatchRecognize] (buf: StreamBuf, idx: Int) {
     def row: Row = buf.get(idx)
-    def prev(n: Int = 1): Row = if (idx - n < buf.base) null else buf.get(idx - n)
+    def prev(n: Int = 1): Row =
+      if (idx - n < 0) null // true partition edge
+      else if (idx - n < buf.base)
+        throw new IllegalStateException(
+          s"PREV($n) reaches behind the retained tail (prevTail too small " +
+            s"for this DEFINE's navigation depth — raise the prevTail argument)")
+      else buf.get(idx - n)
     def next(n: Int = 1): Row = if (buf.ensure(idx + n)) buf.get(idx + n) else null
   }
 
@@ -218,9 +224,6 @@ object MatchRecognize extends Serializable {
 
       def matchGroup(keyRow: Row, group: Iterator[Row]): Iterator[Row] = {
         val buf = new StreamBuf(group)
-        val res = ArrayBuffer[Row]()
-        var start = 0
-        var matchNum = 0L
 
         def pred(sym: String, i: Int): Boolean =
           buf.ensure(i) && define.get(sym).forall(_(new Ctx(buf, i)))
@@ -248,22 +251,35 @@ object MatchRecognize extends Serializable {
               rep(0, pos, acc)
           }
 
-        while (buf.ensure(start)) {
-          go(pattern, start, Nil, (end, acc) => Some((end, acc))) match {
-            case Some((end, accRev)) if end > start =>
-              matchNum += 1
-              val m = Match(matchNum, buf.slice(start, end), accRev.reverse.toIndexedSeq)
-              res ++= emit(keyRow, m)
-              start = skip match {
-                case SkipPastLastRow => end
-                case SkipToNextRow => start + 1
+        // LAZY emission: matches are produced as the consumer pulls, so
+        // neither the input rows (StreamBuf trims behind the match start)
+        // nor the output rows are ever materialized per group — memory is
+        // bounded by one match span even under ALL ROWS PER MATCH on a
+        // hot key. When this iterator exhausts, buf.ensure has drained
+        // the whole group, so the caller can move to the next key.
+        new Iterator[Row] {
+          private var start = 0
+          private var matchNum = 0L
+          private var pending: Iterator[Row] = Iterator.empty
+          private def advance(): Unit =
+            while (!pending.hasNext && buf.ensure(start)) {
+              go(pattern, start, Nil, (end, acc) => Some((end, acc))) match {
+                case Some((end, accRev)) if end > start =>
+                  matchNum += 1
+                  val m = Match(matchNum, buf.slice(start, end), accRev.reverse.toIndexedSeq)
+                  pending = emit(keyRow, m)
+                  start = skip match {
+                    case SkipPastLastRow => end
+                    case SkipToNextRow => start + 1
+                  }
+                case _ =>
+                  start += 1
               }
-            case _ =>
-              start += 1
-          }
-          buf.dropBefore(start - prevTail)
+              buf.dropBefore(start - prevTail)
+            }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): Row = { advance(); pending.next() }
         }
-        res.iterator
       }
 
       // group chaining with a one-slot lookahead (explicit pushback;
@@ -283,8 +299,10 @@ object MatchRecognize extends Serializable {
                 r
               }
             }
+            // lazy: out consumes `group` on demand; when out exhausts,
+            // the matcher's final ensure() has drained the group, so the
+            // while-condition's out.hasNext re-check advances correctly
             out = matchGroup(keyRow, group)
-            while (group.hasNext) group.next() // guard: group fully drained
           }
         def hasNext: Boolean = { refill(); out.hasNext }
         def next(): Row = { refill(); out.next() }

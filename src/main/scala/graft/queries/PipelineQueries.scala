@@ -302,7 +302,7 @@ object PipelineQueries {
         .groupBy(col("cid"), col("dim")).agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> cast(x.m AS float))").as("cent"))
-      // final assignment + nprobe=2 query-side probing
+      // final assignment + nprobe=3 query-side probing
       val assigned = corpus.crossJoin(broadcast(centroids))
         .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
         .withColumn("rk", row_number().over(

@@ -10,13 +10,56 @@ object Dialect {
 
   /** `... ORDER BY <keys> FETCH FIRST <n> ROWS WITH TIES` →
     * rank-filter rewrite — the same lowering the reference applies in
-    * `sql/planner/iterative/rule/ImplementLimitWithTies.java`.
+    * `sql/planner/iterative/rule/ImplementLimitWithTies.java`. The body/
+    * keys split anchors on the LAST ORDER BY at paren depth 0 outside
+    * string literals: an ORDER BY inside a subquery (depth > 0) or a
+    * window spec in the final sort keys (also depth > 0) stays intact.
     */
-  private val FetchWithTies =
-    // greedy body so the rewrite anchors on the LAST ORDER BY — an ORDER BY
-    // inside a window spec or subquery must stay with the body, only the
-    // trailing top-level ORDER BY pairs with FETCH ... WITH TIES
-    """(?is)^(.*)\bORDER\s+BY\s+(.+?)\s+FETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$""".r
+  private val TiesTail =
+    """(?is)\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$""".r
+
+  /** Start index of the last "ORDER BY" at paren depth 0 outside string
+    * literals, or -1.
+    */
+  private def lastTopLevelOrderBy(sql: String): Int = {
+    val upper = sql.toUpperCase
+    var i = 0; var depth = 0; var inStr = false; var last = -1
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && upper.startsWith("ORDER", i) &&
+              (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+              upper.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY")) {
+            last = i
+            i += 5
+          } else i += 1
+      }
+    }
+    last
+  }
+
+  private def rewriteTies(sql: String): String =
+    TiesTail.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val head = sql.substring(0, m.start)
+        val ob = lastTopLevelOrderBy(head)
+        if (ob < 0) sql
+        else {
+          val body = head.substring(0, ob).trim
+          val orderKeys = head.substring(ob)
+            .replaceFirst("(?is)^ORDER\\s+BY", "").trim
+          s"""SELECT * EXCEPT (__graft_rank) FROM (
+             |  SELECT q.*, rank() OVER (ORDER BY $orderKeys) AS __graft_rank
+             |  FROM ($body) q
+             |) WHERE __graft_rank <= ${m.group(1)}""".stripMargin
+        }
+      case None => sql
+    }
 
   /** `FETCH FIRST n ROWS ONLY` → LIMIT n (Spark parses LIMIT). */
   private val FetchOnly =
@@ -129,24 +172,48 @@ object Dialect {
     sb.toString
   }
 
-  def rewrite(sql: String): String = {
-    val afterTies = sql match {
-      case FetchWithTies(body, orderKeys, n) =>
-        s"""SELECT * EXCEPT (__graft_rank) FROM (
-           |  SELECT q.*, rank() OVER (ORDER BY $orderKeys) AS __graft_rank
-           |  FROM ($body) q
-           |) WHERE __graft_rank <= $n""".stripMargin
-      case other => other
+  /** Replace every string literal's CONTENT with an index placeholder
+    * (quotes preserved) so regexes never match inside literals; the
+    * companion restores them. Placeholders use the \u0001 control character, which cannot
+    * occur in valid SQL text.
+    */
+  private def maskLiterals(sql: String): (String, Vector[String]) = {
+    val lits = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0; var inStr = false; var litStart = 0; var n = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr) {
+        sb.append(c)
+        if (c == '\'') { inStr = true; litStart = i + 1 }
+      } else if (c == '\'') {
+        lits += sql.substring(litStart, i)
+        sb.append('\u0001').append(n).append('\u0001').append('\'')
+        n += 1
+        inStr = false
+      }
+      i += 1
     }
+    (sb.toString, lits.result())
+  }
+
+  private def unmaskLiterals(sql: String, lits: Vector[String]): String =
+    """\u0001(\d+)\u0001""".r.replaceAllIn(sql,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
+  def rewrite(sql: String): String = {
+    val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
       seg => FetchOnly.replaceAllIn(seg, m => s"LIMIT ${m.group(1)}"))
     val afterUnnest = rewriteUnnest(afterFetch)
-    // AT TIME ZONE's operand may be a TIMESTAMP literal, so this one runs
-    // on the full text; its pattern requires the quoted zone to FOLLOW
-    // the keywords, which cannot occur inside a literal that the
-    // tokenizer above would have isolated
-    AtTimeZone.replaceAllIn(afterUnnest,
+    // AT TIME ZONE's operand may itself be a TIMESTAMP literal, so the
+    // rewrite runs over literal-MASKED text (a literal containing the
+    // words "AT TIME ZONE" can no longer corrupt the match) and the
+    // literals are restored afterwards
+    val (masked, lits) = maskLiterals(afterUnnest)
+    val rewritten = AtTimeZone.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))
+    unmaskLiterals(rewritten, lits)
   }
 }

@@ -64,6 +64,21 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(sql) == sql)
   }
 
+  test("WITH TIES anchors past a window ORDER BY in the final sort keys") {
+    val out = Dialect.rewrite(
+      """SELECT * FROM VALUES (1, 'x'), (2, 'x'), (3, 'y') AS t(id, grp)
+        |ORDER BY max(id) OVER (PARTITION BY grp ORDER BY id) DESC
+        |FETCH FIRST 1 ROWS WITH TIES""".stripMargin)
+    // the body/keys split must sit at the OUTER order by, keeping the
+    // window spec intact inside the rank() keys
+    assert(out.contains("rank() OVER (ORDER BY max(id) OVER (PARTITION BY grp ORDER BY id) DESC)"), out)
+  }
+
+  test("AT TIME ZONE text inside a string literal is untouched") {
+    val sql = "SELECT 'shifted AT TIME ZONE maybe' AS note FROM t"
+    assert(Dialect.rewrite(sql) == sql)
+  }
+
   test("AT TIME ZONE rewrites to from_utc_timestamp") {
     val r = spark.sql(Dialect.rewrite(
       "SELECT TIMESTAMP '2024-01-15 12:00:00' AT TIME ZONE 'America/New_York' AS x"))

@@ -25,6 +25,19 @@ class DmlSpec extends GraftSuite {
     assert(after.filter("n_regionkey = 2").count() == 0)
   }
 
+  test("UPDATE right-hand sides see pre-update values even when the predicate column is assigned") {
+    val t = scratchTable()
+    // n_regionkey is both in the predicate and assigned; n_name's RHS
+    // must still be applied for matched rows (a sequential fold would
+    // re-evaluate the predicate against the already-updated n_regionkey)
+    val updated = Dml.update(spark, t, "n_regionkey = 2",
+      Map("n_regionkey" -> "n_regionkey + 100", "n_name" -> "concat(n_name, '_Y')"))
+    val after = spark.read.parquet(t)
+    val moved = after.filter("n_regionkey = 102").collect()
+    assert(moved.length == updated && updated > 0)
+    assert(moved.forall(_.getAs[String]("n_name").endsWith("_Y")))
+  }
+
   test("UPDATE rewrites matching rows with old-row right-hand sides") {
     val t = scratchTable()
     val updated = Dml.update(spark, t, "n_regionkey = 1",

@@ -138,6 +138,21 @@ class MatchRecognizeSpec extends GraftSuite {
       Cat(List(Sym("V"), Quant(Alt(List(Sym("C"), Sym("E"))), 1, None), Sym("P"))))
   }
 
+  test("PREV beyond the retained tail fails loudly instead of matching wrong") {
+    val defs: Map[String, Ctx => Boolean] = Map(
+      "D" -> (c => c.prev(20) == null)) // deeper than default prevTail = 8
+    val ex = intercept[org.apache.spark.SparkException] {
+      MatchRecognize.oneRowPerMatch(
+        df((0 until 40).map(i => (1L, i.toLong, "a"))), Seq("k"), Seq("seq"),
+        "A D", defs ++ define,
+        measures = (key, m) => Row(key.getLong(0), m.matchNumber,
+          m.rows.head.getLong(1), m.rows.length.toLong),
+        outSchema = outSchema).collect()
+    }
+    assert(ex.getMessage.contains("prevTail") ||
+      Option(ex.getCause).exists(_.getMessage.contains("prevTail")), ex.getMessage)
+  }
+
   test("one hot key with 50k rows streams without whole-group buffering") {
     // alternating a b a b ... : every (a, b) pair matches A B → 12500
     // matches after skip-past-last; the streaming buffer never needs more
