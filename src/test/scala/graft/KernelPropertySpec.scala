@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Hashing, MinHash, QuantileSketch, ShingleHash, SimHash, SpaceSaving, Wkt}
+
+/** Randomized property checks (seeded → reproducible) for the
+  * hand-written kernels — the code most likely to hide an off-by-one,
+  * since no builtin cross-checks it (reference analog: the randomized
+  * operator tests under `core/trino-main/src/test/java/io/trino/operator/`).
+  * Pure JVM, no Spark session needed.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+  private def randWord(max: Int): String =
+    (0 until (1 + rnd.nextInt(max))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
+  test("shingle_hashes = sorted distinct FNV of every n-window (200 cases)") {
+    for (_ <- 1 to 200) {
+      val s = randWord(40)
+      val n = 1 + rnd.nextInt(5)
+      val naive = (if (s.length <= n) Seq(s)
+        else (0 to s.length - n).map(i => s.substring(i, i + n)))
+        .distinct.map { w =>
+          var h = 0xcbf29ce484222325L
+          w.foreach(c => { h ^= c.toLong; h *= 0x100000001b3L })
+          h
+        }.sorted
+      assert(ShingleHash.compute(s, n).toSeq == naive, s"s=$s n=$n")
+    }
+  }
+
+  test("minhash: element order never matters, k respected (200 cases)") {
+    for (_ <- 1 to 200) {
+      val xs = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val k = 1 + rnd.nextInt(32)
+      val a = MinHash.compute(xs, k)
+      val shuffled = rnd.shuffle(xs.toSeq).toArray
+      val b = MinHash.compute(shuffled, k)
+      assert(a.length == k && a.toSeq == b.toSeq)
+    }
+  }
+
+  test("simhash(bytes) equals per-token FNV voting (200 cases)") {
+    for (_ <- 1 to 200) {
+      val text = (0 until rnd.nextInt(12)).map(_ => randWord(8)).mkString(" ")
+      val acc = new Array[Int](64)
+      text.split(" ", -1).foreach { t =>
+        val h = Hashing.fnv64(t)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var expect = 0L
+      for (b <- 0 until 64) if (acc(b) > 0) expect |= (1L << b)
+      assert(SimHash.compute(text.getBytes("UTF-8")) == expect, s"text='$text'")
+    }
+  }
+
+  test("space-saving merge keeps every count an overestimate of the truth") {
+    for (_ <- 1 to 200) {
+      val cap = 8
+      def stream() = List.fill(rnd.nextInt(120))(s"k${rnd.nextInt(20)}")
+      val xs = stream(); val ys = stream()
+      val a = xs.foldLeft(Map.empty[String, Long])(SpaceSaving.reduce(_, _, cap))
+      val b = ys.foldLeft(Map.empty[String, Long])(SpaceSaving.reduce(_, _, cap))
+      val merged = SpaceSaving.merge(a, b, cap)
+      val truth = (xs ++ ys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      merged.foreach { case (k, est) =>
+        assert(est >= truth.getOrElse(k, 0L), s"$k: est=$est true=${truth.getOrElse(k, 0L)}")
+      }
+      assert(merged.size <= cap)
+    }
+  }
+
+  test("quantile sketch: interpolated answers within ~1% relative error") {
+    for (_ <- 1 to 100) {
+      val xs = List.fill(50 + rnd.nextInt(2000))(1.0 + rnd.nextDouble() * 1e6)
+      val q = 0.05 + rnd.nextDouble() * 0.9
+      val counts = new Array[Long](QuantileSketch.Buckets)
+      xs.foreach(v => counts(QuantileSketch.bucketOf(v)) += 1)
+      val est = QuantileSketch.valueAtQuantile(counts, q)
+      val sorted = xs.sorted
+      val exact = sorted(math.min(sorted.length - 1,
+        math.max(0, math.ceil(q * sorted.length).toInt - 1)))
+      assert(math.abs(est - exact) / exact < 0.011 + 2.0 / xs.length,
+        s"q=$q est=$est exact=$exact n=${xs.length}")
+    }
+  }
+
+  test("Wkt.distance is symmetric, non-negative, zero when intersecting") {
+    def seg() = {
+      def p() = Wkt.Pt(rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 100 - 50)
+      Wkt.LineString(Vector(p(), p()))
+    }
+    for (_ <- 1 to 500) {
+      val a = seg(); val b = seg()
+      val dab = Wkt.distance(a, b)
+      val dba = Wkt.distance(b, a)
+      assert(math.abs(dab - dba) < 1e-9, s"asymmetric: $dab vs $dba ($a, $b)")
+      assert(dab >= 0.0)
+      if (Wkt.intersects(a, b)) assert(dab == 0.0)
+    }
+  }
+}
