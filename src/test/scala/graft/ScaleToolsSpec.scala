@@ -44,4 +44,38 @@ class ScaleToolsSpec extends GraftSuite {
     assert(scan.contains("PartitionFilters") || scan.contains("o_year"), scan)
     assert(pruned.count() == orders.filter(col("o_year") === 1997).count())
   }
+
+  test("z-order write tightens per-file envelopes in BOTH dimensions") {
+    import graft.engine.Writer
+    val li = Tables.load(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val zPath = s"$base/z"; val plainPath = s"$base/plain"
+    Writer.writeZOrdered(li, zPath, "l_orderkey", "l_partkey", files = 8)
+    li.repartition(8).write.mode("overwrite").parquet(plainPath) // round-robin baseline
+
+    def avgRange(path: String, colName: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      val global = li.agg(org.apache.spark.sql.functions.max(colName)
+          .cast("double").minus(org.apache.spark.sql.functions.min(colName).cast("double")))
+        .collect().head.getDouble(0)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          org.apache.spark.sql.functions.min(colName).cast("double"),
+          org.apache.spark.sql.functions.max(colName).cast("double")).collect().head
+        (r.getDouble(1) - r.getDouble(0)) / global
+      }
+      spans.sum / spans.length
+    }
+    // z-ordered files cover a fraction of each dimension; round-robin
+    // files span essentially the whole domain in both
+    val zOrder1 = avgRange(zPath, "l_orderkey"); val zOrder2 = avgRange(zPath, "l_partkey")
+    val plain1 = avgRange(plainPath, "l_orderkey")
+    assert(zOrder1 < 0.6, s"orderkey avg file span $zOrder1")
+    assert(zOrder2 < 0.8, s"partkey avg file span $zOrder2")
+    assert(plain1 > 0.9, s"baseline should span the domain, got $plain1")
+    // rows preserved
+    assert(spark.read.parquet(zPath).count() == li.count())
+  }
 }
