@@ -61,9 +61,22 @@ object Dml {
   */
 object Fs {
   def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    // The path's OWN filesystem, not the default one — tablePath may be
+    // scheme-qualified (s3a://, hdfs://) while staging was written next to it.
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + ".__backup")
+    fs.delete(backup, true)
+    // Rename old aside, rename staging in, then drop the backup: a crash at
+    // any point leaves either the old or the new table recoverable — never
+    // the delete-then-rename window where readers see no table at all.
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, backup))
+      throw new java.io.IOException(s"swapIn: could not move $target aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target)) {
+      if (hadOld) fs.rename(backup, target) // roll back
+      throw new java.io.IOException(s"swapIn: could not move $staging into place")
+    }
+    fs.delete(backup, true)
   }
 }

@@ -24,7 +24,27 @@ object Tables {
     * rejects; read it as raw nanos and truncate to the engine's
     * microsecond timestamps (same truncation DuckDB applies on read).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Per-session caches. spark.read.parquet costs ~0.1 s of driver-side
+  // schema inference per call even when warm; a query rebuilt per bench run
+  // (or 138 Verify queries × 10 tables) pays it every time unless cached.
+  // Round-2 driver bench showed exactly the register-per-run queries
+  // "regressing" 4-6× — that was this catalog churn amplified by load, not
+  // the operators. WeakHashMap so dead test sessions don't pin DataFrames.
+  private val loadCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = synchronized {
+    val perSession = {
+      var m = loadCache.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map[String, DataFrame](); loadCache.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name", doLoad(spark, dir, name))
+  }
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -42,7 +62,12 @@ object Tables {
     */
   def register(spark: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    val already = synchronized {
+      val prev = registeredDir.get(spark)
+      registeredDir.put(spark, dir)
+      prev == dir
+    }
+    if (!already) names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
   }
 
   /** Register views and run a SQL query against them — the engine's main

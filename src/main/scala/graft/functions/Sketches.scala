@@ -152,12 +152,14 @@ class SpaceSavingAggregator(capacity: Int)
   * overloads (`MinMaxNAggregations`) — bounded top-n kept sorted in the
   * buffer, so shuffle state is O(n) per group regardless of input size.
   */
-class MinNAggregator extends Aggregator[(Double, Int), (Int, Vector[Double]), Seq[Double]] {
+class MinNAggregator extends Aggregator[(java.lang.Double, Int), (Int, Vector[Double]), Seq[Double]] {
   def zero: (Int, Vector[Double]) = (0, Vector.empty)
-  def reduce(b: (Int, Vector[Double]), a: (Double, Int)): (Int, Vector[Double]) = {
+  def reduce(b: (Int, Vector[Double]), a: (java.lang.Double, Int)): (Int, Vector[Double]) = {
+    if (a._1 == null) return b // SQL aggregates ignore nulls
+    val v = a._1.doubleValue()
     val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
-    val idx = b._2.indexWhere(_ > a._1)
-    val ins = if (idx < 0) b._2 :+ a._1 else (b._2.take(idx) :+ a._1) ++ b._2.drop(idx)
+    val idx = b._2.indexWhere(_ > v)
+    val ins = if (idx < 0) b._2 :+ v else (b._2.take(idx) :+ v) ++ b._2.drop(idx)
     (n, ins.take(n))
   }
   def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {
@@ -171,12 +173,14 @@ class MinNAggregator extends Aggregator[(Double, Int), (Int, Vector[Double]), Se
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
-class MaxNAggregator extends Aggregator[(Double, Int), (Int, Vector[Double]), Seq[Double]] {
+class MaxNAggregator extends Aggregator[(java.lang.Double, Int), (Int, Vector[Double]), Seq[Double]] {
   def zero: (Int, Vector[Double]) = (0, Vector.empty)
-  def reduce(b: (Int, Vector[Double]), a: (Double, Int)): (Int, Vector[Double]) = {
+  def reduce(b: (Int, Vector[Double]), a: (java.lang.Double, Int)): (Int, Vector[Double]) = {
+    if (a._1 == null) return b // SQL aggregates ignore nulls
+    val v = a._1.doubleValue()
     val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
-    val idx = b._2.indexWhere(_ < a._1)
-    val ins = if (idx < 0) b._2 :+ a._1 else (b._2.take(idx) :+ a._1) ++ b._2.drop(idx)
+    val idx = b._2.indexWhere(_ < v)
+    val ins = if (idx < 0) b._2 :+ v else (b._2.take(idx) :+ v) ++ b._2.drop(idx)
     (n, ins.take(n))
   }
   def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {

@@ -151,11 +151,13 @@ object TrinoAliases {
       else if (n <= 0) throw new IllegalArgumentException("N must be positive")
       else if (arr.length <= n) Seq(arr)
       else arr.sliding(n).toSeq)
-    // k-combinations in index order, capped like the reference (n ≤ 5)
+    // k-combinations in index order, capped like the reference (n ≤ 5).
+    // Enumerate INDEX combinations — Seq.combinations dedups by value, but
+    // the reference enumerates positions: ['a','a','b'] choose 2 → 3 rows.
     u.register("combinations", (arr: Seq[String], n: Int) =>
       if (arr == null) null
       else if (n < 0 || n > 5) throw new IllegalArgumentException("n must be in [0, 5]")
-      else arr.combinations(n).toSeq)
+      else arr.indices.combinations(n).map(idx => idx.map(arr)).toSeq)
 
     // --- map_union (MapUnionAggregation; first value wins on key clash —
     // the reference picks an arbitrary one) ---

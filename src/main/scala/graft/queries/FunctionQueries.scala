@@ -65,36 +65,36 @@ object FunctionQueries {
         |FROM part WHERE p_partkey <= 200""".stripMargin),
     "fn_math" -> (
       """SELECT l_orderkey, l_linenumber,
-        |abs(l_quantity - 25) AS a, ceil(l_discount * 100) AS c,
-        |floor(l_extendedprice / 1000) AS f,
+        |abs(l_quantity - 25) AS a, cast(ceil(l_discount * 100) AS bigint) AS c,
+        |cast(floor(l_extendedprice / 1000) AS bigint) AS f,
         |round(l_extendedprice, 1) AS r1,
         |round(exp(l_discount), 6) AS e, round(ln(l_quantity), 6) AS lnv,
         |round(log10(l_extendedprice), 6) AS lg10, round(log2(l_quantity), 6) AS lg2,
         |round(sqrt(l_quantity), 6) AS sq, round(cbrt(l_quantity), 6) AS cb,
         |power(l_quantity, 2) AS p2, pmod(cast(l_orderkey AS int), 7) AS m7,
-        |sign(l_discount - 0.05) AS sg,
+        |cast(sign(l_discount - 0.05) AS int) AS sg,
         |greatest(l_quantity, l_discount * 100) AS g,
         |least(l_quantity, l_discount * 100) AS lst,
         |round(sin(l_discount), 6) AS sn, round(cos(l_discount), 6) AS cs,
         |round(atan(l_discount), 6) AS at,
         |round(degrees(l_discount), 6) AS dg, round(radians(l_quantity), 6) AS rd,
-        |width_bucket(l_quantity, 0, 50, 10) AS wb
+        |cast(width_bucket(l_quantity, 0, 50, 10) AS bigint) AS wb
         |FROM lineitem WHERE l_orderkey <= 300""".stripMargin,
       """SELECT l_orderkey, l_linenumber,
-        |abs(l_quantity - 25) AS a, ceil(l_discount * 100) AS c,
-        |floor(l_extendedprice / 1000) AS f,
+        |abs(l_quantity - 25) AS a, cast(ceil(l_discount * 100) AS bigint) AS c,
+        |cast(floor(l_extendedprice / 1000) AS bigint) AS f,
         |round(l_extendedprice, 1) AS r1,
         |round(exp(l_discount), 6) AS e, round(ln(l_quantity), 6) AS lnv,
         |round(log10(l_extendedprice), 6) AS lg10, round(log2(l_quantity), 6) AS lg2,
         |round(sqrt(l_quantity), 6) AS sq, round(cbrt(l_quantity), 6) AS cb,
         |power(l_quantity, 2) AS p2, (l_orderkey::int % 7) AS m7,
-        |sign(l_discount - 0.05) AS sg,
+        |cast(sign(l_discount - 0.05) AS int) AS sg,
         |greatest(l_quantity, l_discount * 100) AS g,
         |least(l_quantity, l_discount * 100) AS lst,
         |round(sin(l_discount), 6) AS sn, round(cos(l_discount), 6) AS cs,
         |round(atan(l_discount), 6) AS at,
         |round(degrees(l_discount), 6) AS dg, round(radians(l_quantity), 6) AS rd,
-        |least(greatest(floor((l_quantity - 0) / 5.0)::bigint + 1, 0), 11) AS wb
+        |cast(least(greatest(floor((l_quantity - 0) / 5.0)::bigint + 1, 0), 11) AS bigint) AS wb
         |FROM lineitem WHERE l_orderkey <= 300""".stripMargin),
     "fn_datetime" -> (
       """SELECT o_orderkey,

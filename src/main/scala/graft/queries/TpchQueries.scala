@@ -113,8 +113,8 @@ object TpchQueries {
       // days after order date and linestatus stands in for shipmode
       "tpch_q12" -> both(
         """SELECT l_linestatus AS shipmode,
-          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+          |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+          |  cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS bigint) AS low_line_count
           |FROM orders, lineitem
           |WHERE o_orderkey = l_orderkey
           |  AND l_shipdate > o_orderdate + INTERVAL_30D

@@ -74,7 +74,12 @@ object EventStream {
               }
             }.get
             state.update(merged)
-            state.setTimeoutTimestamp(merged.last + gapSeconds * 1000)
+            // Clamp above the current watermark: a gap smaller than the
+            // watermark delay (or a late-but-admitted event) would otherwise
+            // compute a timeout at-or-before the watermark and Spark throws,
+            // failing the whole batch.
+            state.setTimeoutTimestamp(
+              math.max(merged.last + gapSeconds * 1000, state.getCurrentWatermarkMs + 1))
             val closedOut = closed.result().iterator.map(s =>
               SessionUpdate(userId, s.n, new Timestamp(s.start),
                 new Timestamp(s.last), expired = true))

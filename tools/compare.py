@@ -11,13 +11,22 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
-import datetime
+import datetime, decimal
 def norm(v):
+    # Type-tagged renders: the driver hashes RENDERED values (via pandas),
+    # so Spark BIGINT 5 vs DuckDB DOUBLE 5.0 (ceil/floor/sign) and DuckDB
+    # HUGEINT (arrow decimal128 -> pandas float64) MUST mismatch here too.
+    # Round-2 lesson: 9-sig-digit numeric normalization alone under-detects.
+    if isinstance(v, bool): return "b:" + str(v)
     if isinstance(v, datetime.datetime): return "dt:" + v.isoformat()
     if isinstance(v, datetime.date): return "d:" + v.isoformat()
+    if isinstance(v, decimal.Decimal):  # DuckDB HUGEINT/decimal -> pandas float64 on the driver
+        return norm(float(v))
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return round(v, 9) if abs(v) < 1 else round(v, max(0, 9 - int(math.log10(abs(v)))))
+        if math.isnan(v): return "f:NaN"
+        r = round(v, 9) if abs(v) < 1 else round(v, max(0, 9 - int(math.log10(abs(v)))))
+        return "f:" + repr(r)
+    if isinstance(v, int): return "i:" + str(v)
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     if isinstance(v, dict): return tuple(sorted((k, norm(x)) for k, x in v.items()))
     if isinstance(v, bytes): return v.hex()
