@@ -105,6 +105,23 @@ class HllMergeAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte
   * state per group to O(capacity) with the classic ±(n/capacity) error.
   */
 object SpaceSaving {
+  /** In-place per-row update on a mutable buffer: O(1) for seen keys, one
+    * O(capacity) min-scan only on eviction, zero per-row allocation (the
+    * round-2 immutable buffer rebuilt a persistent Map per evicting row).
+    */
+  def reduceMut(m: mutable.HashMap[String, Long], a: String, capacity: Int): mutable.HashMap[String, Long] = {
+    if (a == null) return m
+    val cur = m.getOrElse(a, -1L)
+    if (cur >= 0L) m.update(a, cur + 1L)
+    else if (m.size < capacity) m.update(a, 1L)
+    else {
+      var minK: String = null; var minV = Long.MaxValue
+      m.foreach { case (k, v) => if (v < minV) { minK = k; minV = v } }
+      m.remove(minK); m.update(a, minV + 1L)
+    }
+    m
+  }
+
   def reduce(b: Map[String, Long], a: String, capacity: Int): Map[String, Long] = {
     if (a == null) return b
     b.get(a) match {
@@ -135,15 +152,15 @@ object SpaceSaving {
 }
 
 class SpaceSavingAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-  def zero: Map[String, Long] = Map.empty
-  def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    SpaceSaving.reduce(b, a, capacity)
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    SpaceSaving.merge(a, b, capacity)
-  def finish(r: Map[String, Long]): Map[String, Long] = r
-  def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+  def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  def reduce(b: mutable.HashMap[String, Long], a: String): mutable.HashMap[String, Long] =
+    SpaceSaving.reduceMut(b, a, capacity)
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    mutable.HashMap.from(SpaceSaving.merge(a.toMap, b.toMap, capacity))
+  def finish(r: mutable.HashMap[String, Long]): Map[String, Long] = r.toMap
+  def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
@@ -199,20 +216,20 @@ class MaxNAggregator extends Aggregator[(java.lang.Double, Int), (Int, Vector[Do
   * count as a call argument; k is constant per call, read off the rows).
   */
 class SpaceSavingKAggregator
-    extends Aggregator[(String, Int), (Int, Map[String, Long]), Map[String, Long]] {
-  def zero: (Int, Map[String, Long]) = (0, Map.empty)
-  def reduce(b: (Int, Map[String, Long]), a: (String, Int)): (Int, Map[String, Long]) = {
+    extends Aggregator[(String, Int), (Int, mutable.HashMap[String, Long]), Map[String, Long]] {
+  def zero: (Int, mutable.HashMap[String, Long]) = (0, mutable.HashMap.empty)
+  def reduce(b: (Int, mutable.HashMap[String, Long]), a: (String, Int)): (Int, mutable.HashMap[String, Long]) = {
     val cap = if (b._1 > 0) b._1 else math.max(a._2, 1)
-    (cap, SpaceSaving.reduce(b._2, a._1, cap))
+    (cap, SpaceSaving.reduceMut(b._2, a._1, cap))
   }
-  def merge(a: (Int, Map[String, Long]), b: (Int, Map[String, Long])): (Int, Map[String, Long]) = {
+  def merge(a: (Int, mutable.HashMap[String, Long]), b: (Int, mutable.HashMap[String, Long])): (Int, mutable.HashMap[String, Long]) = {
     val cap = math.max(a._1, b._1)
-    if (cap == 0) (0, Map.empty)
-    else (cap, SpaceSaving.merge(a._2, b._2, cap))
+    if (cap == 0) (0, mutable.HashMap.empty)
+    else (cap, mutable.HashMap.from(SpaceSaving.merge(a._2.toMap, b._2.toMap, cap)))
   }
-  def finish(r: (Int, Map[String, Long])): Map[String, Long] = r._2
-  def bufferEncoder: Encoder[(Int, Map[String, Long])] =
-    Encoders.kryo[(Int, Map[String, Long])]
+  def finish(r: (Int, mutable.HashMap[String, Long])): Map[String, Long] = r._2.toMap
+  def bufferEncoder: Encoder[(Int, mutable.HashMap[String, Long])] =
+    Encoders.kryo[(Int, mutable.HashMap[String, Long])]
   def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

@@ -118,7 +118,12 @@ object MatchRecognize extends Serializable {
     * match start); `next` pulls ahead from the stream on demand. Both
     * return null past the partition edge.
     */
-  final class Ctx private[MatchRecognize] (buf: StreamBuf, idx: Int) {
+  final class Ctx private[MatchRecognize] (buf: StreamBuf) {
+    // One Ctx is REUSED across all predicate calls of a group (the matcher
+    // sets `idx` before each call) — valid only for the duration of the
+    // DEFINE call, like the reference's evaluation context. Hot-loop
+    // allocation profile: zero objects per probed row.
+    private[MatchRecognize] var idx: Int = 0
     def row: Row = buf.get(idx)
     def prev(n: Int = 1): Row =
       if (idx - n < 0) null // true partition edge
@@ -220,13 +225,28 @@ object MatchRecognize extends Serializable {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
     sorted.mapPartitions { it =>
-      def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+      // group-boundary check without per-row Seq allocation
+      def sameKey(a: Row, b: Row): Boolean = {
+        var j = 0
+        while (j < keyIdx.length) {
+          val x = a.get(keyIdx(j)); val y = b.get(keyIdx(j))
+          if (!(if (x == null) y == null else x.equals(y))) return false
+          j += 1
+        }
+        true
+      }
 
       def matchGroup(keyRow: Row, group: Iterator[Row]): Iterator[Row] = {
         val buf = new StreamBuf(group)
+        val ctx = new Ctx(buf) // reused: zero allocations per probe
+        val defs = new java.util.HashMap[String, Ctx => Boolean]()
+        define.foreach { case (k, v) => defs.put(k, v) }
 
-        def pred(sym: String, i: Int): Boolean =
-          buf.ensure(i) && define.get(sym).forall(_(new Ctx(buf, i)))
+        def pred(sym: String, i: Int): Boolean = {
+          if (!buf.ensure(i)) return false
+          val d = defs.get(sym)
+          d == null || { ctx.idx = i; d(ctx) }
+        }
 
         // Greedy backtracking matcher in CPS; first success = the
         // leftmost-greedy match (reference NFA preference order).
@@ -290,9 +310,8 @@ object MatchRecognize extends Serializable {
         private def refill(): Unit =
           while (!out.hasNext && lookahead != null) {
             val keyRow = lookahead
-            val key = keyOf(keyRow)
             val group = new Iterator[Row] {
-              def hasNext: Boolean = lookahead != null && keyOf(lookahead) == key
+              def hasNext: Boolean = lookahead != null && sameKey(lookahead, keyRow)
               def next(): Row = {
                 val r = lookahead
                 lookahead = if (it.hasNext) it.next() else null
