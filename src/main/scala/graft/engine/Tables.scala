@@ -77,6 +77,9 @@ object Tables {
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    spark.sql(graft.sqlcompat.Dialect.rewrite(query))
+    // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower to
+    // the row-pattern operator and re-enter the query as a temp view
+    val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
+    spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
   }
 }

@@ -88,123 +88,79 @@ object EventQueries {
     // pattern V C+ P (view, 1+ clicks, purchase) per user, ONE ROW PER
     // MATCH, SKIP PAST LAST ROW — the reference's row-pattern operator
     // re-expressed as groupByKey+flatMapGroups
-    "mr_funnel" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      import graft.operators.MatchRecognize
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      val outSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("match_num", LongType),
-        StructField("start_ts", TimestampType), StructField("end_ts", TimestampType),
-        StructField("n_clicks", LongType)))
-      def typeIs(t: String)(c: MatchRecognize.Ctx) =
-        c.row.getAs[String]("event_type") == t
-      MatchRecognize.oneRowPerMatch(
-        e,
-        partitionCols = Seq("user_id"),
-        orderCols = Seq("ts", "event_id"),
-        pattern = "V C+ P",
-        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
-        measures = (key, m) => org.apache.spark.sql.Row(
-          key.getAs[Long]("user_id"), m.matchNumber,
-          m.rows.head.getAs[java.sql.Timestamp]("ts"),
-          m.rows.last.getAs[java.sql.Timestamp]("ts"),
-          m.rowsOf("C").length.toLong),
-        outSchema = outSchema)
-    }),
+    "mr_funnel" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, start_ts, end_ts, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num,
+        |           FIRST(ts) AS start_ts,
+        |           LAST(ts) AS end_ts,
+        |           count(C.*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS event_type = 'view',
+        |         C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)),
 
     // MATCH_RECOGNIZE with alternation: V (C|E)+ P — clicks OR errors
     // between view and purchase (pattern parser: grouping + `|`)
-    "mr_alternation" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      import graft.operators.MatchRecognize
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      val outSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("match_num", LongType),
-        StructField("n_mid", LongType)))
-      def typeIs(t: String)(c: MatchRecognize.Ctx) =
-        c.row.getAs[String]("event_type") == t
-      MatchRecognize.oneRowPerMatch(
-        e,
-        partitionCols = Seq("user_id"),
-        orderCols = Seq("ts", "event_id"),
-        pattern = "V (C|E)+ P",
-        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"),
-          "E" -> typeIs("error"), "P" -> typeIs("purchase")),
-        measures = (key, m) => org.apache.spark.sql.Row(
-          key.getAs[Long]("user_id"), m.matchNumber,
-          (m.rows.length - 2).toLong),
-        outSchema = outSchema)
-    }),
+    "mr_alternation" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, n_mid
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num, count(*) - 2 AS n_mid
+        |  ONE ROW PER MATCH
+        |  PATTERN (V (C|E)+ P)
+        |  DEFINE V AS event_type = 'view',
+        |         C AS event_type = 'click',
+        |         E AS event_type = 'error',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)),
 
     // ALL ROWS PER MATCH: every matched row with its CLASSIFIER()
-    "mr_all_rows" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      import graft.operators.MatchRecognize
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      val outSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("event_id", LongType),
-        StructField("cls", StringType), StructField("match_num", LongType)))
-      def typeIs(t: String)(c: MatchRecognize.Ctx) =
-        c.row.getAs[String]("event_type") == t
-      MatchRecognize.allRowsPerMatch(
-        e,
-        partitionCols = Seq("user_id"),
-        orderCols = Seq("ts", "event_id"),
-        pattern = "V C+ P",
-        define = Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
-        rowMeasures = (key, m, i) => org.apache.spark.sql.Row(
-          key.getAs[Long]("user_id"), m.rows(i).getAs[Long]("event_id"),
-          m.classifier(i), m.matchNumber),
-        outSchema = outSchema)
-    }),
+    "mr_all_rows" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, event_id, cls, match_num
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_num
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS event_type = 'view',
+        |         C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)),
 
     // PREV navigation in DEFINE: maximal strictly-ascending value runs
     // (R defined as value > PREV(value), physical-row navigation)
-    "mr_prev_runs" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      import graft.operators.MatchRecognize
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      val outSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("match_num", LongType),
-        StructField("n_rows", LongType)))
-      MatchRecognize.oneRowPerMatch(
-        e,
-        partitionCols = Seq("user_id"),
-        orderCols = Seq("ts", "event_id"),
-        pattern = "S R+",
-        define = Map("R" -> (c => {
-          val p = c.prev(1)
-          p != null && c.row.getAs[Double]("value") > p.getAs[Double]("value")
-        })),
-        measures = (key, m) => org.apache.spark.sql.Row(
-          key.getAs[Long]("user_id"), m.matchNumber, m.rows.length.toLong),
-        outSchema = outSchema)
-    }),
+    "mr_prev_runs" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, n_rows
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num, count(*) AS n_rows
+        |  ONE ROW PER MATCH
+        |  PATTERN (S R+)
+        |  DEFINE R AS value > PREV(value)
+        |)""".stripMargin)),
 
     // AFTER MATCH SKIP TO NEXT ROW: overlapping consecutive click pairs
-    "mr_skip_next" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      import graft.operators.{MatchRecognize => MR}
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      val outSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("start_event", LongType)))
-      def typeIs(t: String)(c: MR.Ctx) = c.row.getAs[String]("event_type") == t
-      MR.oneRowPerMatch(
-        e,
-        partitionCols = Seq("user_id"),
-        orderCols = Seq("ts", "event_id"),
-        pattern = "C C2",
-        define = Map("C" -> typeIs("click"), "C2" -> typeIs("click")),
-        measures = (key, m) => org.apache.spark.sql.Row(
-          key.getAs[Long]("user_id"), m.rows.head.getAs[Long]("event_id")),
-        outSchema = outSchema,
-        afterMatchSkip = MR.SkipToNextRow)
-    }),
+    "mr_skip_next" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, start_event
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(event_id) AS start_event
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (C C2)
+        |  DEFINE C AS event_type = 'click',
+        |         C2 AS event_type = 'click'
+        |)""".stripMargin)),
 
     // JSON property extraction + aggregation (props is a JSON string)
     "evt_json_agg" -> ((s, dir) => {

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine.Tables
+import graft.sqlcompat.MatchRecognizeSql
+
+/** SQL-text MATCH_RECOGNIZE (reference grammar `SqlBase.g4:329-331`):
+  * the Trino spelling parsed + lowered onto the row-pattern operator,
+  * cross-checked against the equivalent direct API calls.
+  */
+class MatchRecognizeSqlSpec extends GraftSuite {
+
+  private def sql(q: String) = Tables.sql(spark, sfTiny, q)
+
+  test("ONE ROW PER MATCH funnel: SQL spelling matches API result") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MatchRecognize
+    val viaSql = sql(
+      """SELECT user_id, match_num, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num, count(C.*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |         P AS event_type = 'purchase')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val e = Tables.load(spark, sfTiny, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+    def typeIs(t: String)(c: MatchRecognize.Ctx) = c.row.getAs[String]("event_type") == t
+    val viaApi = MatchRecognize.oneRowPerMatch(
+      e, Seq("user_id"), Seq("ts", "event_id"), "V C+ P",
+      Map("V" -> typeIs("view"), "C" -> typeIs("click"), "P" -> typeIs("purchase")),
+      (key, m) => Row(key.getAs[Long]("user_id"), m.matchNumber, m.rowsOf("C").length.toLong),
+      StructType(Seq(StructField("user_id", LongType), StructField("match_num", LongType),
+        StructField("n_clicks", LongType))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+  }
+
+  test("ALL ROWS PER MATCH exposes input columns plus measures") {
+    val rows = sql(
+      """SELECT user_id, event_id, cls, match_num
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_num
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase')""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(2)).toSet == Set("V", "P"))
+  }
+
+  test("DEFINE with PREV navigation and arithmetic") {
+    val runs = sql(
+      """SELECT user_id, n_rows
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES count(*) AS n_rows
+        |  ONE ROW PER MATCH
+        |  PATTERN (S R+)
+        |  DEFINE R AS value > PREV(value) + 0.0)""".stripMargin).collect()
+    assert(runs.nonEmpty)
+    assert(runs.forall(_.getLong(1) >= 2)) // S plus at least one R
+  }
+
+  test("subquery input relation and AFTER MATCH SKIP TO NEXT ROW") {
+    val rows = sql(
+      """SELECT user_id, start_event
+        |FROM (SELECT * FROM events WHERE event_type IN ('click', 'view'))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES FIRST(event_id) AS start_event
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (C C2)
+        |  DEFINE C AS event_type = 'click', C2 AS event_type = 'click')""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("outer query can aggregate over the MATCH_RECOGNIZE view") {
+    val agg = sql(
+      """SELECT count(*) AS n_funnels, max(n_clicks) AS most_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES count(C.*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |         P AS event_type = 'purchase')""".stripMargin).collect().head
+    assert(agg.getLong(0) > 0 && agg.getLong(1) >= 1)
+  }
+
+  test("measures: FIRST/LAST values and symbol-qualified column refs") {
+    val rows = sql(
+      """SELECT user_id, start_ts, end_ts, p_event
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES FIRST(ts) AS start_ts, LAST(ts) AS end_ts,
+        |           P.event_id AS p_event
+        |  ONE ROW PER MATCH
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase')""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getTimestamp(1).after(r.getTimestamp(2))))
+  }
+
+  test("unsupported constructs raise descriptive errors") {
+    val e1 = intercept[Exception](sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(*) AS n ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO FIRST C
+        |  PATTERN (C) DEFINE C AS event_type = 'click')""".stripMargin).collect())
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[Exception](sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(*) AS n ONE ROW PER MATCH
+        |  PATTERN (C) SUBSET U = (C) DEFINE C AS event_type = 'click')""".stripMargin).collect())
+    assert(e2.getMessage.contains("SUBSET"))
+  }
+}
