@@ -68,6 +68,23 @@ object SparkEntry {
           |  SELECT l_returnflag, qdigest_agg(l_extendedprice) AS sk
           |  FROM lineitem GROUP BY l_returnflag))""".stripMargin)
     }),
+    // SetDigest sketch-as-value (reference SetDigestFunctions.java):
+    // per-language token digests, pairwise similarity from the sketches
+    // alone — estimates, so rows-only (accuracy bounded in SetDigestSpec)
+    "sketch_setdigest" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH tok AS (
+          |  SELECT lang, explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS token
+          |  FROM documents),
+          |dig AS (SELECT lang, make_set_digest(token) AS d FROM tok GROUP BY lang)
+          |SELECT a.lang AS lang_a, b.lang AS lang_b,
+          |  set_digest_cardinality(a.d) AS card_a,
+          |  round(jaccard_index(a.d, b.d), 3) AS jac,
+          |  intersection_cardinality(a.d, b.d) AS est_common
+          |FROM dig a JOIN dig b ON a.lang < b.lang
+          |ORDER BY lang_a, lang_b""".stripMargin)
+    }),
     // multimodal decode pipeline (operators.Multimodal): binary payloads →
     // typed metadata + feature vectors via partition-wise stub decode
     "mm_decode" -> ((s, dir) => graft.operators.Multimodal.pipeline(s, dir)),

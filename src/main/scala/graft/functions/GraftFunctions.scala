@@ -265,6 +265,17 @@ object GraftFunctions {
     u.register("merge_hll", udaf(new HllMergeAggregator))
     u.register("hll_cardinality", (sketch: Array[Byte]) =>
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
+    // SetDigest family (reference core/trino-main/.../type/setdigest/
+    // SetDigestFunctions.java): mergeable HLL + bottom-k minhash as a value
+    u.register("make_set_digest", udaf(new SetDigestAggregator))
+    u.register("merge_set_digest", udaf(new SetDigestMergeAggregator))
+    u.register("set_digest_cardinality", (d: Array[Byte]) =>
+      if (d == null) null else java.lang.Long.valueOf(SetDigest.cardinality(d)))
+    u.register("jaccard_index", (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null else java.lang.Double.valueOf(SetDigest.jaccard(a, b)))
+    u.register("intersection_cardinality", (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Long.valueOf(SetDigest.intersectionCardinality(a, b)))
     u.register("approx_top_k", udaf(new SpaceSavingAggregator(64)))
     u.register("approx_most_frequent", udaf(new SpaceSavingKAggregator))
     u.register("min_n", udaf(new MinNAggregator))
