@@ -304,6 +304,7 @@ object GraftFunctions {
     SimHash64Expr.install(spark)
     MinHashExpr.install(spark)
     TryExpr.install(spark)
+    org.apache.spark.sql.graft.RegexpReplaceLambda.install(spark)
   }
 
   private def erf(x: Double): Double = {

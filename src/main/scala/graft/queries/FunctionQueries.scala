@@ -63,6 +63,23 @@ object FunctionQueries {
         |regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
         |len(string_split(p_name, ' ')) AS n_tokens
         |FROM part WHERE p_partkey <= 200""".stripMargin),
+    // lambda-replacement regexp_replace (reference
+    // JoniRegexpReplaceLambdaFunction.java:40): the lambda sees the
+    // capturing groups per match; oracle states the same transforms with
+    // DuckDB backreference syntax. (Note: group arrays index 0-based here
+    // vs the reference's 1-based ARRAY — documented dialect divergence.)
+    "fn_regex_lambda" -> (
+      """SELECT p_partkey,
+        |regexp_replace(p_name, '([aeiou]+)', g -> concat('<', g[0], '>')) AS vowels_marked,
+        |regexp_replace(p_name, '([a-z]+) ([a-z]+)', g -> concat(g[1], ' ', g[0])) AS word_swapped,
+        |regexp_replace(p_name, '([a-z])([a-z]*)( ?)', g -> concat(upper(g[0]), g[1], g[2])) AS title_cased
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+      """SELECT p_partkey,
+        |regexp_replace(p_name, '([aeiou]+)', '<\1>', 'g') AS vowels_marked,
+        |regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\2 \1', 'g') AS word_swapped,
+        |list_aggregate(list_transform(string_split(p_name, ' '),
+        |  w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS title_cased
+        |FROM part WHERE p_partkey <= 200""".stripMargin),
     "fn_math" -> (
       """SELECT l_orderkey, l_linenumber,
         |abs(l_quantity - 25) AS a, cast(ceil(l_discount * 100) AS bigint) AS c,
