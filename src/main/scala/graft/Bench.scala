@@ -27,7 +27,7 @@ object Bench {
     val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

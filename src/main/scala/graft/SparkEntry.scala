@@ -68,6 +68,19 @@ object SparkEntry {
           |  SELECT l_returnflag, qdigest_agg(l_extendedprice) AS sk
           |  FROM lineitem GROUP BY l_returnflag))""".stripMargin)
     }),
+    // tdigest proper (reference TDigestAggregationFunction.java): build
+    // per-group, merge across groups, read tail quantiles from the merged
+    // digest — estimates, rows-only (error bounds asserted in TDigestSpec)
+    "sketch_tdigest" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT round(tdigest_value_at_quantile(m, 0.5), 2) AS p50,
+          |round(tdigest_value_at_quantile(m, 0.95), 2) AS p95,
+          |round(tdigest_value_at_quantile(m, 0.99), 2) AS p99
+          |FROM (SELECT merge_tdigest(sk) AS m FROM (
+          |  SELECT l_returnflag, tdigest_agg(l_extendedprice) AS sk
+          |  FROM lineitem GROUP BY l_returnflag))""".stripMargin)
+    }),
     // SetDigest sketch-as-value (reference SetDigestFunctions.java):
     // per-language token digests, pairwise similarity from the sketches
     // alone — estimates, so rows-only (accuracy bounded in SetDigestSpec)

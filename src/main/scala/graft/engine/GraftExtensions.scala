@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64_native", es => SimHash64Expr(es.head))
     inject("minhash", es => MinHashExpr(es(0), es(1)))
     inject("try", es => TryExpr(es.head))
+    // reduce_agg needs parse-time resolution — see GraftSqlParser scaladoc
+    ext.injectParser((_, parser) => new org.apache.spark.sql.graft.GraftSqlParser(parser))
   }
 }

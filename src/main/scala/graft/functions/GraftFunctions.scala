@@ -288,6 +288,14 @@ object GraftFunctions {
     u.register("learn_classifier", udaf(new NearestCentroidAggregator))
     u.register("classify", (x: Seq[Double], model: Map[String, Seq[Double]]) =>
       Centroids.classify(x, model))
+    // tdigest proper (TDigestAggregationFunction.java; centroid digest
+    // with tail-concentrated accuracy — distinct from the log-histogram
+    // qdigest below)
+    u.register("tdigest_agg", udaf(new TDigestAggregator))
+    u.register("merge_tdigest", udaf(new TDigestMergeAggregator))
+    u.register("tdigest_value_at_quantile", (sketch: Array[Byte], q: Double) =>
+      if (sketch == null) null
+      else java.lang.Double.valueOf(TDigest.valueAtQuantile(sketch, q)))
     u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
     u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>
@@ -305,6 +313,7 @@ object GraftFunctions {
     MinHashExpr.install(spark)
     TryExpr.install(spark)
     org.apache.spark.sql.graft.RegexpReplaceLambda.install(spark)
+    org.apache.spark.sql.graft.ReduceAgg.install(spark)
   }
 
   private def erf(x: Double): Double = {

@@ -80,6 +80,22 @@ object FunctionQueries {
         |list_aggregate(list_transform(string_split(p_name, ' '),
         |  w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS title_cased
         |FROM part WHERE p_partkey <= 200""".stripMargin),
+    // reduce_agg as a REGISTERED aggregate (reference
+    // ReduceAggregationFunction.java) — lambdas chosen so the fold is
+    // exactly reproducible (integer-valued doubles; associative ops),
+    // letting plain SQL aggregates serve as the oracle
+    "agg_reduce_agg" -> (
+      """SELECT l_returnflag,
+        |reduce_agg(l_quantity, cast(0 AS double), (s, x) -> s + x * x, (a, b) -> a + b) AS sum_sq,
+        |reduce_agg(l_quantity, cast(0 AS double), (s, x) -> greatest(s, x), (a, b) -> greatest(a, b)) AS max_q,
+        |reduce_agg(cast(l_linenumber AS bigint), cast(0 AS bigint),
+        |  (s, x) -> s | shiftleft(1, cast(x AS int)), (a, b) -> a | b) AS line_mask
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |sum(l_quantity * l_quantity) AS sum_sq,
+        |max(l_quantity) AS max_q,
+        |cast(bit_or((1::bigint << l_linenumber::int)) AS bigint) AS line_mask
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
     "fn_math" -> (
       """SELECT l_orderkey, l_linenumber,
         |abs(l_quantity - 25) AS a, cast(ceil(l_discount * 100) AS bigint) AS c,
