@@ -66,6 +66,17 @@ object GeoFunctions {
       java.lang.Boolean.valueOf(Wkt.intersects(Wkt.parse(a), Wkt.parse(b))))
     u.register("st_distance_wkt", (a: String, b: String) =>
       Wkt.distance(Wkt.parse(a), Wkt.parse(b)))
+    // constructive tranche (GeoFunctions.java:397/843/1236) — see
+    // GeoConstructive scaladoc for the supported input classes
+    u.register("st_intersection", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else Wkt.write(GeoConstructive.intersection(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_union", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else Wkt.write(GeoConstructive.union(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_buffer", (g: String, r: Double) =>
+      if (g == null) null
+      else Wkt.write(GeoConstructive.buffer(Wkt.parse(g), r)))
     // great-circle distance in meters over (lon, lat) degrees — the
     // geographic half of the reference's SphericalGeoFunctions
     // (ST_Distance on SphericalGeography); haversine on the mean radius
@@ -91,6 +102,9 @@ object Wkt extends Serializable {
   final case class Point(p: Pt) extends Geom
   final case class LineString(pts: Vector[Pt]) extends Geom
   final case class Polygon(rings: Vector[Vector[Pt]]) extends Geom
+  final case class MultiPoint(pts: Vector[Pt]) extends Geom
+  final case class MultiPolygon(polys: Vector[Polygon]) extends Geom
+  case object EmptyGeom extends Geom
 
   def fmt(d: Double): String =
     if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
@@ -122,6 +136,23 @@ object Wkt extends Serializable {
           case _ =>
         }
         Polygon(rings.result())
+      case "MULTIPOINT" =>
+        // both spellings: MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        MultiPoint(coords(inner.replace("(", " ").replace(")", " ")))
+      case "MULTIPOLYGON" =>
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val polys = Vector.newBuilder[Polygon]
+        var depth = 0; var start = -1
+        for (i <- inner.indices) inner.charAt(i) match {
+          case '(' => if (depth == 0) start = i; depth += 1
+          case ')' => depth -= 1
+            if (depth == 0) polys += parse("POLYGON " + inner.substring(start, i + 1))
+              .asInstanceOf[Polygon]
+          case _ =>
+        }
+        MultiPolygon(polys.result())
+      case "GEOMETRYCOLLECTION" if body.replaceAll("[()\\s]", "").isEmpty => EmptyGeom
       case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
     }
   }
@@ -131,12 +162,22 @@ object Wkt extends Serializable {
     case LineString(ps) => "LINESTRING (" + ps.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
     case Polygon(rs) =>
       "POLYGON (" + rs.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")").mkString(", ") + ")"
+    case MultiPoint(ps) =>
+      "MULTIPOINT (" + ps.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
+    case MultiPolygon(polys) =>
+      "MULTIPOLYGON (" + polys.map(pg =>
+        pg.rings.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")")
+          .mkString("(", ", ", ")")).mkString(", ") + ")"
+    case EmptyGeom => "GEOMETRYCOLLECTION EMPTY"
   }
 
   def npoints(g: Geom): Int = g match {
     case Point(_) => 1
     case LineString(ps) => ps.length
     case Polygon(rs) => rs.map(_.length).sum
+    case MultiPoint(ps) => ps.length
+    case MultiPolygon(polys) => polys.map(npoints).sum
+    case EmptyGeom => 0
   }
 
   /** Shoelace area of one ring (absolute). */
@@ -148,6 +189,7 @@ object Wkt extends Serializable {
 
   def area(g: Geom): Double = g match {
     case Polygon(rs) if rs.nonEmpty => ringArea(rs.head) - rs.tail.map(ringArea).sum
+    case MultiPolygon(polys) => polys.map(area).sum
     case _ => 0.0
   }
 

@@ -211,6 +211,27 @@ object ExtendedQueries {
         |FROM nation""".stripMargin),
     // geo scalars: distance + ray-cast polygon containment (square,
     // off-boundary points, so the oracle states it as range checks)
+    // constructive geometry (GeoConstructive: Greiner–Hormann clipping +
+    // Minkowski buffer): rectangles built from nation coords cross
+    // properly (two edge intersections, no shared vertices), so the
+    // clipped areas have closed-form oracles
+    "geo_constructive" -> (
+      """SELECT n_nationkey,
+        |round(st_area(st_intersection(ra, rb)), 6) AS inter_area,
+        |round(st_area(st_union(ra, rb)), 6) AS union_area,
+        |round(st_area(st_buffer(st_point(cast(n_nationkey AS double), cast(n_regionkey AS double)), 1.0)), 6) AS buf_area
+        |FROM (
+        |  SELECT n_nationkey, n_regionkey,
+        |    concat('POLYGON ((0 0, ', xa, ' 0, ', xa, ' ', ya, ', 0 ', ya, ', 0 0))') AS ra,
+        |    concat('POLYGON ((1 1, ', xa + 1, ' 1, ', xa + 1, ' ', ya + 1, ', 1 ', ya + 1, ', 1 1))') AS rb
+        |  FROM (SELECT n_nationkey, n_regionkey,
+        |        n_nationkey + 2 AS xa, n_regionkey + 2 AS ya FROM nation))""".stripMargin,
+      """SELECT n_nationkey,
+        |round(((n_nationkey + 1) * (n_regionkey + 1))::double, 6) AS inter_area,
+        |round((2.0 * (n_nationkey + 2) * (n_regionkey + 2)
+        |  - (n_nationkey + 1) * (n_regionkey + 1))::double, 6) AS union_area,
+        |round(32 * sin(pi() / 32), 6) AS buf_area
+        |FROM nation""".stripMargin),
     "geo_scalars" -> (
       """SELECT n_nationkey,
         |round(st_distance(n_nationkey + 0.5, n_regionkey + 0.5, 0.0, 0.0), 6) AS d_origin,
