@@ -77,9 +77,13 @@ object Tables {
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower to
-    // the row-pattern operator and re-enter the query as a temp view
-    val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
-    spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
+    // session statements (SET SESSION / PREPARE / EXECUTE / DESCRIBE
+    // OUTPUT) short-circuit before the query path
+    graft.sqlcompat.Statements.dispatch(spark, q => sql(spark, dir, q), query).getOrElse {
+      // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower
+      // to the row-pattern operator and re-enter the query as a temp view
+      val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
+      spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
+    }
   }
 }

@@ -275,6 +275,20 @@ object ExtendedQueries {
         |string_agg(n_nationkey || ':' || n_name, ',' ORDER BY n_nationkey) AS kv_csv
         |FROM nation GROUP BY n_regionkey""".stripMargin))
 
-  val queries: Map[String, Q] = defs.map { case (k, (sparkSql, _)) => k -> q(sparkSql) }
-  val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck }
+  val queries: Map[String, Q] = defs.map { case (k, (sparkSql, _)) => k -> q(sparkSql) } ++ Map[String, Q](
+    // session-statement surface (SqlBase.g4:153-157): PREPARE registers
+    // the parameterized text, EXECUTE binds positional ? params and runs
+    // through the full dialect path — the oracle states the bound query
+    "stmt_prepare_execute" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "PREPARE q_nat FROM SELECT n_name, n_nationkey FROM nation " +
+          "WHERE n_nationkey < ? AND n_name LIKE ? ORDER BY n_nationkey")
+      Tables.sql(s, dir, "EXECUTE q_nat USING 10, 'NATION%'")
+    }))
+
+  val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
+    "stmt_prepare_execute" ->
+      """SELECT n_name, n_nationkey FROM nation
+        |WHERE n_nationkey < 10 AND n_name LIKE 'NATION%'
+        |ORDER BY n_nationkey""".stripMargin)
 }

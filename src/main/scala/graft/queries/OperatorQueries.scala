@@ -84,6 +84,18 @@ object OperatorQueries {
       val n = t(s, dir, "nation").filter(col("n_nationkey") < 5).select(col("n_nationkey"))
       r.join(n, col("n_nationkey") > col("r_regionkey"))
         .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_gt"))
+    }),
+    // the SCALE form of the range join: banding turns p BETWEEN s AND e
+    // into an equi-join on the band id + residual (operators.RangeJoin) —
+    // same result as the nested-loop spelling the oracle states, but the
+    // plan is a shuffle equi-join (asserted NL-free in PlanSpec)
+    "join_range_banded" -> ((s, dir) => {
+      val ints = t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), (col("o_totalprice") * 0.1).as("lo"),
+          (col("o_totalprice") * 0.1 + 500.0).as("hi"))
+      val pts = t(s, dir, "lineitem").select(col("l_extendedprice"))
+      graft.operators.RangeJoin.pointInInterval(pts, "l_extendedprice", ints, "lo", "hi", 500.0)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_in_range"))
     }))
 
   // --------------------------------------------------------- aggregations
@@ -427,6 +439,12 @@ object OperatorQueries {
       """SELECT r_regionkey, count(*) AS n_gt FROM region
         |JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5) n
         |ON n_nationkey > r_regionkey GROUP BY r_regionkey""".stripMargin,
+    "join_range_banded" ->
+      """SELECT o_orderkey, count(*) AS n_in_range
+        |FROM orders JOIN lineitem
+        |  ON l_extendedprice BETWEEN o_totalprice * 0.1 AND o_totalprice * 0.1 + 500
+        |WHERE o_orderkey < 500
+        |GROUP BY o_orderkey""".stripMargin,
     "agg_global" ->
       """SELECT count(*) AS n, sum(l_quantity) AS total_qty,
         |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,

@@ -1,0 +1,122 @@
+package graft.sqlcompat
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session/statement surface (reference grammar `SqlBase.g4:153-157`):
+  * SET SESSION → Spark session conf, PREPARE/EXECUTE/DEALLOCATE over a
+  * per-session statement registry with positional `?` parameters,
+  * DESCRIBE OUTPUT from the analyzed schema. DESCRIBE <table> itself
+  * needs no shim — Spark parses it natively over the registered views.
+  *
+  * Returns Some(result) when `sql` is a statement this layer owns; None
+  * lets the caller fall through to the query path.
+  */
+object Statements {
+
+  private val prepared =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def store(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    synchronized {
+      var m = prepared.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map[String, String](); prepared.put(spark, m) }
+      m
+    }
+
+  private val SetSession =
+    """(?is)^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*$""".r
+  private val Prepare =
+    """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$""".r
+  private val Execute =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*$""".r
+  private val Deallocate =
+    """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*$""".r
+  private val DescribeOutput =
+    """(?is)^\s*DESCRIBE\s+OUTPUT\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** Strip one level of single quotes from a literal value. */
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
+
+  def dispatch(spark: SparkSession, runQuery: String => DataFrame, sql: String): Option[DataFrame] =
+    sql match {
+      case SetSession(key, value) =>
+        import spark.implicits._
+        spark.conf.set(key, unquote(value))
+        Some(Seq((key, unquote(value))).toDF("name", "value"))
+      case Prepare(name, body) =>
+        import spark.implicits._
+        store(spark).put(name.toLowerCase, body.trim)
+        Some(Seq(("PREPARE", name)).toDF("result", "statement"))
+      case Deallocate(name) =>
+        import spark.implicits._
+        store(spark).remove(name.toLowerCase)
+        Some(Seq(("DEALLOCATE", name)).toDF("result", "statement"))
+      case Execute(name, args) =>
+        val body = store(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"prepared statement not found: $name"))
+        val params = Option(args).map(splitTopLevel).getOrElse(Seq.empty)
+        Some(runQuery(substitute(body, params)))
+      case DescribeOutput(name) =>
+        import spark.implicits._
+        val body = store(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"prepared statement not found: $name"))
+        // parameters make the body unanalyzable; describe with NULLs bound
+        val analyzed = runQuery(substitute(body,
+          Seq.fill(countParams(body))("NULL")))
+        Some(analyzed.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString)).toDF("column_name", "type"))
+      case _ => None
+    }
+
+  /** Positional `?` substitution outside string literals. */
+  private def substitute(body: String, params: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0; var inStr = false; var p = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false }
+      else if (c == '\'') { sb.append(c); inStr = true }
+      else if (c == '?') {
+        require(p < params.length, s"not enough parameters for: $body")
+        sb.append(params(p)); p += 1
+      } else sb.append(c)
+      i += 1
+    }
+    require(p == params.length, s"too many parameters: expected $p, got ${params.length}")
+    sb.toString
+  }
+
+  private def countParams(body: String): Int = {
+    var i = 0; var inStr = false; var n = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '?') n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

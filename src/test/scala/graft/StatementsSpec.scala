@@ -1,0 +1,57 @@
+package graft
+
+import graft.engine.Tables
+
+/** SET SESSION / PREPARE / EXECUTE / DEALLOCATE / DESCRIBE statements
+  * (reference grammar SqlBase.g4:153-157).
+  */
+class StatementsSpec extends GraftSuite {
+
+  private def sql(q: String) = Tables.sql(spark, sfTiny, q)
+
+  test("SET SESSION lands in the Spark session conf and echoes the pair") {
+    val r = sql("SET SESSION graft.join_distribution_type = 'PARTITIONED'").collect().head
+    assert(r.getString(0) == "graft.join_distribution_type")
+    assert(spark.conf.get("graft.join_distribution_type") == "PARTITIONED")
+  }
+
+  test("PREPARE / EXECUTE with positional parameters") {
+    sql("PREPARE stmt1 FROM SELECT n_nationkey FROM nation WHERE n_nationkey < ? ORDER BY n_nationkey")
+    val rows = sql("EXECUTE stmt1 USING 3").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // re-execute with a different binding
+    assert(sql("EXECUTE stmt1 USING 1").collect().length == 1)
+  }
+
+  test("EXECUTE a statement with a string parameter containing a comma") {
+    sql("PREPARE stmt2 FROM SELECT count(*) AS n FROM nation WHERE n_name = ? OR n_name = ?")
+    val n = sql("EXECUTE stmt2 USING 'no,such', 'NATION_1'").collect().head.getLong(0)
+    assert(n == 1)
+  }
+
+  test("DEALLOCATE removes the statement") {
+    sql("PREPARE stmt3 FROM SELECT 1 AS one")
+    sql("DEALLOCATE PREPARE stmt3")
+    val e = intercept[Exception](sql("EXECUTE stmt3").collect())
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("DESCRIBE OUTPUT reports the prepared statement's schema") {
+    sql("PREPARE stmt4 FROM SELECT n_name, n_nationkey + ? AS shifted FROM nation")
+    val cols = sql("DESCRIBE OUTPUT stmt4").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cols.map(_._1).toSeq == Seq("n_name", "shifted"))
+  }
+
+  test("plain DESCRIBE of a registered table works through the native path") {
+    val cols = sql("DESCRIBE nation").collect().map(_.getString(0))
+    assert(cols.contains("n_nationkey") && cols.contains("n_name"))
+  }
+
+  test("EXECUTE of a prepared MATCH_RECOGNIZE query goes through the full dialect") {
+    sql("""PREPARE mrq FROM SELECT user_id, n_rows FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES count(*) AS n_rows ONE ROW PER MATCH
+          |  PATTERN (S R+) DEFINE R AS value > PREV(value))""".stripMargin)
+    assert(sql("EXECUTE mrq").collect().nonEmpty)
+  }
+}
