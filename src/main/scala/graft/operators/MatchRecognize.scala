@@ -139,11 +139,23 @@ object MatchRecognize extends Serializable {
   final case class Match(matchNumber: Long, rows: IndexedSeq[Row], classifier: IndexedSeq[String]) {
     def rowsOf(symbol: String): IndexedSeq[Row] =
       rows.indices.collect { case i if classifier(i) == symbol => rows(i) }
+    /** Rows classified to ANY of `symbols` — SUBSET union variables. */
+    def rowsMatching(symbols: Set[String]): IndexedSeq[Row] =
+      rows.indices.collect { case i if symbols(classifier(i)) => rows(i) }
   }
 
   sealed trait SkipMode
   case object SkipPastLastRow extends SkipMode
   case object SkipToNextRow extends SkipMode
+  /** AFTER MATCH SKIP TO FIRST/LAST `symbol` (SQL-2016; reference
+    * `operator/window/matcher/` skip-to handling). `symbols` is the
+    * resolved set — a primary pattern variable or a SUBSET's members.
+    * Resuming AT the match's first row would loop forever, so that case
+    * raises, as does a match with no row mapped to the target — both per
+    * the standard.
+    */
+  final case class SkipToFirst(symbols: Set[String]) extends SkipMode
+  final case class SkipToLast(symbols: Set[String]) extends SkipMode
 
   // ---- streaming row buffer -------------------------------------------
 
@@ -291,6 +303,20 @@ object MatchRecognize extends Serializable {
                   start = skip match {
                     case SkipPastLastRow => end
                     case SkipToNextRow => start + 1
+                    case SkipToFirst(syms) =>
+                      val i = m.classifier.indexWhere(syms)
+                      if (i < 0) throw new IllegalStateException(
+                        s"AFTER MATCH SKIP TO FIRST: no row mapped to ${syms.mkString("|")} in match $matchNum")
+                      if (i == 0) throw new IllegalStateException(
+                        "AFTER MATCH SKIP TO FIRST: target is the first row of the match (infinite loop)")
+                      start + i
+                    case SkipToLast(syms) =>
+                      val i = m.classifier.lastIndexWhere(syms)
+                      if (i < 0) throw new IllegalStateException(
+                        s"AFTER MATCH SKIP TO LAST: no row mapped to ${syms.mkString("|")} in match $matchNum")
+                      if (i == 0) throw new IllegalStateException(
+                        "AFTER MATCH SKIP TO LAST: target is the first row of the match (infinite loop)")
+                      start + i
                   }
                 case _ =>
                   start += 1

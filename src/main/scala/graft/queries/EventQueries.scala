@@ -121,6 +121,27 @@ object EventQueries {
         |         P AS event_type = 'purchase'
         |)""".stripMargin)),
 
+    // SUBSET union variable + AFTER MATCH SKIP TO LAST <variable>: U
+    // unions the interior symbols, the measure counts via the subset, and
+    // the skip resumes at U's last row (provably the same match set as
+    // SKIP PAST LAST ROW on this pattern — no 'view' can occur inside the
+    // resumed span — so the alternation oracle pins the result)
+    "mr_subset_skip" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, n_mid
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num, count(U.*) AS n_mid
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST U
+        |  PATTERN (V (C|E)+ P)
+        |  SUBSET U = (C, E)
+        |  DEFINE V AS event_type = 'view',
+        |         C AS event_type = 'click',
+        |         E AS event_type = 'error',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)),
+
     // ALL ROWS PER MATCH: every matched row with its CLASSIFIER()
     "mr_all_rows" -> ((s, dir) => Tables.sql(s, dir,
       """SELECT user_id, event_id, cls, match_num
@@ -258,6 +279,26 @@ object EventQueries {
         |FROM m""".stripMargin,
     // same disjointness argument as mr_funnel, interior = click|error
     "mr_alternation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type NOT IN ('click', 'error') THEN rn END) OVER w1 AS prev_nm_rn,
+        |    last_value(CASE WHEN event_type NOT IN ('click', 'error') THEN event_type END IGNORE NULLS) OVER w1 AS prev_nm_type
+        |  FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT user_id, rn, rn - prev_nm_rn - 1 AS n_mid
+        |  FROM x WHERE event_type = 'purchase' AND prev_nm_type = 'view'
+        |    AND rn - prev_nm_rn >= 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_num, n_mid
+        |FROM m""".stripMargin,
+    // same derivation as mr_alternation (see query comment for why the
+    // subset/skip variant yields the identical match set)
+    "mr_subset_skip" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -86,13 +86,14 @@ object MatchRecognizeSql {
       partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(Expression, String)], allRows: Boolean,
       skip: MatchRecognize.SkipMode, pattern: String,
-      define: Map[String, Expression])
+      define: Map[String, Expression],
+      subsets: Map[String, Set[String]])
 
   /** Lower one MATCH_RECOGNIZE body over `input` to a DataFrame. */
   def lower(spark: SparkSession, input: DataFrame, body: String): DataFrame = {
     val c = parseClause(spark, body)
     val schema = input.schema
-    val symbols: Set[String] = patternSymbols(c.pattern)
+    val symbols: Set[String] = patternSymbols(c.pattern) ++ c.subsets.keySet
 
     val define: Map[String, Ctx => Boolean] = c.define.map { case (sym, e) =>
       val ev = compileDefine(e, schema, symbols)
@@ -102,7 +103,7 @@ object MatchRecognizeSql {
 
     val measureEvals: Seq[(String, MC => Any, DataType)] =
       c.measures.map { case (e, name) =>
-        (name, compileMeasure(e, schema, symbols), measureType(e, schema))
+        (name, compileMeasure(e, schema, symbols, c.subsets), measureType(e, schema))
       }
 
     if (!c.allRows) {
@@ -144,7 +145,13 @@ object MatchRecognizeSql {
         Some(body0.substring(start, end).trim)
       }
     }
-    require(sectionText("SUBSET").isEmpty, "MATCH_RECOGNIZE SUBSET is not supported (documented skip)")
+    val subsets: Map[String, Set[String]] = sectionText("SUBSET").map { txt =>
+      splitTopLevel(txt, ',').map { d =>
+        val m = """(?is)^\s*([A-Za-z_]\w*)\s*=\s*\(([^)]*)\)\s*$""".r.findFirstMatchIn(d)
+          .getOrElse(throw new IllegalArgumentException(s"bad SUBSET entry: $d"))
+        m.group(1).toUpperCase -> m.group(2).split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet
+      }.toMap
+    }.getOrElse(Map.empty)
     val pat = sectionText("PATTERN").getOrElse(
       throw new IllegalArgumentException("MATCH_RECOGNIZE requires PATTERN"))
     require(pat.startsWith("(") && pat.endsWith(")"), s"PATTERN must be parenthesized: $pat")
@@ -166,11 +173,18 @@ object MatchRecognizeSql {
       }
     }.getOrElse(Seq.empty)
 
+    def resolveSkipTarget(sym: String): Set[String] =
+      subsets.getOrElse(sym, Set(sym))
+    val SkipToFirstR = """SKIP TO FIRST (\w+)""".r
+    val SkipToLastR = """SKIP TO (?:LAST )?(\w+)""".r
     val skip = sectionText("AFTER MATCH").map(_.toUpperCase.replaceAll("\\s+", " ").trim) match {
       case None | Some("SKIP PAST LAST ROW") => MatchRecognize.SkipPastLastRow
       case Some("SKIP TO NEXT ROW") => MatchRecognize.SkipToNextRow
+      case Some(SkipToFirstR(sym)) => MatchRecognize.SkipToFirst(resolveSkipTarget(sym))
+      case Some(SkipToLastR(sym)) if sym != "NEXT" && sym != "PAST" =>
+        MatchRecognize.SkipToLast(resolveSkipTarget(sym))
       case Some(other) => throw new IllegalArgumentException(
-        s"AFTER MATCH $other not supported (PAST LAST ROW / TO NEXT ROW only)")
+        s"AFTER MATCH $other not supported")
     }
 
     def cols(k: String): Seq[String] = sectionText(k).map(t =>
@@ -183,7 +197,8 @@ object MatchRecognizeSql {
       allRows = sectionText("ALL ROWS PER MATCH").isDefined,
       skip = skip,
       pattern = patternText,
-      define = defines)
+      define = defines,
+      subsets = subsets)
   }
 
   private def patternSymbols(pattern: String): Set[String] =
@@ -240,9 +255,11 @@ object MatchRecognizeSql {
     */
   private final case class MC(key: Row, m: Match, i: Int)
 
-  private def compileMeasure(e: Expression, schema: StructType, symbols: Set[String]): MC => Any = {
+  private def compileMeasure(e: Expression, schema: StructType, symbols: Set[String],
+      subsets: Map[String, Set[String]] = Map.empty): MC => Any = {
     type M = MC => Any
-    def symRows(m: Match, sym: String): IndexedSeq[Row] = m.rowsOf(sym)
+    def symRows(m: Match, sym: String): IndexedSeq[Row] =
+      subsets.get(sym).map(m.rowsMatching).getOrElse(m.rowsOf(sym))
     def go(e: Expression): M = e match {
       case l: Literal => val v = litValue(l); _ => v
       // Spark's parser eagerly builds AggregateExpressions for known
@@ -318,9 +335,9 @@ object MatchRecognizeSql {
                 case "avg" => vs.map(anyDouble).sum / vs.length
               }
             }
-          case _ => compileGeneric(e, go, s => compileMeasure(s, schema, symbols))
+          case _ => compileGeneric(e, go, s => compileMeasure(s, schema, symbols, subsets))
         }
-      case _ => compileGeneric(e, go, s => compileMeasure(s, schema, symbols))
+      case _ => compileGeneric(e, go, s => compileMeasure(s, schema, symbols, subsets))
     }
     go(e)
   }

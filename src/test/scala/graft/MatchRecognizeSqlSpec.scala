@@ -111,19 +111,65 @@ class MatchRecognizeSqlSpec extends GraftSuite {
     assert(rows.forall(r => !r.getTimestamp(1).after(r.getTimestamp(2))))
   }
 
+  test("SUBSET union variable drives measures and SKIP TO LAST") {
+    val rows = sql(
+      """SELECT user_id, n_mid
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES count(U.*) AS n_mid
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST U
+        |  PATTERN (V (C|E)+ P)
+        |  SUBSET U = (C, E)
+        |  DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |         E AS event_type = 'error', P AS event_type = 'purchase')""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("SKIP TO LAST finds overlapping matches PAST LAST misses") {
+    // x y y: PAST LAST sees only (x y); SKIP TO LAST B resumes AT the
+    // first match's y, which can itself start a new (y y) match
+    def run(skip: String) = sql(
+      s"""SELECT k, mn, n FROM (
+         |  SELECT * FROM VALUES (1, 1, 'x'), (1, 2, 'y'), (1, 3, 'y') AS t(k, seq, sym))
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY seq
+         |  MEASURES MATCH_NUMBER() AS mn, count(*) AS n
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH $skip
+         |  PATTERN (A B)
+         |  DEFINE A AS sym IN ('x', 'y'), B AS sym = 'y')""".stripMargin)
+      .collect().map(r => r.getLong(2)).sorted.toSeq
+    assert(run("SKIP PAST LAST ROW") == Seq(2L)) // one match: (x y)
+    assert(run("SKIP TO LAST B") == Seq(2L, 2L)) // overlap: (x y), (y y)
+  }
+
+  test("SKIP TO FIRST at the match start raises the loop-protection error") {
+    val e = intercept[Exception](sql(
+      """SELECT k, n FROM (
+        |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b') AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES count(*) AS n ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO FIRST A
+        |  PATTERN (A B) DEFINE A AS sym = 'a', B AS sym = 'b')""".stripMargin).collect())
+    assert(e.getMessage != null)
+  }
+
   test("unsupported constructs raise descriptive errors") {
     val e1 = intercept[Exception](sql(
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES count(*) AS n ONE ROW PER MATCH
-        |  AFTER MATCH SKIP TO FIRST C
+        |  AFTER MATCH SKIP HALF PAST TEN
         |  PATTERN (C) DEFINE C AS event_type = 'click')""".stripMargin).collect())
     assert(e1.getMessage.contains("not supported"))
     val e2 = intercept[Exception](sql(
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES count(*) AS n ONE ROW PER MATCH
-        |  PATTERN (C) SUBSET U = (C) DEFINE C AS event_type = 'click')""".stripMargin).collect())
-    assert(e2.getMessage.contains("SUBSET"))
+        |  PATTERN (C) DEFINE C AS event_type LIKE 'cli%')""".stripMargin).collect())
+    assert(e2.getMessage.contains("supported subset"))
   }
 }
