@@ -303,6 +303,7 @@ object GraftFunctions {
       else java.lang.Double.valueOf(QuantileSketch.valueAtQuantile(sketch.toArray, q)))
 
     GeoFunctions.register(spark)
+    BingTile.register(spark)
     TrinoAliases.register(spark)
 
     // native codegen'd expressions for the hot similarity/dedup paths

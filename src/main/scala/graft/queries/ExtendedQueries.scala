@@ -232,6 +232,30 @@ object ExtendedQueries {
         |  - (n_nationkey + 1) * (n_regionkey + 1))::double, 6) AS union_area,
         |round(32 * sin(pi() / 32), 6) AS buf_area
         |FROM nation""".stripMargin),
+    // Bing tile quadtree addressing (BingTileFunctions.java) — the tile
+    // math is deterministic integer/Mercator arithmetic, restated in the
+    // oracle directly
+    "geo_bingtile" -> (
+      """SELECT n_nationkey,
+        |bing_tile_coordinates(t)[0] AS tx,
+        |bing_tile_coordinates(t)[1] AS ty,
+        |bing_tile_quadkey(t) AS qk,
+        |bing_tile_zoom_level(t) AS z
+        |FROM (SELECT n_nationkey,
+        |      bing_tile_at(n_nationkey * 3.0 - 30, n_nationkey * 12.0 - 150, 8) AS t
+        |      FROM nation)""".stripMargin,
+      """WITH pts AS (SELECT n_nationkey,
+        |  n_nationkey * 3.0 - 30 AS lat, n_nationkey * 12.0 - 150 AS lon FROM nation),
+        |t AS (SELECT n_nationkey,
+        |  cast(floor((lon + 180) / 360 * 256) AS int) AS tx,
+        |  cast(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 256) AS int) AS ty
+        |  FROM pts)
+        |SELECT n_nationkey, tx, ty,
+        |  list_aggregate(list_transform(range(1, 9),
+        |    i -> (((tx >> (8 - i)) & 1) + 2 * ((ty >> (8 - i)) & 1))::varchar),
+        |    'string_agg', '') AS qk,
+        |  8 AS z
+        |FROM t""".stripMargin),
     "geo_scalars" -> (
       """SELECT n_nationkey,
         |round(st_distance(n_nationkey + 0.5, n_regionkey + 0.5, 0.0, 0.0), 6) AS d_origin,
