@@ -84,7 +84,7 @@ object MatchRecognizeSql {
 
   private case class Clause(
       partitionBy: Seq[String], orderBy: Seq[String],
-      measures: Seq[(Expression, String)], allRows: Boolean,
+      measures: Seq[(Expression, String, Option[Boolean])], allRows: Boolean,
       skip: MatchRecognize.SkipMode, pattern: String,
       define: Map[String, Expression],
       subsets: Map[String, Set[String]])
@@ -102,8 +102,21 @@ object MatchRecognizeSql {
     }
 
     val measureEvals: Seq[(String, MC => Any, DataType)] =
-      c.measures.map { case (e, name) =>
-        (name, compileMeasure(e, schema, symbols, c.subsets), measureType(e, schema))
+      c.measures.map { case (e, name, mode) =>
+        val base = compileMeasure(e, schema, symbols, c.subsets)
+        // RUNNING evaluates over the match truncated at the current row;
+        // in ONE ROW PER MATCH the current row is the last, so the two
+        // collapse — only ALL ROWS with RUNNING (the default there, per
+        // the standard) needs the truncated view
+        val running = mode.getOrElse(c.allRows)
+        val ev: MC => Any =
+          if (!running) base
+          else mc =>
+            if (mc.i == mc.m.rows.length - 1) base(mc)
+            else base(MC(mc.key,
+              Match(mc.m.matchNumber, mc.m.rows.take(mc.i + 1), mc.m.classifier.take(mc.i + 1)),
+              mc.i))
+        (name, ev, measureType(e, schema))
       }
 
     if (!c.allRows) {
@@ -169,7 +182,14 @@ object MatchRecognizeSql {
       splitTopLevel(txt, ',').map { d =>
         val m = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(d)
           .getOrElse(throw new IllegalArgumentException(s"MEASURES entries need AS alias: $d"))
-        (parser.parseExpression(m.group(1)), m.group(2))
+        // RUNNING/FINAL semantics prefix (SQL-2016 10.5; Trino rowPatternMeasure):
+        // None = the standard default (RUNNING in ALL ROWS, FINAL in ONE ROW)
+        val (body, mode) = m.group(1).trim match {
+          case b if b.toUpperCase.startsWith("RUNNING ") => (b.substring(8), Some(true))
+          case b if b.toUpperCase.startsWith("FINAL ") => (b.substring(6), Some(false))
+          case b => (b, None)
+        }
+        (parser.parseExpression(body), m.group(2), mode)
       }
     }.getOrElse(Seq.empty)
 

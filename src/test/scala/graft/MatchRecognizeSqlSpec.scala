@@ -157,6 +157,21 @@ class MatchRecognizeSqlSpec extends GraftSuite {
     assert(e.getMessage != null)
   }
 
+  test("RUNNING vs FINAL measures in ALL ROWS PER MATCH") {
+    val rows = sql(
+      """SELECT seq, n_run, n_fin FROM (
+        |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'a'), (1, 3, 'b') AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES RUNNING count(*) AS n_run, FINAL count(*) AS n_fin
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A+ B)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // RUNNING counts rows so far (the ALL ROWS default); FINAL sees the whole match
+    assert(rows.toSeq == Seq((1, 1L, 3L), (2, 2L, 3L), (3, 3L, 3L)))
+  }
+
   test("unsupported constructs raise descriptive errors") {
     val e1 = intercept[Exception](sql(
       """SELECT * FROM events MATCH_RECOGNIZE (
