@@ -107,6 +107,19 @@ object PipelineQueries {
         .dropDuplicates("doc_a", "doc_b")
     }),
 
+    // ---- cluster resolution: pairwise near-dup matches → connected
+    // components → one canonical doc per duplicate cluster (the stage a
+    // real dedup pipeline runs AFTER pair generation; keep = the row to
+    // retain). Large-star/small-star, O(log n) rounds — see
+    // [[graft.operators.ConnectedComponents]]. ----
+    "dedup_components" -> ((s, dir) => {
+      val pairs = queries("dedup_jaccard")(s, dir).select(col("doc_a"), col("doc_b"))
+      val verts = t(s, dir, "documents").select(col("doc_id"))
+      graft.operators.ConnectedComponents.resolve(pairs, verts)
+        .select(col("id").as("doc_id"), col("component").as("component_id"),
+          (col("id") === col("component")).as("keep"))
+    }),
+
     // ---- PPJoin-style prefix filtering: same result set as
     // dedup_jaccard via a different blocking theorem — two sets with
     // jaccard ≥ t MUST share an element among their first
@@ -468,6 +481,30 @@ object PipelineQueries {
     "dedup_jaccard" -> jaccardOracle,
     // prefix filtering is result-preserving → the SAME oracle pins it
     "dedup_jaccard_ppjoin" -> jaccardOracle,
+    // component-min labels via transitive closure (recursive CTE): min
+    // node id reachable over the symmetric jaccard-pair edge set
+    "dedup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, lang,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |        greatest(len(a.shingles), len(b.shingles)) * 4
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS doc_id, min(r) AS component_id, (id = min(r)) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> x::double) AS emb FROM embeddings)
