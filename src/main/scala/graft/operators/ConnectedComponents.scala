@@ -73,9 +73,12 @@ object ConnectedComponents {
 
     // (count, xor-of-hashes) signature — equality ⇒ converged (edges are
     // distinct so xor-cancellation needs a hash collision, odds ~2⁻⁶⁴ per
-    // check; overflow-free under ANSI mode, unlike a hash SUM). A false
-    // stop would still return the last star set, i.e. a refinement of the
-    // true components, never corrupt labels.
+    // check; overflow-free under ANSI mode, unlike a hash SUM). If the
+    // loop exits before the fixpoint (maxIter exhausted or a ~2⁻⁶⁴
+    // false stop), a node can still hold several out-edges; the final
+    // join aggregates min(v) per node so each vertex gets exactly one
+    // label — a refinement of the true components (a component may split,
+    // never merge wrongly), and the non-convergence is logged loudly.
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -95,10 +98,19 @@ object ConnectedComponents {
       i += 1
     }
 
+    if (!converged)
+      System.err.println(
+        s"[graft] ConnectedComponents: star fixpoint NOT reached after $i rounds " +
+          s"(maxIter=$maxIter) — labels are a refinement (components may be split); " +
+          "raise maxIter.")
+
     // At the fixpoint every edge is (member → component-min); roots and
-    // isolated vertices label themselves.
+    // isolated vertices label themselves. min(comp) per id guards the
+    // non-converged case where a node still holds multiple out-edges.
     vertices.select(col(vcol).cast("long").as("id"))
-      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .join(
+        e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp")),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 }

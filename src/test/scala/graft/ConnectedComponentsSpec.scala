@@ -54,7 +54,7 @@ class ConnectedComponentsSpec extends GraftSuite {
   }
 
   test("dedup_components query: members fold onto jaccard-pair clusters") {
-    val df = queries.PipelineQueries.queries("dedup_components")(spark, "/root/testdata/sf0.001")
+    val df = queries.PipelineQueries.queries("dedup_components")(spark, sfTiny)
     val rows = df.collect()
     assert(rows.length > 0)
     // every component id must itself be a kept doc
