@@ -27,13 +27,12 @@ object Bench {
     val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+    val spark = graft.engine.SessionDefaults(
+      SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,25 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-wide SparkSession config defaults, applied by every entry point
+  * (Bench/Verify/Smoke/tests/tools) so behavior doesn't depend on who
+  * built the session.
+  *
+  * `spark.buffer.pageSize` is pinned because Spark derives the Tungsten
+  * page size from `maxTungstenMemory / cores` clamped to [1 MB, 64 MB]
+  * (`MemoryManager.pageSizeBytes`): on a large-heap driver/executor
+  * (e.g. 90 GB at local[32]) every short sort/join task allocates and
+  * zeroes 64 MB pages, which dominated the runtime of the LSH band
+  * self-join (measured 3.2 s → 1.5 s at sf0.1 with an 8 MB page on a
+  * 90 GB heap; identical timings on an 8 GB heap where the derived page
+  * was already 8 MB). 8 MB keeps page-allocation cost proportional to
+  * the work per task; large sorts just chain more pages, which is cheap.
+  */
+object SessionDefaults {
+  def apply(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.buffer.pageSize",
+      sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m"))
+}

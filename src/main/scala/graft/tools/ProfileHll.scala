@@ -10,9 +10,11 @@ import graft.engine.Tables
 object ProfileHll {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().withExtensions(new graft.engine.GraftExtensions).master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.engine.SessionDefaults(
+      SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def time[T](label: String)(f: => T): T = {
