@@ -199,40 +199,145 @@ object GeoConstructive extends Serializable {
     case other => throw new IllegalArgumentException(s"expected POLYGON, got $other")
   }
 
-  /** Core clip: both ops share the machinery, differing in the
-    * entry-marking parity.
+  // ---- three-mode ring clip (hole-free rings in, pieces out) ----------
+
+  private sealed trait Mode
+  private case object MInter extends Mode
+  private case object MUnion extends Mode
+  private case object MDiff extends Mode // subject minus clip
+
+  /** Clip two simple rings. Each returned Polygon is hole-free EXCEPT the
+    * MDiff containment case (clip strictly inside subject), which returns
+    * one polygon whose second ring is the hole.
     */
-  private def clipPolygons(a: Geom, b: Geom, union: Boolean): Geom = {
-    val ra = shell(a); val rb = shell(b)
+  private def clipRings(ra0: Vector[Pt], rb0: Vector[Pt], mode: Mode): Vector[Polygon] = {
+    val ra = openCcw(ra0); val rb = openCcw(rb0)
     val subj = buildList(ra); val clip = buildList(rb)
     val n = insertIntersections(subj, clip)
+    def poly(r: Vector[Pt]) = Polygon(Vector(closeRing(r)))
     if (n == 0) {
       val aInB = ra.forall(p => pointInRing(rb, p))
       val bInA = rb.forall(p => pointInRing(ra, p))
-      return (union, aInB, bInA) match {
-        case (false, true, _) => Polygon(Vector(closeRing(ra)))
-        case (false, _, true) => Polygon(Vector(closeRing(rb)))
-        case (false, false, false) => EmptyGeom
-        case (true, true, _) => Polygon(Vector(closeRing(rb)))
-        case (true, _, true) => Polygon(Vector(closeRing(ra)))
-        case (true, false, false) =>
-          MultiPolygon(Vector(Polygon(Vector(closeRing(ra))), Polygon(Vector(closeRing(rb)))))
+      return mode match {
+        case MInter =>
+          if (aInB) Vector(poly(ra)) else if (bInA) Vector(poly(rb)) else Vector.empty
+        case MUnion =>
+          if (aInB) Vector(poly(rb)) else if (bInA) Vector(poly(ra))
+          else Vector(poly(ra), poly(rb))
+        case MDiff =>
+          if (aInB) Vector.empty
+          else if (bInA) Vector(Polygon(Vector(closeRing(ra), closeRing(rb))))
+          else Vector(poly(ra))
       }
     }
-    markEntries(subj, rb, forUnion = union)
-    markEntries(clip, ra, forUnion = union)
-    val rings = trace(subj).filter(_.length >= 3)
-    rings match {
-      case Vector() => EmptyGeom
-      case Vector(r) => Polygon(Vector(closeRing(openCcw(r))))
-      case rs => MultiPolygon(rs.map(r => Polygon(Vector(closeRing(openCcw(r))))))
+    // entry parity: intersection = both direct; union = both inverted;
+    // difference = SUBJECT inverted only (subject walked forward where it
+    // is outside the clip, clip boundary walked backward inside) —
+    // inverting the clip instead yields clip∖subject
+    markEntries(subj, rb, forUnion = mode != MInter)
+    markEntries(clip, ra, forUnion = mode == MUnion)
+    trace(subj).filter(_.length >= 3).map(r => poly(openCcw(r)))
+  }
+
+  private def shellOf(p: Polygon): Vector[Pt] = p.rings.head
+  private def holesOf(p: Polygon): Vector[Vector[Pt]] = p.rings.tail
+
+  private def ringsIntersect(a: Vector[Pt], b: Vector[Pt]): Boolean =
+    Wkt.intersects(Polygon(Vector(closeRing(openCcw(a)))),
+                   Polygon(Vector(closeRing(openCcw(b)))))
+
+  /** Union-merge rings until pairwise disjoint (hole rings from the two
+    * inputs may overlap; a point is outside the result iff it lies in ANY
+    * hole, so overlapping holes merge into one).
+    */
+  private def mergeRings(rs0: Vector[Vector[Pt]]): Vector[Vector[Pt]] = {
+    var rs = rs0
+    var changed = true
+    while (changed) {
+      changed = false
+      val idx = (for {
+        i <- rs.indices; j <- (i + 1) until rs.length
+        if ringsIntersect(rs(i), rs(j))
+      } yield (i, j)).headOption
+      idx.foreach { case (i, j) =>
+        val u = clipRings(rs(i), rs(j), MUnion)
+        require(u.forall(_.rings.length == 1),
+          "hole merge produced a nested ring (hole-in-hole input out of scope)")
+        rs = rs.zipWithIndex.collect { case (r, k) if k != i && k != j => r } ++
+          u.map(shellOf)
+        changed = true
+      }
     }
+    rs
+  }
+
+  private def geomOf(pieces: Vector[Polygon]): Geom = pieces match {
+    case Vector() => EmptyGeom
+    case Vector(p) => p
+    case ps => MultiPolygon(ps)
+  }
+
+  /** Subtract hole rings from a piece: clip each hole to the piece shell,
+    * merge overlaps, drop the piece if a hole swallows it.
+    */
+  private def subtractHoles(piece: Polygon, holes: Vector[Vector[Pt]]): Option[Polygon] = {
+    val sh = openCcw(shellOf(piece))
+    val clipped = holes.flatMap { h =>
+      clipRings(h, shellOf(piece), MInter).map(p => openCcw(shellOf(p)))
+    }
+    val merged = mergeRings(clipped)
+    if (merged.exists(h => sh.forall(p => pointInRing(h, p) || h.contains(p))))
+      None // hole covers the whole piece
+    else Some(Polygon(piece.rings ++ merged.map(closeRing)))
+  }
+
+  /** Polygon×polygon with holes:
+    * x ∈ A∩B ⟺ x ∈ shellA∩shellB and x is in no hole of either.
+    */
+  private def interPolygons(a: Polygon, b: Polygon): Geom = {
+    val s = clipRings(shellOf(a), shellOf(b), MInter)
+    val holes = holesOf(a) ++ holesOf(b)
+    geomOf(s.flatMap(piece => subtractHoles(piece, holes)))
+  }
+
+  /** x is a hole of A∪B ⟺ x ∉ A and x ∉ B inside the outer shell union:
+    * holes(A∪B) = (hᵃ∩hᵇ) ∪ (hᵃ∖shellB) ∪ (hᵇ∖shellA) — three pairwise
+    * disjoint families, so no merge pass is needed.
+    */
+  private def unionPolygons(a: Polygon, b: Polygon): Geom = {
+    val u = clipRings(shellOf(a), shellOf(b), MUnion)
+    val ha = holesOf(a); val hb = holesOf(b)
+    def diffRings(r: Vector[Pt], s: Vector[Pt]): Vector[Vector[Pt]] =
+      clipRings(r, s, MDiff).map { p =>
+        require(p.rings.length == 1,
+          "hole minus shell produced an island (nested geometry out of scope)")
+        openCcw(shellOf(p))
+      }
+    val holes =
+      (for (x <- ha; y <- hb; p <- clipRings(x, y, MInter)) yield openCcw(shellOf(p))) ++
+        ha.flatMap(diffRings(_, shellOf(b))) ++
+        hb.flatMap(diffRings(_, shellOf(a)))
+    val out = u.map { piece =>
+      val sh = shellOf(piece)
+      val mine = holes.filter(h => pointInRing(openCcw(sh), h.head))
+      Polygon(piece.rings ++ mine.map(closeRing))
+    }
+    geomOf(out)
+  }
+
+  /** x ∈ A∖B ⟺ x ∈ shellA, not in a hole of A, and (outside shellB or in
+    * a hole of B): base = (shellA∖shellB) ∪ (shellA∩hᵇ), minus holes of A.
+    */
+  private def diffPolygons(a: Polygon, b: Polygon): Geom = {
+    val base = clipRings(shellOf(a), shellOf(b), MDiff) ++
+      holesOf(b).flatMap(hb => clipRings(shellOf(a), hb, MInter))
+    geomOf(base.flatMap(piece => subtractHoles(piece, holesOf(a))))
   }
 
   def intersection(a: Geom, b: Geom): Geom = (a, b) match {
-    case (p @ Point(pt), g) => if (Wkt.contains(g, p)) p else EmptyGeom
-    case (g, p @ Point(pt)) => if (Wkt.contains(g, p)) p else EmptyGeom
-    case (pa: Polygon, pb: Polygon) => clipPolygons(pa, pb, union = false)
+    case (p @ Point(_), g) => if (Wkt.contains(g, p)) p else EmptyGeom
+    case (g, p @ Point(_)) => if (Wkt.contains(g, p)) p else EmptyGeom
+    case (pa: Polygon, pb: Polygon) => interPolygons(pa, pb)
     case _ => throw new IllegalArgumentException(
       s"ST_Intersection supports point/polygon inputs, got ${Wkt.write(a)} × ${Wkt.write(b)}")
   }
@@ -240,9 +345,33 @@ object GeoConstructive extends Serializable {
   def union(a: Geom, b: Geom): Geom = (a, b) match {
     case (Point(p1), Point(p2)) =>
       if (p1 == p2) Point(p1) else MultiPoint(Vector(p1, p2).sortBy(p => (p.x, p.y)))
-    case (pa: Polygon, pb: Polygon) => clipPolygons(pa, pb, union = true)
+    case (pa: Polygon, pb: Polygon) => unionPolygons(pa, pb)
     case _ => throw new IllegalArgumentException(
       s"ST_Union supports point/polygon inputs, got ${Wkt.write(a)} × ${Wkt.write(b)}")
+  }
+
+  def difference(a: Geom, b: Geom): Geom = (a, b) match {
+    case (p @ Point(_), g) => if (Wkt.contains(g, p)) EmptyGeom else p
+    case (pa: Polygon, Point(_)) => pa // a point has no area to remove
+    case (pa: Polygon, pb: Polygon) => diffPolygons(pa, pb)
+    case _ => throw new IllegalArgumentException(
+      s"ST_Difference supports point/polygon inputs, got ${Wkt.write(a)} × ${Wkt.write(b)}")
+  }
+
+  def symDifference(a: Geom, b: Geom): Geom = {
+    def pieces(g: Geom): Vector[Polygon] = g match {
+      case p: Polygon => Vector(p)
+      case MultiPolygon(ps) => ps
+      case EmptyGeom => Vector.empty
+      case other => throw new IllegalArgumentException(
+        s"ST_SymDifference supports polygon inputs, got ${Wkt.write(other)}")
+    }
+    (a, b) match {
+      case (Point(p1), Point(p2)) =>
+        if (p1 == p2) EmptyGeom
+        else MultiPoint(Vector(p1, p2).sortBy(p => (p.x, p.y)))
+      case _ => geomOf(pieces(difference(a, b)) ++ pieces(difference(b, a)))
+    }
   }
 
   /** Disc approximation segments for buffers. */

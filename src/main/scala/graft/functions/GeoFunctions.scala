@@ -77,6 +77,61 @@ object GeoFunctions {
     u.register("st_buffer", (g: String, r: Double) =>
       if (g == null) null
       else Wkt.write(GeoConstructive.buffer(Wkt.parse(g), r)))
+    // --- tranche 3: WKB IO, hull, simplify, accessor family ---
+    u.register("st_asbinary", (g: String) =>
+      if (g == null) null else GeoExtras.toWkb(Wkt.parse(g)))
+    u.register("st_geomfrombinary", (b: Array[Byte]) =>
+      if (b == null) null else Wkt.write(GeoExtras.fromWkb(b)))
+    u.register("st_convex_hull", (g: String) =>
+      if (g == null) null else Wkt.write(GeoExtras.convexHull(Wkt.parse(g))))
+    u.register("st_simplify", (g: String, tol: Double) =>
+      if (g == null) null else Wkt.write(GeoExtras.simplify(Wkt.parse(g), tol)))
+    u.register("st_geometry_type", (g: String) =>
+      if (g == null) null else GeoExtras.geometryType(Wkt.parse(g)))
+    u.register("st_dimension", (g: String) =>
+      if (g == null) null else Integer.valueOf(GeoExtras.dimension(Wkt.parse(g))))
+    u.register("st_is_empty", (g: String) =>
+      if (g == null) null else java.lang.Boolean.valueOf(GeoExtras.isEmpty(Wkt.parse(g))))
+    u.register("st_is_closed", (g: String) =>
+      if (g == null) null
+      else GeoExtras.isClosed(Wkt.parse(g)).map(java.lang.Boolean.valueOf).orNull)
+    u.register("st_num_geometries", (g: String) =>
+      if (g == null) null else Integer.valueOf(GeoExtras.numGeometries(Wkt.parse(g))))
+    u.register("st_geometry_n", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.geometryN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_exterior_ring", (g: String) =>
+      if (g == null) null else GeoExtras.exteriorRing(Wkt.parse(g)).map(Wkt.write).orNull)
+    u.register("st_num_interior_ring", (g: String) =>
+      if (g == null) null
+      else GeoExtras.numInteriorRing(Wkt.parse(g)).map(Integer.valueOf).orNull)
+    u.register("st_interior_ring_n", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.interiorRingN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_point_n", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.pointN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_start_point", (g: String) =>
+      if (g == null) null else GeoExtras.pointN(Wkt.parse(g), 1).map(Wkt.write).orNull)
+    u.register("st_end_point", (g: String) =>
+      if (g == null) null else (Wkt.parse(g) match {
+        case Wkt.LineString(ps) if ps.nonEmpty => Some(Wkt.write(Wkt.Point(ps.last)))
+        case _ => None
+      }).orNull)
+    u.register("st_xmin", (g: String) =>
+      if (g == null) null else minMax(g).map(m => java.lang.Double.valueOf(m._1)).orNull)
+    u.register("st_xmax", (g: String) =>
+      if (g == null) null else minMax(g).map(m => java.lang.Double.valueOf(m._2)).orNull)
+    u.register("st_ymin", (g: String) =>
+      if (g == null) null else minMax(g).map(m => java.lang.Double.valueOf(m._3)).orNull)
+    u.register("st_ymax", (g: String) =>
+      if (g == null) null else minMax(g).map(m => java.lang.Double.valueOf(m._4)).orNull)
+    u.register("st_disjoint", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Boolean.valueOf(!Wkt.intersects(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_difference", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else Wkt.write(GeoConstructive.difference(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_sym_difference", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else Wkt.write(GeoConstructive.symDifference(Wkt.parse(a), Wkt.parse(b))))
     // great-circle distance in meters over (lon, lat) degrees — the
     // geographic half of the reference's SphericalGeoFunctions
     // (ST_Distance on SphericalGeography); haversine on the mean radius
@@ -91,6 +146,12 @@ object GeoFunctions {
         2 * r * math.asin(math.min(1.0, math.sqrt(a)))
       })
   }
+
+  private def minMax(wkt: String): Option[(Double, Double, Double, Double)] = {
+    val ps = GeoExtras.allPoints(Wkt.parse(wkt))
+    if (ps.isEmpty) None
+    else Some((ps.map(_.x).min, ps.map(_.x).max, ps.map(_.y).min, ps.map(_.y).max))
+  }
 }
 
 /** WKT parse/write + planar geometry kernels. Simple (non-self-
@@ -103,7 +164,9 @@ object Wkt extends Serializable {
   final case class LineString(pts: Vector[Pt]) extends Geom
   final case class Polygon(rings: Vector[Vector[Pt]]) extends Geom
   final case class MultiPoint(pts: Vector[Pt]) extends Geom
+  final case class MultiLineString(lines: Vector[Vector[Pt]]) extends Geom
   final case class MultiPolygon(polys: Vector[Polygon]) extends Geom
+  final case class Collection(geoms: Vector[Geom]) extends Geom
   case object EmptyGeom extends Geom
 
   def fmt(d: Double): String =
@@ -111,6 +174,7 @@ object Wkt extends Serializable {
 
   def parse(wkt: String): Geom = {
     val s = wkt.trim
+    if (s.toUpperCase.endsWith(" EMPTY")) return EmptyGeom
     val open = s.indexOf('(')
     require(open > 0, s"bad WKT: $wkt")
     val kind = s.substring(0, open).trim.toUpperCase
@@ -140,6 +204,16 @@ object Wkt extends Serializable {
         // both spellings: MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
         val inner = body.trim.stripPrefix("(").stripSuffix(")")
         MultiPoint(coords(inner.replace("(", " ").replace(")", " ")))
+      case "MULTILINESTRING" =>
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val lines = Vector.newBuilder[Vector[Pt]]
+        var depth = 0; var start = -1
+        for (i <- inner.indices) inner.charAt(i) match {
+          case '(' => if (depth == 0) start = i + 1; depth += 1
+          case ')' => depth -= 1; if (depth == 0) lines += coords(inner.substring(start, i))
+          case _ =>
+        }
+        MultiLineString(lines.result())
       case "MULTIPOLYGON" =>
         val inner = body.trim.stripPrefix("(").stripSuffix(")")
         val polys = Vector.newBuilder[Polygon]
@@ -153,6 +227,19 @@ object Wkt extends Serializable {
         }
         MultiPolygon(polys.result())
       case "GEOMETRYCOLLECTION" if body.replaceAll("[()\\s]", "").isEmpty => EmptyGeom
+      case "GEOMETRYCOLLECTION" =>
+        // split top-level comma-separated members: POINT (..), POLYGON (..)
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val members = Vector.newBuilder[String]
+        var depth = 0; var start = 0
+        for (i <- inner.indices) inner.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => members += inner.substring(start, i); start = i + 1
+          case _ =>
+        }
+        members += inner.substring(start)
+        Collection(members.result().map(m => parse(m.trim)))
       case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
     }
   }
@@ -164,10 +251,15 @@ object Wkt extends Serializable {
       "POLYGON (" + rs.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")").mkString(", ") + ")"
     case MultiPoint(ps) =>
       "MULTIPOINT (" + ps.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")"
+    case MultiLineString(ls) =>
+      "MULTILINESTRING (" + ls.map(l =>
+        "(" + l.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")").mkString(", ") + ")"
     case MultiPolygon(polys) =>
       "MULTIPOLYGON (" + polys.map(pg =>
         pg.rings.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ") + ")")
           .mkString("(", ", ", ")")).mkString(", ") + ")"
+    case Collection(gs) =>
+      "GEOMETRYCOLLECTION (" + gs.map(write).mkString(", ") + ")"
     case EmptyGeom => "GEOMETRYCOLLECTION EMPTY"
   }
 
@@ -176,7 +268,9 @@ object Wkt extends Serializable {
     case LineString(ps) => ps.length
     case Polygon(rs) => rs.map(_.length).sum
     case MultiPoint(ps) => ps.length
+    case MultiLineString(ls) => ls.map(_.length).sum
     case MultiPolygon(polys) => polys.map(npoints).sum
+    case Collection(gs) => gs.map(npoints).sum
     case EmptyGeom => 0
   }
 
@@ -190,12 +284,15 @@ object Wkt extends Serializable {
   def area(g: Geom): Double = g match {
     case Polygon(rs) if rs.nonEmpty => ringArea(rs.head) - rs.tail.map(ringArea).sum
     case MultiPolygon(polys) => polys.map(area).sum
+    case Collection(gs) => gs.map(area).sum
     case _ => 0.0
   }
 
   def length(g: Geom): Double = g match {
     case LineString(ps) =>
       ps.sliding(2).map { case Vector(a, b) => math.hypot(b.x - a.x, b.y - a.y) }.sum
+    case MultiLineString(ls) => ls.map(ps => length(LineString(ps))).sum
+    case Collection(gs) => gs.map(length).sum
     case _ => 0.0
   }
 
@@ -220,11 +317,8 @@ object Wkt extends Serializable {
   }
 
   def envelope(g: Geom): Geom = {
-    val ps = g match {
-      case Point(p) => Vector(p)
-      case LineString(l) => l
-      case Polygon(rs) => rs.flatten
-    }
+    val ps = GeoExtras.allPoints(g)
+    if (ps.isEmpty) return EmptyGeom
     val (x0, x1) = (ps.map(_.x).min, ps.map(_.x).max)
     val (y0, y1) = (ps.map(_.y).min, ps.map(_.y).max)
     Polygon(Vector(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0))))
@@ -259,12 +353,15 @@ object Wkt extends Serializable {
   }
 
   private def edges(g: Geom): Seq[(Pt, Pt)] = g match {
-    case Point(_) => Seq.empty
+    case Point(_) | MultiPoint(_) | EmptyGeom => Seq.empty
     case LineString(ps) => ps.sliding(2).collect { case Vector(a, b) => (a, b) }.toSeq
+    case MultiLineString(ls) => ls.flatMap(ps => edges(LineString(ps)))
     case Polygon(rs) => rs.flatMap { r0 =>
       val r = dedupClosed(r0)
       r.indices.map(i => (r(i), r((i + 1) % r.length)))
     }
+    case MultiPolygon(polys) => polys.flatMap(edges)
+    case Collection(gs) => gs.flatMap(edges)
   }
 
   private def anyEdgeCross(a: Geom, b: Geom): Boolean = {

@@ -268,6 +268,54 @@ object ExtendedQueries {
         |(n_nationkey + 0.5 < 10 AND n_regionkey + 0.5 < 10) AS in_square,
         |(n_nationkey * n_regionkey)::double AS area
         |FROM nation""".stripMargin),
+    // WKB IO (GeoFunctions.java:257 ST_AsBinary, :296 ST_GeomFromBinary):
+    // round-trip through the binary form plus exact byte lengths (OGC WKB
+    // layout: point = 1+4+16 = 21 bytes, 1-ring 5-pt polygon =
+    // 1+4+4+4+5·16 = 93) and the
+    // canonical little-endian hex of a fixed point, stated literally in
+    // the oracle
+    "geo_wkb" -> (
+      """SELECT n_nationkey,
+        |st_geomfrombinary(st_asbinary(poly)) AS rt_poly,
+        |st_geomfrombinary(st_asbinary(pt)) AS rt_pt,
+        |length(st_asbinary(pt)) AS pt_len,
+        |length(st_asbinary(poly)) AS poly_len,
+        |lower(hex(st_asbinary('POINT (1 2)'))) AS pt_hex
+        |FROM (SELECT n_nationkey,
+        |  concat('POLYGON ((0 0, ', k, ' 0, ', k, ' ', k, ', 0 ', k, ', 0 0))') AS poly,
+        |  concat('POINT (', n_nationkey, ' ', n_regionkey, ')') AS pt
+        |  FROM (SELECT n_nationkey, n_regionkey, n_nationkey + 1 AS k FROM nation))""".stripMargin,
+      """SELECT n_nationkey,
+        |'POLYGON ((0 0, ' || k || ' 0, ' || k || ' ' || k || ', 0 ' || k || ', 0 0))' AS rt_poly,
+        |'POINT (' || n_nationkey || ' ' || n_regionkey || ')' AS rt_pt,
+        |21 AS pt_len, 93 AS poly_len,
+        |'0101000000000000000000f03f0000000000000040' AS pt_hex
+        |FROM (SELECT n_nationkey, n_regionkey, n_nationkey + 1 AS k FROM nation)""".stripMargin),
+    // convex hull (GeoFunctions.java:472) + simplify + accessor family:
+    // the hull of {corners of a k-square} ∪ {2 interior points} is the
+    // square itself, emitted CCW from the min-(x,y) vertex by the
+    // monotone-chain construction, so the full WKT is predictable
+    "geo_convexhull" -> (
+      """SELECT n_nationkey,
+        |st_astext(ch) AS hull_wkt,
+        |round(st_area(ch), 6) AS hull_area,
+        |st_npoints(ch) AS np,
+        |st_exterior_ring(ch) AS xr,
+        |st_xmax(ch) AS xmax, st_ymin(ch) AS ymin,
+        |st_geometry_type(ch) AS gtype,
+        |st_simplify('LINESTRING (0 0, 1 0.01, 2 -0.01, 3 0.02, 4 0, 4 5)', 0.1) AS simp
+        |FROM (SELECT n_nationkey,
+        |  st_convex_hull(concat('MULTIPOINT (0 0, ', k, ' 0, 0 ', k, ', ', k, ' ', k, ', 1 1, 2 1)')) AS ch
+        |  FROM (SELECT n_nationkey, n_nationkey + 3 AS k FROM nation))""".stripMargin,
+      """SELECT n_nationkey,
+        |'POLYGON ((0 0, ' || k || ' 0, ' || k || ' ' || k || ', 0 ' || k || ', 0 0))' AS hull_wkt,
+        |round((k * k)::double, 6) AS hull_area,
+        |5 AS np,
+        |'LINESTRING (0 0, ' || k || ' 0, ' || k || ' ' || k || ', 0 ' || k || ', 0 0)' AS xr,
+        |k::double AS xmax, 0.0::double AS ymin,
+        |'ST_Polygon' AS gtype,
+        |'LINESTRING (0 0, 4 0, 4 5)' AS simp
+        |FROM (SELECT n_nationkey, n_nationkey + 3 AS k FROM nation)""".stripMargin),
     // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio,
     // data-size parse, human-readable durations, MySQL date_parse, format)
     "fn_misc" -> (

@@ -80,4 +80,89 @@ class GeoConstructiveSpec extends GraftSuite {
     assert(math.abs(Wkt.area(rt) - 125.0) < 1e-9)
     assert(Wkt.npoints(rt) == Wkt.npoints(u))
   }
+
+  // ---- tranche 3: difference + holed polygons -------------------------
+
+  private def holed(shellPts: Seq[(Double, Double)], holePts: Seq[(Double, Double)]): Wkt.Polygon =
+    Wkt.Polygon(Vector(shellPts.toVector.map { case (x, y) => Wkt.Pt(x, y) },
+      holePts.toVector.map { case (x, y) => Wkt.Pt(x, y) }))
+
+  // 10x10 square with a 2x2 hole at (4,4)-(6,6): area 96
+  private val sqHoled = holed(
+    Seq((0, 0), (10, 0), (10, 10), (0, 10), (0, 0)),
+    Seq((4, 4), (6, 4), (6, 6), (4, 6), (4, 4)))
+
+  test("difference of overlapping squares leaves the L-shape") {
+    val d = GeoConstructive.difference(sq10, sqOff)
+    assert(math.abs(Wkt.area(d) - 75.0) < 1e-9, Wkt.write(d))
+    // complement direction too
+    val d2 = GeoConstructive.difference(sqOff, sq10)
+    assert(math.abs(Wkt.area(d2) - 75.0) < 1e-9, Wkt.write(d2))
+  }
+
+  test("difference with contained polygon produces a holed polygon") {
+    val d = GeoConstructive.difference(sq10, sqIn)
+    assert(math.abs(Wkt.area(d) - 96.0) < 1e-9, Wkt.write(d))
+    val rings = d.asInstanceOf[Wkt.Polygon].rings
+    assert(rings.length == 2, Wkt.write(d))
+    // the hole region is no longer inside
+    assert(!Wkt.contains(d, Wkt.Point(Wkt.Pt(3, 3))))
+    assert(Wkt.contains(d, Wkt.Point(Wkt.Pt(1, 1))))
+  }
+
+  test("difference: disjoint → subject; covered → empty") {
+    assert(math.abs(Wkt.area(GeoConstructive.difference(sq10, sqFar)) - 100.0) < 1e-9)
+    assert(GeoConstructive.difference(sqIn, sq10) == Wkt.EmptyGeom)
+  }
+
+  test("symmetric difference area = union - intersection") {
+    val sd = GeoConstructive.symDifference(sq10, sqOff)
+    assert(math.abs(Wkt.area(sd) - 150.0) < 1e-9, Wkt.write(sd))
+  }
+
+  test("intersection with a holed polygon subtracts the hole overlap") {
+    // clip window (3,3)-(7,7): 16 minus hole (4,4)-(6,6) fully inside = 12
+    val win = poly((3, 3), (7, 3), (7, 7), (3, 7), (3, 3))
+    val g = GeoConstructive.intersection(sqHoled, win)
+    assert(math.abs(Wkt.area(g) - 12.0) < 1e-9, Wkt.write(g))
+    assert(!Wkt.contains(g, Wkt.Point(Wkt.Pt(5, 5)))) // inside the hole
+    assert(Wkt.contains(g, Wkt.Point(Wkt.Pt(3.5, 3.5))))
+    // window that clips the hole partially: (5,5)-(9,9) → 16 - 1 = 15
+    val win2 = poly((5, 5), (9, 5), (9, 9), (5, 9), (5, 5))
+    val g2 = GeoConstructive.intersection(sqHoled, win2)
+    assert(math.abs(Wkt.area(g2) - 15.0) < 1e-9, Wkt.write(g2))
+  }
+
+  test("union with a holed polygon: hole filled by the other operand shrinks") {
+    // patch (5,5)-(8,8) covers the hole quadrant [5,6]x[5,6]: hole shrinks to 3
+    val patch = poly((5, 5), (8, 5), (8, 8), (5, 8), (5, 5))
+    val u = GeoConstructive.union(sqHoled, patch)
+    assert(math.abs(Wkt.area(u) - 97.0) < 1e-9, Wkt.write(u))
+    assert(!Wkt.contains(u, Wkt.Point(Wkt.Pt(4.5, 4.5)))) // still a hole
+    assert(Wkt.contains(u, Wkt.Point(Wkt.Pt(5.5, 5.5)))) // filled
+    // disjoint patch far away leaves the hole untouched
+    val u2 = GeoConstructive.union(sqHoled, sqFar)
+    assert(math.abs(Wkt.area(u2) - 121.0) < 1e-9, Wkt.write(u2))
+  }
+
+  test("union of two holed polygons: overlapping holes intersect") {
+    // second square (2,2)-(12,12) with hole (5,5)-(7,7); union holes:
+    // ha∩hb = [5,6]^2 (1) + ha∖B (0, ha inside B) + hb∖A (0) → area
+    // = union_shells (10x10 ∪ 10x10 offset 2 = 100+100-64=136) - 1
+    val other = holed(
+      Seq((2, 2), (12, 2), (12, 12), (2, 12), (2, 2)),
+      Seq((5, 5), (7, 5), (7, 7), (5, 7), (5, 5)))
+    val u = GeoConstructive.union(sqHoled, other)
+    assert(math.abs(Wkt.area(u) - 135.0) < 1e-9, Wkt.write(u))
+    assert(!Wkt.contains(u, Wkt.Point(Wkt.Pt(5.5, 5.5)))) // common hole part
+    assert(Wkt.contains(u, Wkt.Point(Wkt.Pt(4.5, 4.5)))) // covered by other
+  }
+
+  test("difference against a holed polygon keeps the hole region") {
+    // window (3,3)-(7,7) ∖ sqHoled = just the hole [4,6]²: area 4
+    val win = poly((3, 3), (7, 3), (7, 7), (3, 7), (3, 3))
+    val d = GeoConstructive.difference(win, sqHoled)
+    assert(math.abs(Wkt.area(d) - 4.0) < 1e-9, Wkt.write(d))
+    assert(Wkt.contains(d, Wkt.Point(Wkt.Pt(5, 5))))
+  }
 }
