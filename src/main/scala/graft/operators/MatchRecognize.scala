@@ -12,13 +12,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Supported:
   *   - PARTITION BY / ORDER BY (by column name)
-  *   - PATTERN: concatenation, grouping, alternation `(A|B)`, greedy
-  *     quantifiers `? + *` — parsed from the SQL pattern text
+  *   - PATTERN: concatenation, grouping, alternation `(A|B)`, greedy +
+  *     reluctant quantifiers `? + * {n} {n,} {n,m} {,m}`, PERMUTE,
+  *     anchors `^ $`, exclusion `{- X -}` — parsed from the SQL text
   *   - DEFINE: predicates over a navigable [[Ctx]] (current row +
   *     PREV/NEXT physical navigation, like the reference's
   *     `LogicalIndexNavigation`)
-  *   - ONE ROW PER MATCH and ALL ROWS PER MATCH
-  *   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW
+  *   - ONE ROW PER MATCH and ALL ROWS PER MATCH [WITH UNMATCHED ROWS]
+  *   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW / TO FIRST/LAST sym
   *
   * Execution model (the 100 TB shape): `repartition(partition cols)` +
   * `sortWithinPartitions(partition ++ order cols)` + `mapPartitions`.
@@ -38,9 +39,17 @@ object MatchRecognize extends Serializable {
   final case class Cat(ps: List[Pat]) extends Pat
   final case class Alt(ps: List[Pat]) extends Pat
   /** Quantifier: min occurrences, optional max; `reluctant` flips the
-    * preference order (fewest repetitions first — `??`/`+?`/`*?`).
+    * preference order (fewest repetitions first — `??`/`+?`/`*?`/`{n,m}?`).
     */
   final case class Quant(p: Pat, min: Int, max: Option[Int], reluctant: Boolean = false) extends Pat
+  /** `^` — matches (zero width) only at the partition start. */
+  case object AnchorStart extends Pat
+  /** `$` — matches (zero width) only at the partition end. */
+  case object AnchorEnd extends Pat
+  /** `{- X -}` exclusion: X is matched normally but its rows are omitted
+    * from ALL ROWS PER MATCH output (SQL-2016; measures still see them).
+    */
+  final case class Excl(p: Pat) extends Pat
 
   /** Parse `"V (C|E)+ P?"` into a [[Pat]]. Symbols are identifiers;
     * whitespace separates concatenation; `|` alternates; `()` groups;
@@ -53,8 +62,10 @@ object MatchRecognize extends Serializable {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c.isWhitespace || c == ',') i += 1 // commas only occur in PERMUTE lists
-      else if ("()|?+*".indexOf(c) >= 0) { toks += c.toString; i += 1 }
+      if (c.isWhitespace) i += 1
+      else if (c == '{' && i + 1 < s.length && s.charAt(i + 1) == '-') { toks += "{-"; i += 2 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '}') { toks += "-}"; i += 2 }
+      else if ("()|?+*{},^$".indexOf(c) >= 0) { toks += c.toString; i += 1 }
       else {
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
@@ -70,14 +81,22 @@ object MatchRecognize extends Serializable {
         val a = alt()
         require(next() == ")", s"missing ) in: $s")
         a
+      case "{-" =>
+        val a = alt()
+        require(next() == "-}", s"missing -} in: $s")
+        Excl(a)
+      case "^" => AnchorStart
+      case "$" => AnchorEnd
       case p if p.equalsIgnoreCase("PERMUTE") =>
         require(next() == "(", s"PERMUTE needs a parenthesized list in: $s")
         val elems = ArrayBuffer[Pat]()
-        while (peek != ")") elems += term()
+        while (peek != ")") { if (peek == ",") next() else elems += term() }
         next() // ')'
         require(elems.length <= 6, s"PERMUTE limited to 6 elements in: $s")
         Alt(elems.toList.permutations.map(Cat(_)).toList)
-      case sym => Sym(sym)
+      case sym =>
+        require(sym.head.isLetter || sym.head == '_', s"bad pattern token '$sym' in: $s")
+        Sym(sym)
     }
     def term(): Pat = {
       var a = atom()
@@ -91,13 +110,34 @@ object MatchRecognize extends Serializable {
         case "*" => next()
           if (peek == "?") { next(); a = Quant(a, 0, None, reluctant = true) }
           else a = Quant(a, 0, None)
+        case "{" => next()
+          // bounded quantifier (SqlBase.g4 patternQuantifier): {n}, {n,},
+          // {n,m}, {,m}; optional trailing ? for reluctant
+          def num(): Option[Int] = peek match {
+            case t if t != null && t.forall(_.isDigit) => next(); Some(t.toInt)
+            case _ => None
+          }
+          val lo = num()
+          val hasComma = peek == ","
+          if (hasComma) next()
+          val hi = num()
+          require(next() == "}", s"missing }} in quantifier in: $s")
+          val (mn, mx) =
+            if (hasComma) (lo.getOrElse(0), hi)
+            else {
+              val n = lo.getOrElse(throw new IllegalArgumentException(s"empty {} quantifier in: $s"))
+              (n, Some(n))
+            }
+          require(mx.forall(_ >= mn), s"bad quantifier bounds {$mn,${mx.get}} in: $s")
+          if (peek == "?") { next(); a = Quant(a, mn, mx, reluctant = true) }
+          else a = Quant(a, mn, mx)
         case _ =>
       }
       a
     }
     def seq(): Pat = {
       val ps = ArrayBuffer[Pat]()
-      while (peek != null && peek != ")" && peek != "|") ps += term()
+      while (peek != null && peek != ")" && peek != "|" && peek != "-}") ps += term()
       if (ps.length == 1) ps.head else Cat(ps.toList)
     }
     def alt(): Pat = {
@@ -135,8 +175,12 @@ object MatchRecognize extends Serializable {
     def next(n: Int = 1): Row = if (buf.ensure(idx + n)) buf.get(idx + n) else null
   }
 
-  /** A completed match handed to the measures functions. */
-  final case class Match(matchNumber: Long, rows: IndexedSeq[Row], classifier: IndexedSeq[String]) {
+  /** A completed match handed to the measures functions. `excluded` holds
+    * indices matched inside `{- -}` exclusions: visible to measures
+    * (standard semantics) but omitted from ALL ROWS PER MATCH output.
+    */
+  final case class Match(matchNumber: Long, rows: IndexedSeq[Row], classifier: IndexedSeq[String],
+      excluded: Set[Int] = Set.empty) {
     def rowsOf(symbol: String): IndexedSeq[Row] =
       rows.indices.collect { case i if classifier(i) == symbol => rows(i) }
     /** Rows classified to ANY of `symbols` — SUBSET union variables. */
@@ -212,10 +256,11 @@ object MatchRecognize extends Serializable {
       rowMeasures: (Row, Match, Int) => Row,
       outSchema: StructType,
       afterMatchSkip: SkipMode = SkipPastLastRow,
-      prevTail: Int = 8): DataFrame =
+      prevTail: Int = 8,
+      unmatched: Option[Row => Row] = None): DataFrame =
     run(df, partitionCols, orderCols, parsePattern(pattern), define,
-      (key, m) => m.rows.indices.iterator.map(i => rowMeasures(key, m, i)),
-      outSchema, afterMatchSkip, prevTail)
+      (key, m) => m.rows.indices.iterator.filterNot(m.excluded).map(i => rowMeasures(key, m, i)),
+      outSchema, afterMatchSkip, prevTail, unmatched)
 
   // ---- core ------------------------------------------------------------
 
@@ -228,7 +273,8 @@ object MatchRecognize extends Serializable {
       emit: (Row, Match) => Iterator[Row],
       outSchema: StructType,
       skip: SkipMode,
-      prevTail: Int): DataFrame = {
+      prevTail: Int,
+      unmatched: Option[Row => Row] = None): DataFrame = {
 
     val sorted = df
       .repartition(partitionCols.map(col): _*)
@@ -270,6 +316,14 @@ object MatchRecognize extends Serializable {
             case Cat(h :: t) => go(h, pos, acc, (p2, a2) => go(Cat(t), p2, a2, k))
             case Alt(ps) =>
               ps.iterator.map(pp => go(pp, pos, acc, k)).collectFirst { case Some(r) => r }
+            case AnchorStart => if (pos == 0) k(pos, acc) else None
+            case AnchorEnd => if (!buf.ensure(pos)) k(pos, acc) else None
+            case Excl(pp) =>
+              // rows matched inside the exclusion get a marker prefix on
+              // their classifier entry; Match construction strips it into
+              // the excluded-index set
+              go(pp, pos, Nil, (p2, sub) =>
+                k(p2, sub.map(s => if (s.startsWith("!")) s else "!" + s) ::: acc))
             case Quant(pp, min, max, reluctant) =>
               def rep(cnt: Int, pos2: Int, acc2: List[String]): Option[(Int, List[String])] = {
                 def more =
@@ -292,13 +346,18 @@ object MatchRecognize extends Serializable {
         new Iterator[Row] {
           private var start = 0
           private var matchNum = 0L
+          private var maxMatchedEnd = 0 // rows below this were part of a match
           private var pending: Iterator[Row] = Iterator.empty
           private def advance(): Unit =
             while (!pending.hasNext && buf.ensure(start)) {
               go(pattern, start, Nil, (end, acc) => Some((end, acc))) match {
                 case Some((end, accRev)) if end > start =>
                   matchNum += 1
-                  val m = Match(matchNum, buf.slice(start, end), accRev.reverse.toIndexedSeq)
+                  val raw = accRev.reverse.toIndexedSeq
+                  val excluded = raw.indices.filter(i => raw(i).startsWith("!")).toSet
+                  val m = Match(matchNum, buf.slice(start, end),
+                    raw.map(_.stripPrefix("!")), excluded)
+                  maxMatchedEnd = math.max(maxMatchedEnd, end)
                   pending = emit(keyRow, m)
                   start = skip match {
                     case SkipPastLastRow => end
@@ -319,6 +378,11 @@ object MatchRecognize extends Serializable {
                       start + i
                   }
                 case _ =>
+                  // WITH UNMATCHED ROWS: a row at a failed start that no
+                  // earlier match covered is unmatched (overlapping-skip
+                  // rescans of matched rows don't re-emit)
+                  if (unmatched.isDefined && start >= maxMatchedEnd)
+                    pending = Iterator.single(unmatched.get(buf.get(start)))
                   start += 1
               }
               buf.dropBefore(start - prevTail)

@@ -183,6 +183,24 @@ object EventQueries {
         |         C2 AS event_type = 'click'
         |)""".stripMargin)),
 
+    // bounded quantifier {n,m} (SqlBase.g4 patternQuantifier): 2-3 clicks
+    // then a purchase. SKIP TO NEXT ROW makes every start independent, so
+    // greedy {2,3} is window-derivable: prefer 3 clicks + P, else 2 + P
+    "mr_bounded" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, start_event, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num,
+        |           FIRST(event_id) AS start_event,
+        |           count(C.*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (C{2,3} P)
+        |  DEFINE C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)),
+
     // JSON property extraction + aggregation (props is a JSON string)
     "evt_json_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -356,6 +374,27 @@ object EventQueries {
         |SELECT user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY srn) AS match_num, n_rows
         |FROM runs""".stripMargin,
+    // SKIP TO NEXT ROW ⇒ starts are independent; greedy C{2,3} P at rn
+    // matches 3 clicks + purchase first, else 2 clicks + purchase
+    "mr_bounded" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(event_type, 3) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id, rn, event_id AS start_event,
+        |    CASE WHEN event_type = 'click' AND t1 = 'click' AND t2 = 'click'
+        |           AND t3 = 'purchase' THEN 3::bigint
+        |         WHEN event_type = 'click' AND t1 = 'click'
+        |           AND t2 = 'purchase' THEN 2::bigint END AS n_clicks
+        |  FROM e)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
+        |  start_event, n_clicks
+        |FROM m WHERE n_clicks IS NOT NULL""".stripMargin,
     // overlapping pairs: every click whose successor is also a click
     "mr_skip_next" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

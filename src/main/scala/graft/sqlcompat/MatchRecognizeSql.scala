@@ -21,11 +21,12 @@ import graft.operators.MatchRecognize.{Ctx, Match}
   *     count(A.*), count(col), min/max/sum/avg over match rows,
   *     arithmetic, comparisons, CASE-less boolean logic, IN lists, CAST
   *   - ONE ROW PER MATCH (partition cols + measures) and ALL ROWS PER
-  *     MATCH (input cols + measures; FINAL semantics — RUNNING measures
-  *     are a documented skip, VERDICT r2 "MR leftovers")
-  *   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW
+  *     MATCH (input cols + measures; RUNNING/FINAL semantics), ALL ROWS
+  *     PER MATCH WITH UNMATCHED ROWS (null measures on unmatched rows)
+  *   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW / TO FIRST/LAST
   *   - PATTERN(...) — full pattern grammar of [[MatchRecognize.parsePattern]]
-  *     (alternation, grouping, greedy+reluctant ? + *, PERMUTE)
+  *     (alternation, grouping, greedy+reluctant ? + * {n,m}, PERMUTE,
+  *     anchors ^ $, exclusion {- X -})
   *   - DEFINE over the same expression subset evaluated at the candidate
   *     row, PREV(expr[, n]) / NEXT(expr[, n]) physical navigation
   *
@@ -85,6 +86,7 @@ object MatchRecognizeSql {
   private case class Clause(
       partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(Expression, String, Option[Boolean])], allRows: Boolean,
+      withUnmatched: Boolean,
       skip: MatchRecognize.SkipMode, pattern: String,
       define: Map[String, Expression],
       subsets: Map[String, Set[String]])
@@ -114,7 +116,8 @@ object MatchRecognizeSql {
           else mc =>
             if (mc.i == mc.m.rows.length - 1) base(mc)
             else base(MC(mc.key,
-              Match(mc.m.matchNumber, mc.m.rows.take(mc.i + 1), mc.m.classifier.take(mc.i + 1)),
+              Match(mc.m.matchNumber, mc.m.rows.take(mc.i + 1), mc.m.classifier.take(mc.i + 1),
+                mc.m.excluded.filter(_ <= mc.i)),
               mc.i))
         (name, ev, measureType(e, schema))
       }
@@ -134,11 +137,15 @@ object MatchRecognizeSql {
       val outSchema = StructType(
         schema.fields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
           measureEvals.map { case (n, _, t) => StructField(n, t, nullable = true) })
+      val nullMeasures = measureEvals.map(_ => null)
       MatchRecognize.allRowsPerMatch(
         input, c.partitionBy, c.orderBy, c.pattern, define,
         rowMeasures = (key, m, i) => Row.fromSeq(
           m.rows(i).toSeq ++ measureEvals.map(_._2(MC(key, m, i)))),
-        outSchema = outSchema, afterMatchSkip = c.skip)
+        outSchema = outSchema, afterMatchSkip = c.skip,
+        unmatched =
+          if (c.withUnmatched) Some(row => Row.fromSeq(row.toSeq ++ nullMeasures))
+          else None)
     }
   }
 
@@ -210,11 +217,16 @@ object MatchRecognizeSql {
     def cols(k: String): Seq[String] = sectionText(k).map(t =>
       splitTopLevel(t, ',').map(_.trim.replaceAll("(?i)\\s+(ASC|DESC)$", ""))).getOrElse(Seq.empty)
 
+    // rows-per-match sub-modes (SqlBase.g4 rowsPerMatch): WITH UNMATCHED
+    // ROWS emits non-matching rows with null measures; OMIT EMPTY is the
+    // matcher's native behavior (empty matches never emit)
+    val allRowsText = sectionText("ALL ROWS PER MATCH").map(_.toUpperCase.replaceAll("\\s+", " ").trim)
     Clause(
       partitionBy = cols("PARTITION BY"),
       orderBy = cols("ORDER BY"),
       measures = measures,
-      allRows = sectionText("ALL ROWS PER MATCH").isDefined,
+      allRows = allRowsText.isDefined,
+      withUnmatched = allRowsText.exists(_.startsWith("WITH UNMATCHED ROWS")),
       skip = skip,
       pattern = patternText,
       define = defines,

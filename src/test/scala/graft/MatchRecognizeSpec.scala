@@ -136,6 +136,73 @@ class MatchRecognizeSpec extends GraftSuite {
         Quant(Sym("C"), 0, Some(1)))))
     assert(parsePattern("V (C|E)+ P") ==
       Cat(List(Sym("V"), Quant(Alt(List(Sym("C"), Sym("E"))), 1, None), Sym("P"))))
+    // bounded quantifiers (SqlBase.g4 patternQuantifier)
+    assert(parsePattern("B{2,4}") == Quant(Sym("B"), 2, Some(4)))
+    assert(parsePattern("B{3}") == Quant(Sym("B"), 3, Some(3)))
+    assert(parsePattern("B{2,}") == Quant(Sym("B"), 2, None))
+    assert(parsePattern("B{,3}") == Quant(Sym("B"), 0, Some(3)))
+    assert(parsePattern("B{2,4}?") == Quant(Sym("B"), 2, Some(4), reluctant = true))
+    // anchors + exclusion
+    assert(parsePattern("^ A $") == Cat(List(AnchorStart, Sym("A"), AnchorEnd)))
+    assert(parsePattern("A {- B+ -} C") ==
+      Cat(List(Sym("A"), Excl(Quant(Sym("B"), 1, None)), Sym("C"))))
+    intercept[IllegalArgumentException](parsePattern("B{4,2}"))
+    intercept[IllegalArgumentException](parsePattern("B{}"))
+  }
+
+  test("bounded quantifier B{2,3}: greedy within bounds, rejects under-min") {
+    // run of 4 bs then c: B{2,3} C needs exactly the last 3 bs + c? No —
+    // greedy takes 3 from the start, then C fails on the 4th b, backtrack
+    // to 2, C fails again → no match at 0; at 1: b b b c → 3 bs + c ✓
+    val out = run(ev(1, "b", "b", "b", "b", "c"), "B{2,3} C")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((1L, 4L)))
+    // a single b cannot satisfy min=2
+    assert(run(ev(1, "b", "c"), "B{2,3} C").isEmpty)
+    // exact count {2}
+    val out2 = run(ev(1, "b", "b", "c"), "B{2} C")
+    assert(out2.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 3L)))
+  }
+
+  test("anchors: ^ pins to partition start, $ to partition end") {
+    val out = run(ev(1, "a", "b", "a", "b"), "^ A B")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 2L)))
+    val out2 = run(ev(1, "a", "b", "a", "b"), "A B $")
+    assert(out2.map(r => (r.getLong(2), r.getLong(3))) == Seq((2L, 2L)))
+    // both anchors: whole-partition match only
+    assert(run(ev(1, "a", "b", "x"), "^ A B $").isEmpty)
+    assert(run(ev(1, "a", "b"), "^ A B $").map(r => (r.getLong(2), r.getLong(3))) ==
+      Seq((0L, 2L)))
+  }
+
+  test("exclusion {- -}: rows matched but omitted from ALL ROWS output") {
+    val allSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("cls", StringType), StructField("n", LongType)))
+    val out = MatchRecognize.allRowsPerMatch(
+      df(ev(1, "a", "b", "b", "c")), Seq("k"), Seq("seq"), "A {- B+ -} C", define,
+      rowMeasures = (key, m, i) => Row(key.getLong(0), m.rows(i).getLong(1),
+        m.classifier(i), m.matchNumber),
+      outSchema = allSchema).collect().toSeq.sortBy(_.getLong(1))
+    // B rows are matched (match spans 4 rows) but not emitted
+    assert(out.map(r => (r.getLong(1), r.getString(2))) == Seq((0L, "A"), (3L, "C")))
+    // ONE ROW PER MATCH still sees the full span
+    val one = run(ev(1, "a", "b", "b", "c"), "A {- B+ -} C")
+    assert(one.map(r => (r.getLong(2), r.getLong(3))) == Seq((0L, 4L)))
+  }
+
+  test("WITH UNMATCHED ROWS emits non-matching rows with null measures") {
+    val allSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("cls", StringType), StructField("n", LongType)))
+    val out = MatchRecognize.allRowsPerMatch(
+      df(ev(1, "x", "a", "b", "x", "a", "b")), Seq("k"), Seq("seq"), "A B", define,
+      rowMeasures = (key, m, i) => Row(key.getLong(0), m.rows(i).getLong(1),
+        m.classifier(i), m.matchNumber),
+      outSchema = allSchema,
+      unmatched = Some(row => Row(row.getLong(0), row.getLong(1), null, null))
+    ).collect().toSeq.sortBy(_.getLong(1))
+    assert(out.map(r => (r.getLong(1), r.getString(2))) ==
+      Seq((0L, null), (1L, "A"), (2L, "B"), (3L, null), (4L, "A"), (5L, "B")))
   }
 
   test("PREV beyond the retained tail fails loudly instead of matching wrong") {

@@ -172,6 +172,69 @@ class MatchRecognizeSqlSpec extends GraftSuite {
     assert(rows.toSeq == Seq((1, 1L, 3L), (2, 2L, 3L), (3, 3L, 3L)))
   }
 
+  test("bounded quantifier {n,m} via SQL text") {
+    val rows = sql(
+      """SELECT start_seq, n FROM (
+        |  SELECT * FROM VALUES (1, 1, 'b'), (1, 2, 'b'), (1, 3, 'b'), (1, 4, 'b'),
+        |    (1, 5, 'c') AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(seq) AS start_seq, count(B.*) AS n
+        |  ONE ROW PER MATCH
+        |  PATTERN (B{2,3} C)
+        |  DEFINE B AS sym = 'b', C AS sym = 'c')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // greedy: at seq=1 three bs then C fails (seq=4 is b), backtrack — no
+    // match until seq=2: b b b c
+    assert(rows == Seq((2, 3L)))
+  }
+
+  test("exclusion {- -} omits rows from ALL ROWS output via SQL text") {
+    val rows = sql(
+      """SELECT seq, cls FROM (
+        |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'b'), (1, 4, 'c')
+        |    AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES CLASSIFIER() AS cls
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A {- B+ -} C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1, "A"), (4, "C")))
+  }
+
+  test("ALL ROWS PER MATCH WITH UNMATCHED ROWS emits null-measure rows") {
+    val rows = sql(
+      """SELECT seq, cls, match_num FROM (
+        |  SELECT * FROM VALUES (1, 1, 'x'), (1, 2, 'a'), (1, 3, 'b'), (1, 4, 'x')
+        |    AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_num
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  PATTERN (A B)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1, null), (2, "A"), (3, "B"), (4, null)))
+  }
+
+  test("anchors ^ $ via SQL text") {
+    val rows = sql(
+      """SELECT start_seq FROM (
+        |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'a'), (1, 4, 'b')
+        |    AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(seq) AS start_seq
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B $)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b')""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    // only the partition-final A B matches the $-anchored pattern
+    assert(rows == Seq(3))
+  }
+
   test("unsupported constructs raise descriptive errors") {
     val e1 = intercept[Exception](sql(
       """SELECT * FROM events MATCH_RECOGNIZE (
