@@ -259,10 +259,11 @@ object GraftFunctions {
 
     // --- sketch aggregates (reference: HLL type + ApproximateSetAggregation,
     // ApproximateMostFrequentHistogram; ours are semantically compatible,
-    // not wire compatible — SURVEY §7 known-hard list) ---
-    u.register("approx_set_agg", udaf(new HllAggregator))
-    u.register("approx_set_agg_long", udaf(new HllLongAggregator))
-    u.register("merge_hll", udaf(new HllMergeAggregator))
+    // not wire compatible — SURVEY §7 known-hard list).
+    // approx_set_agg / merge_hll are TypedImperativeAggregates hashing the
+    // raw column in update() — no per-row String render (r3 verdict #2);
+    // installed in the function registry below with the other expression
+    // aggregates.
     u.register("hll_cardinality", (sketch: Array[Byte]) =>
       if (sketch == null) null else java.lang.Long.valueOf(Hll.cardinality(sketch)))
     // SetDigest family (reference core/trino-main/.../type/setdigest/
@@ -315,6 +316,12 @@ object GraftFunctions {
     TryExpr.install(spark)
     org.apache.spark.sql.graft.RegexpReplaceLambda.install(spark)
     org.apache.spark.sql.graft.ReduceAgg.install(spark)
+    org.apache.spark.sql.graft.HllAgg.install(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "merge_hll",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.HllMergeAgg(exprs.head),
+      "built-in")
   }
 
   private def erf(x: Double): Double = {

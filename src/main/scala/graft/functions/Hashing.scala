@@ -17,15 +17,28 @@ object Hashing {
   /** fnv64 with a seed mixed in — cheap family of hash functions for
     * minhash signatures (one seed per permutation).
     */
-  def fnv64Seeded(s: String, seed: Long): Long = {
+  def fnv64Seeded(s: String, seed: Long): Long =
+    fnv64SeededBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  /** Byte-level form: hash UTF-8 (or arbitrary binary) without a String
+    * round-trip — identical output to [[fnv64Seeded]] on the same bytes.
+    */
+  def fnv64SeededBytes(bytes: Array[Byte], seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ seed
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     // final avalanche (splitmix64 tail) so seeds decorrelate
     h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
     h ^= h >>> 27; h *= 0x94d049bb133111ebL
     h ^ (h >>> 31)
+  }
+
+  /** splitmix64 finalizer — avalanche for integral keys. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
 
   def levenshtein(a: String, b: String): Int = {

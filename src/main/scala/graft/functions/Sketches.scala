@@ -36,6 +36,13 @@ object Hll {
     out
   }
 
+  /** Register-max merge of `b` into `a` — the partial-agg hot path. */
+  def mergeInPlace(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
   def cardinality(regs: Array[Byte]): Long = {
     var sum = 0.0
     var zeros = 0
@@ -54,50 +61,9 @@ object Hll {
   }
 }
 
-/** approx_set(x): HLL sketch over any input rendered to string. */
-class HllAggregator extends Aggregator[String, Array[Byte], Array[Byte]] {
-  def zero: Array[Byte] = Hll.empty
-  def reduce(b: Array[Byte], a: String): Array[Byte] = {
-    if (a != null) Hll.add(b, Hashing.fnv64Seeded(a, 0x5bd1e995L))
-    b
-  }
-  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
-  def finish(r: Array[Byte]): Array[Byte] = r
-  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-}
-
-/** approx_set_agg_long(x): HLL over bigint without the String round-trip
-  * (the round-1 hot path allocated a string per row and hashed UTF-8;
-  * here the key is avalanched directly — splitmix64 finalizer).
-  */
-class HllLongAggregator extends Aggregator[Long, Array[Byte], Array[Byte]] {
-  private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-  def zero: Array[Byte] = Hll.empty
-  def reduce(b: Array[Byte], a: Long): Array[Byte] = { Hll.add(b, mix(a)); b }
-  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
-  def finish(r: Array[Byte]): Array[Byte] = r
-  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-}
-
-/** merge(hll): re-aggregate previously built sketches (rollup path —
-  * reference `MergeHyperLogLogAggregation.java`).
-  */
-class HllMergeAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-  def zero: Array[Byte] = Hll.empty
-  def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
-    if (a == null) b else Hll.merge(b, a)
-  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
-  def finish(r: Array[Byte]): Array[Byte] = r
-  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-}
+// approx_set_agg / approx_set_agg_long / merge_hll are registered as
+// TypedImperativeAggregates over the raw column (no per-row String render)
+// — see `org.apache.spark.sql.graft.HllAgg`.
 
 /** Space-saving top-k (reference `ApproximateMostFrequentHistogram.java`).
   * With `capacity` ≥ true distinct count the counts are EXACT — the
@@ -166,50 +132,63 @@ class SpaceSavingAggregator(capacity: Int)
 }
 
 /** min_n(x, n) / max_n(x, n): the reference's `min(x, n)`/`max(x, n)`
-  * overloads (`MinMaxNAggregations`) — bounded top-n kept sorted in the
-  * buffer, so shuffle state is O(n) per group regardless of input size.
+  * overloads (`MinMaxNAggregations`) — bounded top-n kept sorted in a
+  * primitive array (UnsafeRow-encoded tuple buffer, no kryo), so shuffle
+  * state is O(n) per group regardless of input size. Per-row update is a
+  * binary search + arraycopy shift into the SAME array (the r2/r3 version
+  * rebuilt an immutable Vector per row); a value past the current n-th
+  * bound is rejected in O(log n) with zero writes.
+  *
+  * `asc = true` keeps the n smallest (ascending), `asc = false` the n
+  * largest (descending).
   */
-class MinNAggregator extends Aggregator[(java.lang.Double, Int), (Int, Vector[Double]), Seq[Double]] {
-  def zero: (Int, Vector[Double]) = (0, Vector.empty)
-  def reduce(b: (Int, Vector[Double]), a: (java.lang.Double, Int)): (Int, Vector[Double]) = {
+abstract class BoundedNAggregator(asc: Boolean)
+    extends Aggregator[(java.lang.Double, Int), (Int, Int, Array[Double]), Seq[Double]] {
+  // buffer = (n, size, sorted values in preference order, capacity n)
+  def zero: (Int, Int, Array[Double]) = (0, 0, Array.emptyDoubleArray)
+
+  @inline private def key(v: Double): Double = if (asc) v else -v
+
+  def reduce(b: (Int, Int, Array[Double]), a: (java.lang.Double, Int)): (Int, Int, Array[Double]) = {
     if (a._1 == null) return b // SQL aggregates ignore nulls
-    val v = a._1.doubleValue()
+    val v = key(a._1.doubleValue())
     val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
-    val idx = b._2.indexWhere(_ > v)
-    val ins = if (idx < 0) b._2 :+ v else (b._2.take(idx) :+ v) ++ b._2.drop(idx)
-    (n, ins.take(n))
+    var size = b._2
+    val arr = if (b._3.length >= n) b._3 else java.util.Arrays.copyOf(b._3, n)
+    if (size == n && v >= arr(n - 1)) return (n, size, arr) // reject, no shift
+    var idx = java.util.Arrays.binarySearch(arr, 0, size, v)
+    if (idx < 0) idx = -idx - 1
+    val last = if (size < n) size else n - 1
+    if (last > idx) System.arraycopy(arr, idx, arr, idx + 1, last - idx)
+    arr(idx) = v
+    if (size < n) size += 1
+    (n, size, arr)
   }
-  def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {
+
+  def merge(a: (Int, Int, Array[Double]), b: (Int, Int, Array[Double])): (Int, Int, Array[Double]) = {
     val n = math.max(a._1, b._1)
-    if (n == 0) (0, Vector.empty)
-    else (n, (a._2 ++ b._2).sorted.take(n))
+    if (n == 0) return zero
+    val out = new Array[Double](n)
+    var i = 0; var j = 0; var k = 0
+    while (k < n && (i < a._2 || j < b._2)) {
+      val takeA = j >= b._2 || (i < a._2 && a._3(i) <= b._3(j))
+      if (takeA) { out(k) = a._3(i); i += 1 } else { out(k) = b._3(j); j += 1 }
+      k += 1
+    }
+    (n, k, out)
   }
-  def finish(r: (Int, Vector[Double])): Seq[Double] = r._2
-  def bufferEncoder: Encoder[(Int, Vector[Double])] = Encoders.kryo[(Int, Vector[Double])]
+
+  def finish(r: (Int, Int, Array[Double])): Seq[Double] =
+    (0 until r._2).map(i => if (asc) r._3(i) else -r._3(i))
+
+  def bufferEncoder: Encoder[(Int, Int, Array[Double])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int, Array[Double])]()
   def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
-class MaxNAggregator extends Aggregator[(java.lang.Double, Int), (Int, Vector[Double]), Seq[Double]] {
-  def zero: (Int, Vector[Double]) = (0, Vector.empty)
-  def reduce(b: (Int, Vector[Double]), a: (java.lang.Double, Int)): (Int, Vector[Double]) = {
-    if (a._1 == null) return b // SQL aggregates ignore nulls
-    val v = a._1.doubleValue()
-    val n = if (b._1 > 0) b._1 else math.max(a._2, 1)
-    val idx = b._2.indexWhere(_ < v)
-    val ins = if (idx < 0) b._2 :+ v else (b._2.take(idx) :+ v) ++ b._2.drop(idx)
-    (n, ins.take(n))
-  }
-  def merge(a: (Int, Vector[Double]), b: (Int, Vector[Double])): (Int, Vector[Double]) = {
-    val n = math.max(a._1, b._1)
-    if (n == 0) (0, Vector.empty)
-    else (n, (a._2 ++ b._2).sorted(Ordering[Double].reverse).take(n))
-  }
-  def finish(r: (Int, Vector[Double])): Seq[Double] = r._2
-  def bufferEncoder: Encoder[(Int, Vector[Double])] = Encoders.kryo[(Int, Vector[Double])]
-  def outputEncoder: Encoder[Seq[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
-}
+class MinNAggregator extends BoundedNAggregator(asc = true)
+class MaxNAggregator extends BoundedNAggregator(asc = false)
 
 /** approx_most_frequent(value, k): parameterized-capacity variant
   * (reference `ApproximateMostFrequentHistogram.java` takes the bucket
