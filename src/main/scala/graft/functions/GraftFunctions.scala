@@ -297,11 +297,11 @@ object GraftFunctions {
     u.register("tdigest_value_at_quantile", (sketch: Array[Byte], q: Double) =>
       if (sketch == null) null
       else java.lang.Double.valueOf(TDigest.valueAtQuantile(sketch, q)))
-    u.register("qdigest_agg", udaf(new QuantileSketchAggregator))
-    u.register("merge_qdigest", udaf(new QuantileSketchMergeAggregator))
+    // qdigest_agg / merge_qdigest are true q-digest expression aggregates
+    // (org.apache.spark.sql.graft.QDigestAgg), installed below
     u.register("value_at_quantile", (sketch: Seq[Long], q: Double) =>
       if (sketch == null) null
-      else java.lang.Double.valueOf(QuantileSketch.valueAtQuantile(sketch.toArray, q)))
+      else java.lang.Double.valueOf(QDigest.valueAtQuantile(sketch.toArray, q)))
 
     GeoFunctions.register(spark)
     BingTile.register(spark)
@@ -317,6 +317,7 @@ object GraftFunctions {
     org.apache.spark.sql.graft.RegexpReplaceLambda.install(spark)
     org.apache.spark.sql.graft.ReduceAgg.install(spark)
     org.apache.spark.sql.graft.HllAgg.install(spark)
+    org.apache.spark.sql.graft.QDigestAgg.install(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "merge_hll",
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

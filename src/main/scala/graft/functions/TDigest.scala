@@ -6,8 +6,9 @@ import org.apache.spark.sql.expressions.Aggregator
 /** t-digest proper (Dunning & Ertl, "Computing extremely accurate
   * quantiles using t-digests", arXiv:1902.04023) — the reference's tdigest
   * type (`core/trino-main/.../operator/aggregation/
-  * TDigestAggregationFunction.java`, `TDigestFunctions.java`), previously
-  * stood in for by the log-histogram QuantileSketch (r2 verdict gap #5).
+  * TDigestAggregationFunction.java`, `TDigestFunctions.java`; the
+  * companion qdigest lives in `QDigest.scala` with its deterministic
+  * rank bound — tdigest trades that for tail-concentrated accuracy).
   * Centroid sizes follow the k₁ scale function k(q) = δ/(2π)·asin(2q−1):
   * tail centroids hold O(1) points, so relative error CONCENTRATES AT THE
   * TAILS (p99/p999), which is what distinguishes tdigest from an

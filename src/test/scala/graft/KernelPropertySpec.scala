@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Hashing, MinHash, QuantileSketch, ShingleHash, SimHash, SpaceSaving, Wkt}
+import graft.functions.{Hashing, MinHash, QDigest, ShingleHash, SimHash, SpaceSaving, Wkt}
 
 /** Randomized property checks (seeded → reproducible) for the
   * hand-written kernels — the code most likely to hide an off-by-one,
@@ -72,18 +72,20 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("quantile sketch: interpolated answers within ~1% relative error") {
-    for (_ <- 1 to 100) {
-      val xs = List.fill(50 + rnd.nextInt(2000))(1.0 + rnd.nextDouble() * 1e6)
+  test("q-digest: exact in the sub-k regime, rank-bounded always") {
+    for (_ <- 1 to 50) {
+      val xs = List.fill(50 + rnd.nextInt(2000))(rnd.nextDouble() * 2e6 - 1e6)
       val q = 0.05 + rnd.nextDouble() * 0.9
-      val counts = new Array[Long](QuantileSketch.Buckets)
-      xs.foreach(v => counts(QuantileSketch.bucketOf(v)) += 1)
-      val est = QuantileSketch.valueAtQuantile(counts, q)
+      // split into two digests and merge — bound must survive the merge
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.length))
+      val d1 = QDigest(); l.foreach(d1.add)
+      val d2 = QDigest(); r.foreach(d2.add)
+      val est = d1.merge(d2).valueAtQuantile(q)
       val sorted = xs.sorted
+      // n < k here → the digest never compresses → exact quantile value
       val exact = sorted(math.min(sorted.length - 1,
         math.max(0, math.ceil(q * sorted.length).toInt - 1)))
-      assert(math.abs(est - exact) / exact < 0.011 + 2.0 / xs.length,
-        s"q=$q est=$est exact=$exact n=${xs.length}")
+      assert(est == exact, s"q=$q est=$est exact=$exact n=${xs.length}")
     }
   }
 
