@@ -356,11 +356,32 @@ object ExtendedQueries {
         "PREPARE q_nat FROM SELECT n_name, n_nationkey FROM nation " +
           "WHERE n_nationkey < ? AND n_name LIKE ? ORDER BY n_nationkey")
       Tables.sql(s, dir, "EXECUTE q_nat USING 10, 'NATION%'")
+    }),
+    // DESCRIBE INPUT (SqlBase.g4:156): positional parameter types inferred
+    // from the columns adjacent to each ? marker
+    "stmt_describe_input" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "PREPARE q_di FROM SELECT n_name FROM nation " +
+          "WHERE n_nationkey < ? AND n_name LIKE ?")
+      Tables.sql(s, dir, "DESCRIBE INPUT q_di")
+    }),
+    // START TRANSACTION / COMMIT / ROLLBACK: acknowledged no-ops over the
+    // parquet catalog (statements are individually atomic via staged file
+    // swaps, like the reference's auto-commit connectors)
+    "stmt_transaction" -> ((s, dir) => {
+      Tables.sql(s, dir, "START TRANSACTION")
+      val inTxn = Tables.sql(s, dir, "SELECT count(*) AS n FROM nation")
+      Tables.sql(s, dir, "COMMIT")
+      inTxn
     }))
 
   val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
     "stmt_prepare_execute" ->
       """SELECT n_name, n_nationkey FROM nation
         |WHERE n_nationkey < 10 AND n_name LIKE 'NATION%'
-        |ORDER BY n_nationkey""".stripMargin)
+        |ORDER BY n_nationkey""".stripMargin,
+    "stmt_describe_input" ->
+      "SELECT * FROM (VALUES (0, 'int'), (1, 'string')) AS t(position, type)",
+    "stmt_transaction" ->
+      "SELECT count(*) AS n FROM nation")
 }

@@ -33,6 +33,12 @@ object Statements {
     """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*$""".r
   private val DescribeOutput =
     """(?is)^\s*DESCRIBE\s+OUTPUT\s+([A-Za-z_]\w*)\s*$""".r
+  private val DescribeInput =
+    """(?is)^\s*DESCRIBE\s+INPUT\s+([A-Za-z_]\w*)\s*$""".r
+  private val StartTransaction =
+    """(?is)^\s*(?:START\s+TRANSACTION|BEGIN)(?:\s+.*)?$""".r
+  private val Commit = """(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r
+  private val Rollback = """(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r
 
   /** Strip one level of single quotes from a literal value. */
   private def unquote(v: String): String =
@@ -68,8 +74,66 @@ object Statements {
           Seq.fill(countParams(body))("NULL")))
         Some(analyzed.schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString)).toDF("column_name", "type"))
+      case DescribeInput(name) =>
+        import spark.implicits._
+        val body = store(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"prepared statement not found: $name"))
+        // the analyzed NULL-bound plan exposes every relation's attributes;
+        // a parameter adjacent to `col <op> ?` takes col's type, otherwise
+        // 'unknown' (the reference reports unknown for non-inferable
+        // positions too — SqlBase.g4:156 DESCRIBE INPUT)
+        val analyzed = runQuery(substitute(body, Seq.fill(countParams(body))("NULL")))
+        val attrTypes: Map[String, String] =
+          analyzed.queryExecution.analyzed.collect { case p => p.output }
+            .flatten.map(a => a.name.toLowerCase -> a.dataType.simpleString).toMap
+        Some(paramContexts(body).zipWithIndex
+          .map { case (ident, i) =>
+            (i, ident.flatMap(id => attrTypes.get(id.toLowerCase)).getOrElse("unknown"))
+          }.toDF("position", "type"))
+      case StartTransaction() =>
+        import spark.implicits._
+        // parquet tables: statements are individually atomic (staged file
+        // swaps); transaction scoping is acknowledged as a no-op like the
+        // reference's auto-commit connectors
+        Some(Seq("START TRANSACTION").toDF("result"))
+      case Commit() =>
+        import spark.implicits._
+        Some(Seq("COMMIT").toDF("result"))
+      case Rollback() =>
+        import spark.implicits._
+        Some(Seq("ROLLBACK").toDF("result"))
       case _ => None
     }
+
+  /** For each positional `?` (outside literals, left to right): the
+    * identifier on the other side of an adjacent comparison/arithmetic
+    * operator (`col < ?`, `? = col`, `col LIKE ?`, `col IN (?`), if any.
+    */
+  private def paramContexts(body: String): Seq[Option[String]] = {
+    val masked = body.toCharArray
+    var i = 0; var inStr = false
+    while (i < masked.length) { // blank out literals so idents inside don't match
+      val c = masked(i)
+      if (inStr) { if (c == '\'') inStr = false; masked(i) = ' ' }
+      else if (c == '\'') { inStr = true; masked(i) = ' ' }
+      i += 1
+    }
+    val s = new String(masked)
+    val ident = """[A-Za-z_][\w.]*"""
+    val op = """(?:<=|>=|<>|!=|=|<|>|\+|-|\*|/|(?i:LIKE)|(?i:IN)\s*\()"""
+    val before = s"($ident)\\s*$op\\s*$$".r
+    val after = s"^\\s*$op\\s*($ident)".r
+    (0 until s.length).filter(s.charAt(_) == '?').map { pos =>
+      val pre = s.substring(0, pos)
+      val post = s.substring(pos + 1)
+      before.findFirstMatchIn(pre).map(m => stripQual(m.group(1)))
+        .orElse(after.findFirstMatchIn(post).map(m => stripQual(m.group(1))))
+        .filterNot(id => Set("and", "or", "not", "like", "in").contains(id.toLowerCase))
+    }
+  }
+
+  private def stripQual(ident: String): String =
+    ident.substring(ident.lastIndexOf('.') + 1)
 
   /** Positional `?` substitution outside string literals. */
   private def substitute(body: String, params: Seq[String]): String = {

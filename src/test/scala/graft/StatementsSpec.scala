@@ -47,6 +47,35 @@ class StatementsSpec extends GraftSuite {
     assert(cols.contains("n_nationkey") && cols.contains("n_name"))
   }
 
+  test("EXECUTE with a string parameter containing '?' does not mis-substitute") {
+    sql("PREPARE stmt5 FROM SELECT ? AS a, '?' AS lit, ? AS b")
+    val r = sql("EXECUTE stmt5 USING 'x?y', 7").collect().head
+    // the ? inside the bound string and the ? inside the body literal must
+    // both survive; only the two positional markers bind
+    assert(r.getString(0) == "x?y")
+    assert(r.getString(1) == "?")
+    assert(r.getInt(2) == 7)
+  }
+
+  test("DESCRIBE INPUT infers parameter types from adjacent columns") {
+    sql("PREPARE stmt6 FROM SELECT n_name FROM nation WHERE n_nationkey < ? AND n_name LIKE ? AND ? = n_regionkey AND substr(n_name, ?) IS NOT NULL")
+    val rows = sql("DESCRIBE INPUT stmt6").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((0, "int"), (1, "string"), (2, "int"), (3, "unknown")))
+  }
+
+  test("transaction statements are acknowledged no-ops") {
+    assert(sql("START TRANSACTION").collect().head.getString(0) == "START TRANSACTION")
+    assert(sql("START TRANSACTION ISOLATION LEVEL READ COMMITTED").collect().nonEmpty)
+    assert(sql("COMMIT").collect().head.getString(0) == "COMMIT")
+    assert(sql("COMMIT WORK").collect().nonEmpty)
+    assert(sql("ROLLBACK").collect().head.getString(0) == "ROLLBACK")
+    // statements in between still run normally
+    sql("BEGIN")
+    assert(sql("SELECT count(*) AS n FROM nation").collect().head.getLong(0) == 25)
+    sql("ROLLBACK")
+  }
+
   test("EXECUTE of a prepared MATCH_RECOGNIZE query goes through the full dialect") {
     sql("""PREPARE mrq FROM SELECT user_id, n_rows FROM events MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY ts, event_id
