@@ -353,6 +353,9 @@ object GeoConstructive extends Serializable {
   def difference(a: Geom, b: Geom): Geom = (a, b) match {
     case (p @ Point(_), g) => if (Wkt.contains(g, p)) EmptyGeom else p
     case (pa: Polygon, Point(_)) => pa // a point has no area to remove
+    // point-set-equal polygons difference to nothing — without this the
+    // no-crossing fallback of the clipper would return the minuend whole
+    case (pa: Polygon, pb: Polygon) if GeoRelations.equalsGeom(pa, pb) => EmptyGeom
     case (pa: Polygon, pb: Polygon) => diffPolygons(pa, pb)
     case _ => throw new IllegalArgumentException(
       s"ST_Difference supports point/polygon inputs, got ${Wkt.write(a)} × ${Wkt.write(b)}")

@@ -132,19 +132,209 @@ object GeoFunctions {
     u.register("st_sym_difference", (a: String, b: String) =>
       if (a == null || b == null) null
       else Wkt.write(GeoConstructive.symDifference(Wkt.parse(a), Wkt.parse(b))))
-    // great-circle distance in meters over (lon, lat) degrees — the
-    // geographic half of the reference's SphericalGeoFunctions
-    // (ST_Distance on SphericalGeography); haversine on the mean radius
+    // great_circle_distance(lat1, lon1, lat2, lon2) → KILOMETERS, exactly
+    // the reference's semantics (GeoFunctions.java:1511: Vincenty-form
+    // atan2 on the 6371.01 km sphere — NOT haversine, NOT meters)
     u.register("great_circle_distance",
-      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
-        val r = 6371008.8 // IUGG mean earth radius, meters
-        val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
-        val dPhi = math.toRadians(lat2 - lat1)
-        val dLam = math.toRadians(lon2 - lon1)
-        val a = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
-          math.cos(phi1) * math.cos(phi2) * math.sin(dLam / 2) * math.sin(dLam / 2)
-        2 * r * math.asin(math.min(1.0, math.sqrt(a)))
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        GeoRelations.greatCircleKm(lat1, lon1, lat2, lon2))
+
+    // --- tranche 4: relations, validity, linear referencing, IO,
+    // geography + the reference's exact case-insensitive spellings ---
+    u.register("st_boundary", (g: String) =>
+      if (g == null) null else Wkt.write(GeoRelations.boundaryOf(Wkt.parse(g))))
+    u.register("st_coorddim", (g: String) =>
+      if (g == null) null else { Wkt.parse(g); java.lang.Byte.valueOf(2.toByte) })
+    u.register("st_issimple", (g: String) =>
+      if (g == null) null else java.lang.Boolean.valueOf(GeoRelations.isSimple(Wkt.parse(g))))
+    u.register("st_isvalid", (g: String) =>
+      if (g == null) null else java.lang.Boolean.valueOf(GeoRelations.isValid(Wkt.parse(g))))
+    u.register("geometry_invalid_reason", (g: String) =>
+      if (g == null) null else GeoRelations.invalidReason(Wkt.parse(g)).orNull)
+    u.register("st_isring", (g: String) =>
+      if (g == null) null
+      else Wkt.parse(g) match {
+        case l @ Wkt.LineString(ps) =>
+          java.lang.Boolean.valueOf(ps.length > 1 && ps.head == ps.last && GeoRelations.isSimple(l))
+        case other => throw new IllegalArgumentException(
+          s"ST_IsRing only applies to LINE_STRING. Input type is: ${GeoExtras.geometryType(other)}")
       })
+    u.register("st_crosses", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Boolean.valueOf(GeoRelations.crosses(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_touches", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Boolean.valueOf(GeoRelations.touches(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_overlaps", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Boolean.valueOf(GeoRelations.overlaps(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_equals", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Boolean.valueOf(GeoRelations.equalsGeom(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_relate", (a: String, b: String, pattern: String) =>
+      if (a == null || b == null || pattern == null) null
+      else java.lang.Boolean.valueOf(GeoRelations.relate(Wkt.parse(a), Wkt.parse(b), pattern)))
+    u.register("geometry_nearest_points", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else {
+        val (p, q) = GeoRelations.nearestPoints(Wkt.parse(a), Wkt.parse(b))
+        // reference returns row(Geometry, Geometry); a 2-element array of
+        // points is the closest representable shape over WKT strings
+        Seq(Wkt.write(Wkt.Point(p)), Wkt.write(Wkt.Point(q)))
+      })
+    u.register("geometry_union", (gs: Seq[String]) =>
+      if (gs == null) null
+      else {
+        val parsed = gs.filter(_ != null).map(Wkt.parse)
+        if (parsed.isEmpty) null else Wkt.write(GeoRelations.unionAll(parsed))
+      })
+    u.register("st_points", (g: String) =>
+      if (g == null) null
+      else {
+        val ps = GeoExtras.allPoints(Wkt.parse(g))
+        if (ps.isEmpty) null else ps.map(p => Wkt.write(Wkt.Point(p)))
+      })
+    u.register("st_geometries", (g: String) =>
+      if (g == null) null
+      else Wkt.parse(g) match {
+        case Wkt.EmptyGeom => null
+        case Wkt.MultiPoint(ps) => ps.map(p => Wkt.write(Wkt.Point(p)))
+        case Wkt.MultiLineString(ls) => ls.map(l => Wkt.write(Wkt.LineString(l)))
+        case Wkt.MultiPolygon(polys) => polys.map(Wkt.write)
+        case Wkt.Collection(geoms) => geoms.map(Wkt.write)
+        case single => Seq(Wkt.write(single))
+      })
+    u.register("st_interiorrings", (g: String) =>
+      Option(g).map(Wkt.parse).flatMap {
+        case Wkt.Polygon(rings) if rings.nonEmpty =>
+          Some(rings.tail.map(r => Wkt.write(Wkt.LineString(
+            if (r.nonEmpty && r.head != r.last) r :+ r.head else r))))
+        case _: Wkt.Polygon => Some(Seq.empty[String])
+        case other => throw new IllegalArgumentException(
+          s"ST_InteriorRings only applies to POLYGON. Input type is: ${GeoExtras.geometryType(other)}")
+      }.orNull)
+    u.register("st_envelopeaspts", (g: String) =>
+      if (g == null) null
+      else minMax(g).map { case (x0, x1, y0, y1) =>
+        Seq(Wkt.write(Wkt.Point(Wkt.Pt(x0, y0))), Wkt.write(Wkt.Point(Wkt.Pt(x1, y1))))
+      }.orNull)
+    // constructors (reference ST_LineFromText :?, ST_LineString, ST_MultiPoint, ST_Polygon)
+    u.register("st_linefromtext", (wkt: String) =>
+      if (wkt == null) null
+      else Wkt.parse(wkt) match {
+        case l: Wkt.LineString => Wkt.write(l)
+        case other => throw new IllegalArgumentException(
+          s"ST_LineFromText only applies to LINE_STRING. Input type is: ${GeoExtras.geometryType(other)}")
+      })
+    u.register("st_polygon", (wkt: String) =>
+      if (wkt == null) null
+      else Wkt.parse(wkt) match {
+        case p: Wkt.Polygon => Wkt.write(p)
+        case other => throw new IllegalArgumentException(
+          s"ST_Polygon only applies to POLYGON. Input type is: ${GeoExtras.geometryType(other)}")
+      })
+    u.register("st_linestring", (points: Seq[String]) =>
+      if (points == null) null
+      else Wkt.write(Wkt.LineString(points.filter(_ != null).toVector.map(Wkt.parse(_) match {
+        case Wkt.Point(p) => p
+        case other => throw new IllegalArgumentException(
+          s"ST_LineString takes an array of points, got: ${GeoExtras.geometryType(other)}")
+      }))))
+    u.register("st_multipoint", (points: Seq[String]) =>
+      if (points == null) null
+      else Wkt.write(Wkt.MultiPoint(points.filter(_ != null).toVector.map(Wkt.parse(_) match {
+        case Wkt.Point(p) => p
+        case other => throw new IllegalArgumentException(
+          s"ST_MultiPoint takes an array of points, got: ${GeoExtras.geometryType(other)}")
+      }))))
+    // linear referencing
+    u.register("line_locate_point", (line: String, point: String) =>
+      if (line == null || point == null) null
+      else Wkt.parse(point) match {
+        case Wkt.Point(p) => java.lang.Double.valueOf(GeoRelations.lineLocatePoint(Wkt.parse(line), p))
+        case other => throw new IllegalArgumentException(
+          s"Second argument to line_locate_point must be a Point. Got: ${GeoExtras.geometryType(other)}")
+      })
+    u.register("line_interpolate_point", (line: String, fraction: Double) =>
+      if (line == null) null
+      else Wkt.write(Wkt.Point(GeoRelations.lineInterpolatePoint(Wkt.parse(line), fraction))))
+    u.register("line_interpolate_points", (line: String, step: Double) =>
+      if (line == null) null
+      else GeoRelations.lineInterpolatePoints(Wkt.parse(line), step)
+        .map(p => Wkt.write(Wkt.Point(p))))
+    u.register("simplify_geometry", (g: String, tol: Double) =>
+      if (g == null) null else Wkt.write(GeoExtras.simplify(Wkt.parse(g), tol)))
+    // GeoJSON + encoded-polyline IO
+    u.register("to_geojson_geometry", (g: String) =>
+      if (g == null) null else GeoRelations.toGeoJson(Wkt.parse(g)))
+    u.register("from_geojson_geometry", (j: String) =>
+      if (j == null) null else Wkt.write(GeoRelations.fromGeoJson(j)))
+    u.register("to_encoded_polyline", (g: String) =>
+      if (g == null) null else GeoRelations.toEncodedPolyline(Wkt.parse(g)))
+    u.register("from_encoded_polyline", (s: String) =>
+      if (s == null) null else Wkt.write(GeoRelations.fromEncodedPolyline(s)))
+    // spherical geography (reference overloads ST_Distance/Length/Area by
+    // the SphericalGeography type; over WKT strings the overload collapses
+    // to the st_geography_* spellings)
+    u.register("to_spherical_geography", (g: String) =>
+      if (g == null) null else Wkt.write(GeoRelations.toSphericalGeography(Wkt.parse(g))))
+    u.register("to_geometry", (g: String) =>
+      if (g == null) null else Wkt.write(Wkt.parse(g)))
+    u.register("st_geography_distance", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(GeoRelations.sphericalDistanceM(Wkt.parse(a), Wkt.parse(b))))
+    u.register("st_geography_length", (g: String) =>
+      if (g == null) null
+      else java.lang.Double.valueOf(GeoRelations.sphericalLengthM(Wkt.parse(g))))
+    u.register("st_geography_area", (g: String) =>
+      if (g == null) null
+      else java.lang.Double.valueOf(GeoRelations.sphericalAreaM2(Wkt.parse(g))))
+    // aggregates (reference aggregation/GeometryUnionAgg.java,
+    // ConvexHullAggregation.java)
+    u.register("geometry_union_agg",
+      org.apache.spark.sql.functions.udaf(new GeometryUnionAggregator))
+    u.register("convex_hull_agg",
+      org.apache.spark.sql.functions.udaf(new ConvexHullAggregator))
+
+    // the reference's own case-insensitive spellings (ST_ConvexHull →
+    // st_convexhull after SQL lowercasing) — a user pasting a Trino query
+    // must not hit "undefined function" because this pack registered only
+    // the snake_case variant
+    u.register("st_geometryfromtext", (wkt: String) =>
+      if (wkt == null) null else Wkt.write(Wkt.parse(wkt)))
+    u.register("st_convexhull", (g: String) =>
+      if (g == null) null else Wkt.write(GeoExtras.convexHull(Wkt.parse(g))))
+    u.register("st_geometrytype", (g: String) =>
+      if (g == null) null else GeoExtras.geometryType(Wkt.parse(g)))
+    u.register("st_isempty", (g: String) =>
+      if (g == null) null else java.lang.Boolean.valueOf(GeoExtras.isEmpty(Wkt.parse(g))))
+    u.register("st_isclosed", (g: String) =>
+      if (g == null) null
+      else GeoExtras.isClosed(Wkt.parse(g)).map(java.lang.Boolean.valueOf).orNull)
+    u.register("st_numgeometries", (g: String) =>
+      if (g == null) null else Integer.valueOf(GeoExtras.numGeometries(Wkt.parse(g))))
+    u.register("st_geometryn", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.geometryN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_exteriorring", (g: String) =>
+      if (g == null) null else GeoExtras.exteriorRing(Wkt.parse(g)).map(Wkt.write).orNull)
+    u.register("st_numinteriorring", (g: String) =>
+      if (g == null) null
+      else GeoExtras.numInteriorRing(Wkt.parse(g)).map(Integer.valueOf).orNull)
+    u.register("st_interiorringn", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.interiorRingN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_pointn", (g: String, n: Int) =>
+      if (g == null) null else GeoExtras.pointN(Wkt.parse(g), n).map(Wkt.write).orNull)
+    u.register("st_startpoint", (g: String) =>
+      if (g == null) null else GeoExtras.pointN(Wkt.parse(g), 1).map(Wkt.write).orNull)
+    u.register("st_endpoint", (g: String) =>
+      if (g == null) null else (Wkt.parse(g) match {
+        case Wkt.LineString(ps) if ps.nonEmpty => Some(Wkt.write(Wkt.Point(ps.last)))
+        case _ => None
+      }).orNull)
+    u.register("st_numpoints", (g: String) => Wkt.npoints(Wkt.parse(g)))
+    u.register("st_symdifference", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else Wkt.write(GeoConstructive.symDifference(Wkt.parse(a), Wkt.parse(b))))
   }
 
   private def minMax(wkt: String): Option[(Double, Double, Double, Double)] = {
@@ -352,7 +542,7 @@ object Wkt extends Serializable {
     o1 != o2 && o3 != o4
   }
 
-  private def edges(g: Geom): Seq[(Pt, Pt)] = g match {
+  def edges(g: Geom): Seq[(Pt, Pt)] = g match {
     case Point(_) | MultiPoint(_) | EmptyGeom => Seq.empty
     case LineString(ps) => ps.sliding(2).collect { case Vector(a, b) => (a, b) }.toSeq
     case MultiLineString(ls) => ls.flatMap(ps => edges(LineString(ps)))

@@ -195,19 +195,23 @@ object ExtendedQueries {
         |'POINT (3 4)' AS rt
         |FROM (SELECT n_nationkey, n_nationkey + 0.5 AS x, n_regionkey * 2 + 0.5 AS y
         |      FROM nation) t""".stripMargin),
-    // great-circle distance (SphericalGeoFunctions.ST_Distance analog):
-    // haversine restated in the oracle; rounded to 0.1 m so last-ULP
-    // differences in the trig evaluation order cannot flip a digit
+    // great-circle distance: the reference's exact semantics
+    // (GeoFunctions.java:1511) — KILOMETERS via the Vincenty-form atan2
+    // on the 6371.01 km sphere. Restated term-by-term in the oracle;
+    // rounded to 0.1 m so last-ULP libm differences cannot flip a digit
     "geo_great_circle" -> (
       """SELECT n_nationkey,
         |round(great_circle_distance(cast(n_nationkey AS double),
-        |  cast(n_regionkey * 10 AS double), 0.0d, 0.0d), 1) AS d_origin_m
+        |  cast(n_regionkey * 10 AS double), 0.0d, 0.0d), 4) AS d_origin_km
         |FROM nation""".stripMargin,
       """SELECT n_nationkey,
-        |round(2 * 6371008.8 * asin(least(1.0, sqrt(
-        |  pow(sin(radians((0 - n_nationkey) / 2.0)), 2) +
-        |  cos(radians(n_nationkey)) * cos(radians(0)) *
-        |  pow(sin(radians((0 - n_regionkey * 10) / 2.0)), 2)))), 1) AS d_origin_m
+        |round(atan2(sqrt(
+        |    pow(cos(radians(0)) * sin(radians(n_regionkey * 10)), 2) +
+        |    pow(cos(radians(n_nationkey)) * sin(radians(0))
+        |        - sin(radians(n_nationkey)) * cos(radians(0)) * cos(radians(n_regionkey * 10)), 2)),
+        |  sin(radians(n_nationkey)) * sin(radians(0))
+        |    + cos(radians(n_nationkey)) * cos(radians(0)) * cos(radians(n_regionkey * 10)))
+        |  * 6371.01, 4) AS d_origin_km
         |FROM nation""".stripMargin),
     // geo scalars: distance + ray-cast polygon containment (square,
     // off-boundary points, so the oracle states it as range checks)
