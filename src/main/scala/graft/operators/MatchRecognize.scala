@@ -240,8 +240,11 @@ object MatchRecognize extends Serializable {
       outSchema: StructType,
       afterMatchSkip: SkipMode = SkipPastLastRow,
       prevTail: Int = 8): DataFrame =
+    // ONE ROW PER MATCH summarizes EVERY match, empty ones included
+    // (SQL-2016 7.11; there is no OMIT option in this mode)
     run(df, partitionCols, orderCols, parsePattern(pattern), define,
-      (key, m) => Iterator.single(measures(key, m)), outSchema, afterMatchSkip, prevTail)
+      (key, m) => Iterator.single(measures(key, m)), outSchema, afterMatchSkip, prevTail,
+      emptyMatch = Some((key, m, _) => measures(key, m)))
 
   /** ALL ROWS PER MATCH: `rowMeasures(key, match, i)` produces the output
     * row for the i-th matched row (the caller appends measures columns to
@@ -257,10 +260,11 @@ object MatchRecognize extends Serializable {
       outSchema: StructType,
       afterMatchSkip: SkipMode = SkipPastLastRow,
       prevTail: Int = 8,
-      unmatched: Option[Row => Row] = None): DataFrame =
+      unmatched: Option[Row => Row] = None,
+      emptyMatches: Option[(Row, Match, Row) => Row] = None): DataFrame =
     run(df, partitionCols, orderCols, parsePattern(pattern), define,
       (key, m) => m.rows.indices.iterator.filterNot(m.excluded).map(i => rowMeasures(key, m, i)),
-      outSchema, afterMatchSkip, prevTail, unmatched)
+      outSchema, afterMatchSkip, prevTail, unmatched, emptyMatches)
 
   // ---- core ------------------------------------------------------------
 
@@ -274,7 +278,8 @@ object MatchRecognize extends Serializable {
       outSchema: StructType,
       skip: SkipMode,
       prevTail: Int,
-      unmatched: Option[Row => Row] = None): DataFrame = {
+      unmatched: Option[Row => Row] = None,
+      emptyMatch: Option[(Row, Match, Row) => Row] = None): DataFrame = {
 
     val sorted = df
       .repartition(partitionCols.map(col): _*)
@@ -377,7 +382,19 @@ object MatchRecognize extends Serializable {
                         "AFTER MATCH SKIP TO LAST: target is the first row of the match (infinite loop)")
                       start + i
                   }
-                case _ =>
+                case Some((_, _)) =>
+                  // EMPTY MATCH (pattern matched zero rows at this
+                  // position): it gets a match number and — when the
+                  // rows-per-match mode shows empty matches — one output
+                  // row carrying the starting row / summary with measures
+                  // over the empty match. Skip always advances one row
+                  // (SQL-2016: empty-match resumption point).
+                  matchNum += 1
+                  if (emptyMatch.isDefined)
+                    pending = Iterator.single(emptyMatch.get(keyRow,
+                      Match(matchNum, Vector.empty, Vector.empty), buf.get(start)))
+                  start += 1
+                case None =>
                   // WITH UNMATCHED ROWS: a row at a failed start that no
                   // earlier match covered is unmatched (overlapping-skip
                   // rescans of matched rows don't re-emit)

@@ -201,6 +201,21 @@ object EventQueries {
         |         P AS event_type = 'purchase'
         |)""".stripMargin)),
 
+    // empty matches (SQL-2016 7.11: ONE ROW PER MATCH summarizes every
+    // match, empty ones included): PATTERN (C*) makes each maximal click
+    // run one match and every other position an EMPTY match with count 0
+    // — match numbering covers both
+    "mr_empty" -> ((s, dir) => Tables.sql(s, dir,
+      """SELECT user_id, match_num, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_num, count(*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  PATTERN (C*)
+        |  DEFINE C AS event_type = 'click'
+        |)""".stripMargin)),
+
     // JSON property extraction + aggregation (props is a JSON string)
     "evt_json_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -395,6 +410,31 @@ object EventQueries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
         |  start_event, n_clicks
         |FROM m WHERE n_clicks IS NOT NULL""".stripMargin,
+    // empty matches: one group per maximal click run (count = length)
+    // plus one zero-count group per non-click row, numbered by position
+    "mr_empty" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN c = 0
+        |      OR lag(c, 1, 0) OVER (PARTITION BY user_id ORDER BY rn) = 0
+        |    THEN 1 ELSE 0 END AS is_start
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, rn, c,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM s),
+        |agg AS (
+        |  SELECT user_id, grp, min(rn) AS start_rn,
+        |    CASE WHEN max(c) = 0 THEN 0::bigint ELSE count(*) END AS n_clicks
+        |  FROM m GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY start_rn) AS match_num,
+        |  n_clicks
+        |FROM agg""".stripMargin,
     // overlapping pairs: every click whose successor is also a click
     "mr_skip_next" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

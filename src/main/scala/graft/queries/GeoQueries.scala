@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
 /** Geospatial tranche 4 driver queries: spatial relations (ST_Touches /
@@ -182,6 +183,49 @@ object GeoQueries {
         |'POLYGON ((0 -10, 40 -14, 60 -14, 60 14, 40 14, 0 10, 0 -10))' AS hull
         |FROM (SELECT DISTINCT n_regionkey FROM nation)""".stripMargin))
 
-  def queries: Map[String, Q] = defs.map { case (k, (sql, _)) => k -> q(sql) }
-  def oracles: Map[String, String] = defs.map { case (k, (_, o)) => k -> o }
+  /** KDB-partitioned spatial join (operators.SpatialPartition): customer
+    * points against supplier boxes as a shuffled EQUI-join on the leaf
+    * id — the partitioned-mode SpatialJoinOperator analog, where neither
+    * side needs to fit in a broadcast. Oracle = the same join as plain
+    * DuckDB theta arithmetic (the result is partitioning-independent by
+    * construction).
+    */
+  private val partitionedJoin: Q = (s, dir) => {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_acctbal") / 1000.0).as("x"),
+        (col("c_nationkey") + 0.5).as("y"))
+    val boxes = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") % 7) * 1.4 - 1.0).as("bxmin"),
+        ((col("s_suppkey") % 11) * 2.2).as("bymin"))
+      .withColumn("bxmax", col("bxmin") + 2.5)
+      .withColumn("bymax", col("bymin") + 3.5)
+    val tree = graft.operators.SpatialPartition.kdbTree(cust, "x", "y",
+      sampleN = 500, leafCap = 50)
+    graft.operators.SpatialPartition
+      .pointInBoxJoin(cust, "x", "y", boxes, "bxmin", "bymin", "bxmax", "bymax", tree)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_pts"), min(col("c_custkey")).as("min_cust"))
+  }
+
+  private val partitionedJoinOracle: String =
+    """SELECT s_suppkey, count(*) AS n_pts, min(c_custkey) AS min_cust
+      |FROM (SELECT c_custkey, c_acctbal / 1000.0 AS x, c_nationkey + 0.5 AS y
+      |      FROM customer) p
+      |JOIN (SELECT s_suppkey,
+      |        (s_suppkey % 7) * 1.4 - 1.0 AS bxmin,
+      |        (s_suppkey % 11) * 2.2 AS bymin,
+      |        (s_suppkey % 7) * 1.4 - 1.0 + 2.5 AS bxmax,
+      |        (s_suppkey % 11) * 2.2 + 3.5 AS bymax
+      |      FROM supplier) b
+      |  ON p.x >= b.bxmin AND p.x <= b.bxmax AND p.y >= b.bymin AND p.y <= b.bymax
+      |GROUP BY s_suppkey""".stripMargin
+
+  def queries: Map[String, Q] =
+    defs.map { case (k, (sql, _)) => k -> q(sql) } +
+      ("geo_partitioned_join" -> partitionedJoin)
+  def oracles: Map[String, String] =
+    defs.map { case (k, (_, o)) => k -> o } +
+      ("geo_partitioned_join" -> partitionedJoinOracle)
 }

@@ -87,6 +87,7 @@ object MatchRecognizeSql {
       partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(Expression, String, Option[Boolean])], allRows: Boolean,
       withUnmatched: Boolean,
+      showEmpty: Boolean,
       skip: MatchRecognize.SkipMode, pattern: String,
       define: Map[String, Expression],
       subsets: Map[String, Set[String]])
@@ -145,6 +146,14 @@ object MatchRecognizeSql {
         outSchema = outSchema, afterMatchSkip = c.skip,
         unmatched =
           if (c.withUnmatched) Some(row => Row.fromSeq(row.toSeq ++ nullMeasures))
+          else None,
+        emptyMatches =
+          // SHOW EMPTY MATCHES (also implied by WITH UNMATCHED ROWS): one
+          // output row per empty match — the starting row's input columns
+          // with measures evaluated over the zero-row match
+          if (c.showEmpty || c.withUnmatched)
+            Some((key, m, startRow) => Row.fromSeq(
+              startRow.toSeq ++ measureEvals.map(_._2(MC(key, m, -1)))))
           else None)
     }
   }
@@ -217,9 +226,10 @@ object MatchRecognizeSql {
     def cols(k: String): Seq[String] = sectionText(k).map(t =>
       splitTopLevel(t, ',').map(_.trim.replaceAll("(?i)\\s+(ASC|DESC)$", ""))).getOrElse(Seq.empty)
 
-    // rows-per-match sub-modes (SqlBase.g4 rowsPerMatch): WITH UNMATCHED
-    // ROWS emits non-matching rows with null measures; OMIT EMPTY is the
-    // matcher's native behavior (empty matches never emit)
+    // rows-per-match sub-modes (SqlBase.g4 rowsPerMatch): SHOW EMPTY
+    // MATCHES (the SQL-2016 default) emits one row per empty match, OMIT
+    // EMPTY MATCHES suppresses them, WITH UNMATCHED ROWS additionally
+    // emits non-matching rows with null measures (and shows empty)
     val allRowsText = sectionText("ALL ROWS PER MATCH").map(_.toUpperCase.replaceAll("\\s+", " ").trim)
     Clause(
       partitionBy = cols("PARTITION BY"),
@@ -227,6 +237,7 @@ object MatchRecognizeSql {
       measures = measures,
       allRows = allRowsText.isDefined,
       withUnmatched = allRowsText.exists(_.startsWith("WITH UNMATCHED ROWS")),
+      showEmpty = !allRowsText.exists(_.startsWith("OMIT EMPTY MATCHES")),
       skip = skip,
       pattern = patternText,
       define = defines,
@@ -305,12 +316,13 @@ object MatchRecognizeSql {
         mc => { val rs = symRows(mc.m, sym); if (rs.isEmpty) null else rs.last.get(i) }
       case a: UnresolvedAttribute =>
         val i = fieldIdx(schema, a.nameParts.last)
-        mc => mc.m.rows.last.get(i)
+        mc => if (mc.m.rows.isEmpty) null else mc.m.rows.last.get(i)
       case f: UnresolvedFunction =>
         val name = f.nameParts.last.toLowerCase
         name match {
           case "match_number" => mc => mc.m.matchNumber
-          case "classifier" => mc => mc.m.classifier(mc.i)
+          case "classifier" =>
+            mc => if (mc.i < 0 || mc.i >= mc.m.classifier.length) null else mc.m.classifier(mc.i)
           case "first" | "last" =>
             val (symOpt, colIdx) = f.arguments.head match {
               case a: UnresolvedAttribute if a.nameParts.length > 1 && symbols.contains(a.nameParts.head.toUpperCase) =>

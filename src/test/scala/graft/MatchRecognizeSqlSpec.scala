@@ -235,6 +235,47 @@ class MatchRecognizeSqlSpec extends GraftSuite {
     assert(rows == Seq(3))
   }
 
+  test("empty matches: ONE ROW PER MATCH summarizes them; count 0, null measures") {
+    // PATTERN (A*): greedy runs of 'a' are one match each; every other
+    // position is an EMPTY match — numbered, count 0 (SQL-2016 7.11)
+    val rows = sql(
+      """SELECT match_num, n, first_seq FROM (
+        |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'a'), (1, 3, 'x'), (1, 4, 'a'), (1, 5, 'y')
+        |    AS t(k, seq, sym))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES MATCH_NUMBER() AS match_num, count(*) AS n, FIRST(A.seq) AS first_seq
+        |  ONE ROW PER MATCH
+        |  PATTERN (A*)
+        |  DEFINE A AS sym = 'a')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).sortBy(_._1).toSeq
+    // match 1: rows 1-2 (run of a); match 2: empty at row 3;
+    // match 3: row 4; match 4: empty at row 5
+    assert(rows == Seq((1L, 2L, 1), (2L, 0L, -1), (3L, 1L, 4), (4L, 0L, -1)))
+  }
+
+  test("empty matches: ALL ROWS shows them by default, OMIT EMPTY MATCHES drops them") {
+    val q = (mode: String) =>
+      s"""SELECT seq, match_num, cls FROM (
+         |  SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'x'), (1, 3, 'a')
+         |    AS t(k, seq, sym))
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY seq
+         |  MEASURES MATCH_NUMBER() AS match_num, CLASSIFIER() AS cls
+         |  ALL ROWS PER MATCH $mode
+         |  PATTERN (A*)
+         |  DEFINE A AS sym = 'a')""".stripMargin
+    val shown = sql(q("")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    // empty match at seq 2 emits its starting row with null classifier
+    assert(shown == Seq((1, 1L, "A"), (2, 2L, null), (3, 3L, "A")))
+    // match numbering still counts the omitted empty match (SQL-2016)
+    val omitted = sql(q("OMIT EMPTY MATCHES")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(omitted == Seq((1, 1L, "A"), (3, 3L, "A")))
+  }
+
   test("unsupported constructs raise descriptive errors") {
     val e1 = intercept[Exception](sql(
       """SELECT * FROM events MATCH_RECOGNIZE (
