@@ -305,6 +305,7 @@ object GraftFunctions {
 
     GeoFunctions.register(spark)
     BingTile.register(spark)
+    TrinoCompat2.register(spark)
     TrinoAliases.register(spark)
 
     // native codegen'd expressions for the hot similarity/dedup paths
@@ -317,6 +318,7 @@ object GraftFunctions {
     org.apache.spark.sql.graft.RegexpReplaceLambda.install(spark)
     org.apache.spark.sql.graft.ReduceAgg.install(spark)
     org.apache.spark.sql.graft.HllAgg.install(spark)
+    org.apache.spark.sql.graft.MapAggs.install(spark)
     org.apache.spark.sql.graft.QDigestAgg.install(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "merge_hll",

@@ -320,6 +320,89 @@ object ExtendedQueries {
         |'ST_Polygon' AS gtype,
         |'LINESTRING (0 0, 4 0, 4 5)' AS simp
         |FROM (SELECT n_nationkey, n_nationkey + 3 AS k FROM nation)""".stripMargin),
+    // aggregate completion pack (org.apache.spark.sql.graft.MapAggs):
+    // the reference's own SQL names — histogram / map_agg / multimap_agg
+    // (generic TypedImperativeAggregates), numeric_histogram (Ben-Haim &
+    // Tom-Tov, exact when distinct <= buckets as here), geometric_mean.
+    // Nation names are unique per region so every map is deterministic;
+    // multimap values are sorted to erase arrival order
+    "agg_trino_names" -> (
+      """SELECT n_regionkey,
+        |array_sort(map_entries(histogram(n_name))) AS hist,
+        |array_sort(map_entries(map_agg(n_nationkey, n_name))) AS kv,
+        |map_entries(transform_values(multimap_agg(0, n_name), (k, v) -> array_sort(v))) AS mm,
+        |array_sort(map_entries(numeric_histogram(30, cast(n_nationkey AS double) + 0.5))) AS nh,
+        |round(geometric_mean(cast(n_nationkey AS double) + 1.0), 6) AS gm
+        |FROM nation
+        |GROUP BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |list({'key': n_name, 'value': 1::bigint} ORDER BY n_name) AS hist,
+        |list({'key': n_nationkey, 'value': n_name} ORDER BY n_nationkey) AS kv,
+        |[{'key': 0, 'value': list_sort(list(n_name))}] AS mm,
+        |list({'key': n_nationkey + 0.5, 'value': 1.0::double} ORDER BY n_nationkey) AS nh,
+        |round(exp(avg(ln(n_nationkey + 1.0))), 6) AS gm
+        |FROM nation
+        |GROUP BY n_regionkey""".stripMargin),
+    // core-scalar completion pack (TrinoCompat2): lambda matchers,
+    // logical/arithmetic shifts, IEEE-754 byte images, ISO date parts,
+    // nanos timestamps, unix-time doubles, multimap_from_entries —
+    // every answer a closed form (2024-03-04 is a Monday; session zone
+    // is UTC so epoch arithmetic is exact)
+    "fn_trino_compat2" -> (
+      """SELECT n_nationkey,
+        |all_match(array(2, n_nationkey * 2, 6), x -> x % 2 = 0) AS am,
+        |any_match(array(1, 3, n_nationkey * 2 + 1, 4), x -> x % 2 = 0) AS anym,
+        |none_match(array(1, 3, 5), x -> x % 2 = 0) AS nonem,
+        |bitwise_left_shift(cast(5 AS bigint), 2) AS bls,
+        |bitwise_right_shift(cast(-8 AS bigint), 1) AS brs,
+        |bitwise_right_shift_arithmetic(cast(-8 AS bigint), 1) AS brsa,
+        |codepoint('€') AS cp,
+        |lower(hex(to_ieee754_64(1.5d))) AS ieee_hex,
+        |from_ieee754_64(to_ieee754_64(cast(n_nationkey AS double) + 0.25)) AS ieee_rt,
+        |lower(hex(to_ieee754_32(cast(1.5 AS float)))) AS ieee32_hex,
+        |combine_hash(cast(n_nationkey AS bigint), 5) AS ch,
+        |is_nan(nan()) AS isn,
+        |truncate(-2.7d) AS trunc_neg, truncate(2.7d) AS trunc_pos,
+        |day_of_week(date_add(DATE '2024-03-04', n_nationkey)) AS dow,
+        |day_of_year(date_add(DATE '2024-03-04', n_nationkey)) AS doy,
+        |week(date_add(DATE '2024-03-04', n_nationkey * 7)) AS wk,
+        |year_of_week(DATE '2021-01-01') AS yow,
+        |last_day_of_month(DATE '2024-02-05') AS ldom,
+        |millisecond(TIMESTAMP '2024-01-01 00:00:00.123') AS ms,
+        |from_iso8601_date('2024-03-05') AS fid,
+        |cast(from_unixtime_nanos(1500000000123456789) AS string) AS funn,
+        |to_unixtime(TIMESTAMP '2024-01-01 00:00:00') AS tux,
+        |timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS tzh,
+        |map_keys(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))) AS mm_keys,
+        |map_values(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))) AS mm_vals
+        |FROM nation""".stripMargin,
+      """SELECT n_nationkey,
+        |true AS am,
+        |true AS anym,
+        |true AS nonem,
+        |20::bigint AS bls,
+        |9223372036854775804::bigint AS brs,
+        |(-4)::bigint AS brsa,
+        |8364 AS cp,
+        |'3ff8000000000000' AS ieee_hex,
+        |n_nationkey + 0.25 AS ieee_rt,
+        |'3fc00000' AS ieee32_hex,
+        |n_nationkey::bigint * 31 + 5 AS ch,
+        |true AS isn,
+        |(-2.0)::double AS trunc_neg, 2.0::double AS trunc_pos,
+        |(n_nationkey % 7) + 1 AS dow,
+        |64 + n_nationkey AS doy,
+        |10 + n_nationkey AS wk,
+        |2020 AS yow,
+        |DATE '2024-02-29' AS ldom,
+        |123 AS ms,
+        |DATE '2024-03-05' AS fid,
+        |'2017-07-14 02:40:00.123456' AS funn,
+        |1704067200.0::double AS tux,
+        |0 AS tzh,
+        |['a', 'b'] AS mm_keys,
+        |[['x', 'z'], ['y']] AS mm_vals
+        |FROM nation""".stripMargin),
     // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio,
     // data-size parse, human-readable durations, MySQL date_parse, format)
     "fn_misc" -> (

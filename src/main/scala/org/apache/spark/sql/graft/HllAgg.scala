@@ -136,7 +136,9 @@ case class HllMergeAgg(
 object HllAgg {
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for (name <- Seq("approx_set_agg", "approx_set_agg_long"))
+    // approx_set is the reference's own spelling; the _agg names are the
+    // pack's historical aliases
+    for (name <- Seq("approx_set", "approx_set_agg", "approx_set_agg_long"))
       reg.createOrReplaceTempFunction(name,
         (exprs: Seq[Expression]) => HllAgg(exprs.head), "built-in")
   }
