@@ -124,6 +124,13 @@ object TrinoCompat2 {
         m.toMap
       })
 
+    // features(x1, x2, ...) → map(index, double) — trino-ml's
+    // FeatureVector literal (plugin/trino-ml FeatureFunctions.java);
+    // variadic via an expression builder, codegen'd CreateMap
+    alias("features", es => CreateMap(es.zipWithIndex.flatMap { case (e, i) =>
+      Seq(Literal(i), Cast(e, org.apache.spark.sql.types.DoubleType))
+    }))
+
     // --- misc ---
     u.register("fail", (msg: String) =>
       // Trino fail() raises USER_ERROR; unreachable value pins the type

@@ -430,6 +430,37 @@ object PipelineQueries {
           max(length(col("token"))).as("max_token_len"))
     }),
 
+    // ---- TF-IDF cosine near-dup pairs: the weighted-token variant of
+    // the similarity family. Scale shape: the pair join is blocked on
+    // the shared TOKEN with a document-frequency cap (df <= 50) — the
+    // standard stopword prune that bounds per-token fanout at df^2
+    // pairs, so the shuffle key stays low-skew at any corpus size.
+    // Everything after the cap is exact, so the DuckDB oracle mirrors
+    // the arithmetic term by term. ----
+    "sim_tfidf_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = tf.join(dfx.where(col("df") <= 50), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
+        .select(col("doc_id"), col("token"), col("w"))
+      val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val dot = w.as("a")
+        .join(w.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      dot
+        .join(nrm.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(nrm.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("cos", col("dot") / (col("na.nrm") * col("nb.nrm")))
+        .where(col("cos") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
     // ---- document fingerprinting: content hash + rolling polynomial ----
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -481,6 +512,29 @@ object PipelineQueries {
     "dedup_jaccard" -> jaccardOracle,
     // prefix filtering is result-preserving → the SAME oracle pins it
     "dedup_jaccard_ppjoin" -> jaccardOracle,
+    // TF-IDF cosine restated term by term (same df-cap prune, natural
+    // log); threshold sits in the similarity gap so last-ULP sum-order
+    // differences cannot flip membership, and cos rounds to 6 dp
+    "sim_tfidf_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |        tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfx.df) AS w
+        |      FROM tf JOIN dfx USING (token) WHERE dfx.df <= 50),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        |        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM dot
+        |JOIN nrm na ON dot.doc_a = na.doc_id
+        |JOIN nrm nb ON dot.doc_b = nb.doc_id
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.6""".stripMargin,
     // component-min labels via transitive closure (recursive CTE): min
     // node id reachable over the symmetric jaccard-pair edge set
     "dedup_components" ->

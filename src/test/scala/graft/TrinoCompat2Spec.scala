@@ -53,6 +53,13 @@ class TrinoCompat2Spec extends GraftSuite {
     assert(vs(0) < vs(1) && vs(1) < vs(2))
   }
 
+  test("features builds the trino-ml index->double vector at any arity") {
+    val m2 = one("features(1, 2.5)").getMap[Int, Double](0)
+    assert(m2 === Map(0 -> 1.0, 1 -> 2.5))
+    val m4 = one("features(0.1, 0.2, 0.3, 0.4)").getMap[Int, Double](0)
+    assert(m4.keySet === Set(0, 1, 2, 3) && m4(3) === 0.4)
+  }
+
   test("ISO week-year and day-of-week reference values") {
     // 2021-01-01 is a Friday in ISO week 53 of week-year 2020
     assert(one("year_of_week(DATE '2021-01-01')").getInt(0) === 2020)
