@@ -432,11 +432,13 @@ object PipelineQueries {
 
     // ---- TF-IDF cosine near-dup pairs: the weighted-token variant of
     // the similarity family. Scale shape: the pair join is blocked on
-    // the shared TOKEN with a document-frequency cap (df <= 50) — the
-    // standard stopword prune that bounds per-token fanout at df^2
-    // pairs, so the shuffle key stays low-skew at any corpus size.
-    // Everything after the cap is exact, so the DuckDB oracle mirrors
-    // the arithmetic term by term. ----
+    // the shared TOKEN with a RELATIVE document-frequency cap
+    // (df <= 10% of the corpus) — the standard stopword prune that
+    // bounds per-token fanout at df^2 pairs; relative so the prune
+    // keeps the same semantics at every corpus size (a fixed cap
+    // silently empties the result at 10x the documents). Everything
+    // after the cap is exact, so the DuckDB oracle mirrors the
+    // arithmetic term by term. ----
     "sim_tfidf_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tf = docs
@@ -444,8 +446,9 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val w = tf.join(dfx.where(col("df") <= 50), "token")
+      val w = tf.join(dfx, "token")
         .crossJoin(broadcast(nDocs))
+        .where(col("df") <= col("n_docs") * 0.1)
         .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
         .select(col("doc_id"), col("token"), col("w"))
       val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
@@ -525,7 +528,8 @@ object PipelineQueries {
         |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
         |w AS (SELECT tf.doc_id, tf.token,
         |        tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfx.df) AS w
-        |      FROM tf JOIN dfx USING (token) WHERE dfx.df <= 50),
+        |      FROM tf JOIN dfx USING (token)
+        |      WHERE dfx.df <= (SELECT n_docs FROM n) * 0.1),
         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
         |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
         |        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
