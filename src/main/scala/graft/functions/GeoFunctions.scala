@@ -273,6 +273,8 @@ object GeoFunctions {
       if (g == null) null else GeoRelations.toEncodedPolyline(Wkt.parse(g)))
     u.register("from_encoded_polyline", (s: String) =>
       if (s == null) null else Wkt.write(GeoRelations.fromEncodedPolyline(s)))
+    u.register("geometry_from_hadoop_shape", (b: Array[Byte]) =>
+      if (b == null) null else Wkt.write(GeoRelations.fromHadoopShape(b)))
     // spherical geography (reference overloads ST_Distance/Length/Area by
     // the SphericalGeography type; over WKT strings the overload collapses
     // to the st_geography_* spellings)

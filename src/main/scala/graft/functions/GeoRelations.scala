@@ -636,6 +636,62 @@ object GeoRelations extends Serializable {
     LineString(pts.result())
   }
 
+  // ---------- Hadoop/Hive Esri shape ingestion ----------
+
+  /** geometry_from_hadoop_shape (reference GeoFunctions.java:326): 4-byte
+    * WKID + 1-byte Hadoop shape type, then the little-endian Esri
+    * shapefile record — type int32, then point (1) / polyline (3) /
+    * polygon (5) / multipoint (8) payloads. Polygon rings regroup by
+    * orientation: a clockwise ring opens a new shell (the shapefile
+    * convention), counter-clockwise rings are holes of the current one.
+    */
+  def fromHadoopShape(bytes: Array[Byte]): Geom = {
+    require(bytes.length > 5, "Hadoop shape input is too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes, 5, bytes.length - 5)
+      .slice().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def pt(): Pt = Pt(buf.getDouble(), buf.getDouble())
+    def skipBbox(): Unit = { buf.getDouble(); buf.getDouble(); buf.getDouble(); buf.getDouble() }
+    def parts(): Vector[Vector[Pt]] = {
+      skipBbox()
+      val numParts = buf.getInt(); val numPoints = buf.getInt()
+      val offsets = Vector.fill(numParts)(buf.getInt()) :+ numPoints
+      val pts = Vector.fill(numPoints)(pt())
+      (0 until numParts).toVector.map(i => pts.slice(offsets(i), offsets(i + 1)))
+    }
+    def clockwise(r: Vector[Pt]): Boolean = {
+      val ring = if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+      var s = 0.0; var i = 0; val n = ring.length
+      while (i < n) { val j = (i + 1) % n; s += ring(i).x * ring(j).y - ring(j).x * ring(i).y; i += 1 }
+      s < 0
+    }
+    buf.getInt() match {
+      case 0 => EmptyGeom
+      case 1 => Point(pt())
+      case 8 =>
+        skipBbox()
+        MultiPoint(Vector.fill(buf.getInt())(pt()))
+      case 3 => parts() match {
+        case Vector(one) => LineString(one)
+        case many => MultiLineString(many)
+      }
+      case 5 =>
+        val polys = Vector.newBuilder[Polygon]
+        var current: Polygon = null
+        for (ring <- parts()) {
+          if (current == null || clockwise(ring)) {
+            if (current != null) polys += current
+            current = Polygon(Vector(ring))
+          } else current = Polygon(current.rings :+ ring)
+        }
+        if (current != null) polys += current
+        polys.result() match {
+          case Vector(one) => one
+          case many => MultiPolygon(many)
+        }
+      case other => throw new IllegalArgumentException(s"Invalid Hadoop shape: esri type $other")
+    }
+  }
+
   // ---------- spherical geography ----------
 
   // the reference's constants (GeoFunctions.java:141-142)

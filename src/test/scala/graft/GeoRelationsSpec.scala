@@ -253,6 +253,45 @@ class GeoRelationsSpec extends GraftSuite {
     assert(row.getAs[String]("sd") === "GEOMETRYCOLLECTION EMPTY")
   }
 
+  test("geometry_from_hadoop_shape parses point, multipoint, polyline, holed polygon") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def shape(esri: ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(5 + size).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0); buf.put(1.toByte) // wkid + hadoop type byte
+      esri(buf)
+      buf.array()
+    }
+    def xy(b: ByteBuffer, x: Double, y: Double): Unit = { b.putDouble(x); b.putDouble(y) }
+    // point
+    val p = shape(b => { b.putInt(1); xy(b, 3, 4) }, 4 + 16)
+    assert(GeoRelations.fromHadoopShape(p) === Point(Pt(3, 4)))
+    // multipoint: bbox + count + 2 points
+    val mp = shape(b => { b.putInt(8); (1 to 4).foreach(_ => b.putDouble(0))
+      b.putInt(2); xy(b, 1, 2); xy(b, 3, 4) }, 4 + 32 + 4 + 32)
+    assert(GeoRelations.fromHadoopShape(mp) === MultiPoint(Vector(Pt(1, 2), Pt(3, 4))))
+    // polyline, 2 parts
+    val pl = shape(b => { b.putInt(3); (1 to 4).foreach(_ => b.putDouble(0))
+      b.putInt(2); b.putInt(4); b.putInt(0); b.putInt(2)
+      xy(b, 0, 0); xy(b, 1, 1); xy(b, 5, 5); xy(b, 6, 5) }, 4 + 32 + 8 + 8 + 64)
+    assert(Wkt.write(GeoRelations.fromHadoopShape(pl)) ===
+      "MULTILINESTRING ((0 0, 1 1), (5 5, 6 5))")
+    // polygon: clockwise shell + counter-clockwise hole
+    val pg = shape(b => { b.putInt(5); (1 to 4).foreach(_ => b.putDouble(0))
+      b.putInt(2); b.putInt(10); b.putInt(0); b.putInt(5)
+      // shell CW: (0,0) (0,9) (9,9) (9,0) (0,0)
+      xy(b, 0, 0); xy(b, 0, 9); xy(b, 9, 9); xy(b, 9, 0); xy(b, 0, 0)
+      // hole CCW: (3,3) (6,3) (6,6) (3,6) (3,3)
+      xy(b, 3, 3); xy(b, 6, 3); xy(b, 6, 6); xy(b, 3, 6); xy(b, 3, 3) },
+      4 + 32 + 8 + 8 + 10 * 16)
+    val poly = GeoRelations.fromHadoopShape(pg)
+    assert(Wkt.area(poly) === 81.0 - 9.0)
+    assert(poly.asInstanceOf[Polygon].rings.length === 2)
+    // SQL surface
+    val hex = p.map("%02x".format(_)).mkString
+    assert(spark.sql(s"SELECT geometry_from_hadoop_shape(unhex('$hex')) AS g")
+      .collect()(0).getString(0) === "POINT (3 4)")
+  }
+
   test("geometry_union_agg and convex_hull_agg distribute correctly") {
     import spark.implicits._
     // 8 growing-height rects chained along x (proper crossings only):

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Hashing, MinHash, QDigest, ShingleHash, SimHash, SpaceSaving, Wkt}
+import graft.functions.{GeoRelations, Hashing, MinHash, QDigest, ShingleHash, SimHash, SpaceSaving, Wkt}
 
 /** Randomized property checks (seeded → reproducible) for the
   * hand-written kernels — the code most likely to hide an off-by-one,
@@ -101,6 +101,33 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(math.abs(dab - dba) < 1e-9, s"asymmetric: $dab vs $dba ($a, $b)")
       assert(dab >= 0.0)
       if (Wkt.intersects(a, b)) assert(dab == 0.0)
+    }
+  }
+
+  test("spatial relations on random integer rectangles agree with interval logic (300 cases)") {
+    def rect(x0: Int, y0: Int, x1: Int, y1: Int): Wkt.Geom =
+      Wkt.parse(s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+    for (_ <- 1 to 300) {
+      val ax0 = rnd.nextInt(10); val ay0 = rnd.nextInt(10)
+      val ax1 = ax0 + 1 + rnd.nextInt(6); val ay1 = ay0 + 1 + rnd.nextInt(6)
+      val bx0 = rnd.nextInt(10); val by0 = rnd.nextInt(10)
+      val bx1 = bx0 + 1 + rnd.nextInt(6); val by1 = by0 + 1 + rnd.nextInt(6)
+      val a = rect(ax0, ay0, ax1, ay1); val b = rect(bx0, by0, bx1, by1)
+      val ix = math.min(ax1, bx1) - math.max(ax0, bx0) // interval overlaps
+      val iy = math.min(ay1, by1) - math.max(ay0, by0)
+      val label = s"A=($ax0,$ay0)-($ax1,$ay1) B=($bx0,$by0)-($bx1,$by1)"
+      val interiorsMeet = ix > 0 && iy > 0
+      val boundariesMeet = ix >= 0 && iy >= 0
+      assert(GeoRelations.interiorsIntersect(a, b) === interiorsMeet, s"interiors $label")
+      assert(GeoRelations.touches(a, b) === (boundariesMeet && !interiorsMeet), s"touches $label")
+      val aInB = ax0 >= bx0 && ax1 <= bx1 && ay0 >= by0 && ay1 <= by1
+      val bInA = bx0 >= ax0 && bx1 <= ax1 && by0 >= ay0 && by1 <= ay1
+      assert(GeoRelations.overlaps(a, b) === (interiorsMeet && !aInB && !bInA), s"overlaps $label")
+      assert(GeoRelations.equalsGeom(a, b) === (aInB && bInA), s"equals $label")
+      assert(GeoRelations.covers(a, b) === bInA, s"covers $label")
+      // symmetry of the symmetric predicates
+      assert(GeoRelations.touches(a, b) === GeoRelations.touches(b, a))
+      assert(GeoRelations.overlaps(a, b) === GeoRelations.overlaps(b, a))
     }
   }
 }
