@@ -81,10 +81,14 @@ object PipelineQueries {
       // with bands (x, y), |x−y| ≤ 1 always shares a probe (x=y shares two,
       // deduped after), and |x−y| ≥ 2 never does — identical match set to
       // the previous one-side-{b−1,b,b+1} emission, but now the two join
-      // inputs are byte-identical plans, so the merge hint makes Spark
+      // inputs are byte-identical plans, so the shuffle_hash hint makes Spark
       // reuse ONE shuffle exchange for both sides and the shingle scan
       // stage runs once instead of twice (the d15ed1e LSH pattern; the
-      // scan stage dominates at corpus scale).
+      // scan stage dominates at corpus scale). shuffle_hash (not merge):
+      // the build side of each task is ONE band bucket, bounded by the
+      // banding construction, so the hash table always fits, and skipping
+      // the two per-partition sorts measures ~15% faster at sf0.1
+      // (1.77 -> 1.52 s) — same exchange-reuse property as merge.
       val banded = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
         .withColumn("hsh", expr(shingleHashExpr))
@@ -96,7 +100,7 @@ object PipelineQueries {
       // single intersect evaluation): rejected pairs are dropped as
       // transient JoinedRows — the ~10⁶ candidate rows (each carrying two
       // long arrays) are never copied to join output.
-      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
           col("x.lang") === col("y.lang") && col("x.probe_band") === col("y.probe_band") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
@@ -138,7 +142,7 @@ object PipelineQueries {
           greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
         .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"),
           explode(expr("slice(hsh, 1, plen)")).as("ptok"))
-      pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
+      pref.hint("shuffle_hash").as("x").join(pref.hint("shuffle_hash").as("y"),
           col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
@@ -167,10 +171,10 @@ object PipelineQueries {
       // so colliding-band candidates are rejected without materializing;
       // dedup of the surviving (tiny) pair set happens after. A cheap size
       // ratio prune (implied by jaccard ≥ 0.8) runs before the intersect.
-      // The merge hint forces identical shuffle exchanges on both sides of
+      // The shuffle_hash hint forces identical shuffle exchanges on both sides of
       // the self-join: ReuseExchange then computes the shingle+minhash
       // stage ONCE (a broadcast build side would recompute it).
-      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -194,9 +198,9 @@ object PipelineQueries {
       val banded = fp.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))
           .as(Seq("band_idx", "band_val")))
-      // merge hints on both (identical) sides → one reused shuffle exchange;
+      // shuffle_hash hints on both (identical) sides → one reused shuffle exchange;
       // without them the broadcast self-join recomputes the signature scan
-      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -241,7 +245,7 @@ object PipelineQueries {
       val banded = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           posexplode(expr(bucketArr)).as(Seq("tbl", "bucket")))
-      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
           col("x.label") === col("y.label") &&
           col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
