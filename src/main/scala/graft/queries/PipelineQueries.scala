@@ -444,26 +444,31 @@ object PipelineQueries {
     // after the cap is exact, so the DuckDB oracle mirrors the
     // arithmetic term by term. ----
     "sim_tfidf_pairs" -> ((s, dir) => {
+      // weights are UNIT-normalized before pairing (norm via a window
+      // over doc_id — one shuffle, no norms join), so the pair join's
+      // dot product IS the cosine and the weight pipeline exists once
+      // in the plan: the two self-join sides are byte-identical and the
+      // shuffle_hash hint collapses them to one reused exchange. The
+      // naive dot/norms-join formulation planned the weight pipeline
+      // FOUR times (12 scans of documents at sf0.01).
       val docs = t(s, dir, "documents")
       val tf = docs
         .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val w = tf.join(dfx, "token")
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val wn = tf.join(dfx, "token")
         .crossJoin(broadcast(nDocs))
         .where(col("df") <= col("n_docs") * 0.1)
         .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
-        .select(col("doc_id"), col("token"), col("w"))
-      val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      val dot = w.as("a")
-        .join(w.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+        .select(col("doc_id"), col("token"), col("wn"))
+      wn.hint("shuffle_hash").as("a")
+        .join(wn.hint("shuffle_hash").as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
-      dot
-        .join(nrm.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(nrm.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .withColumn("cos", col("dot") / (col("na.nrm") * col("nb.nrm")))
+        .agg(sum(col("a.wn") * col("b.wn")).as("cos"))
         .where(col("cos") >= 0.6)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
     }),
@@ -529,20 +534,19 @@ object PipelineQueries {
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
         |w AS (SELECT tf.doc_id, tf.token,
         |        tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfx.df) AS w
-        |      FROM tf JOIN dfx USING (token)
+        |      FROM tf JOIN (SELECT token, count(DISTINCT doc_id) AS df
+        |                    FROM tf GROUP BY 1) dfx USING (token)
         |      WHERE dfx.df <= (SELECT n_docs FROM n) * 0.1),
-        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
-        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
-        |        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |wn AS (SELECT doc_id, token,
+        |         w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
+        |       FROM w),
+        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wn * b.wn) AS cos
+        |        FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
         |        GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        |FROM dot
-        |JOIN nrm na ON dot.doc_a = na.doc_id
-        |JOIN nrm nb ON dot.doc_b = nb.doc_id
-        |WHERE dot / (na.nrm * nb.nrm) >= 0.6""".stripMargin,
+        |SELECT doc_a, doc_b, round(cos, 6) AS cos_sim
+        |FROM dot WHERE cos >= 0.6""".stripMargin,
     // component-min labels via transitive closure (recursive CTE): min
     // node id reachable over the symmetric jaccard-pair edge set
     "dedup_components" ->

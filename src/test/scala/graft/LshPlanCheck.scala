@@ -24,6 +24,9 @@ class LshPlanCheck extends GraftSuite {
   test("dedup_jaccard_ppjoin computes the prefix stage once (ReusedExchange)") {
     assertReused("dedup_jaccard_ppjoin")
   }
+  test("sim_tfidf_pairs computes the unit-weight stage once (ReusedExchange)") {
+    assertReused("sim_tfidf_pairs")
+  }
 
   private def assertSingleLineitemScan(name: String): Unit = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
