@@ -384,6 +384,69 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
     }),
 
+    // ---- PQ (product quantization) ANN: the memory-compression path
+    // for embedding search at corpus scale. 64-dim unit vectors split
+    // into M=8 subspaces of 8 dims; each subspace gets a 16-centroid
+    // codebook (DataFrame-built k-means, one Lloyd step from
+    // deterministic seeds — the sim_ann_ivf pattern), so a vector
+    // compresses to 8 small codes (32x vs raw floats). Search is
+    // asymmetric distance computation: the query precomputes a
+    // (subspace, code) -> squared-L2 table (8x16 rows, broadcast), and
+    // the corpus-side scan reads ONLY the code columns — approx distance
+    // is a sum of 8 table lookups, no float vectors touched. Unit
+    // normalization first makes L2 ranking equal cosine ranking. ----
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val subL2 = "aggregate(zip_with(sv, scent, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"))
+        .withColumn("nemb", expr("transform(embedding, x -> cast(x AS double) / nrm)"))
+      def subRows(df: DataFrame) = df
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(nemb, m * 8 + 1, 8) AS sv))")).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      val csub = subRows(e.filter(col("vec_id") >= 5))
+      // per-subspace codebook seeds: subvectors of the 16 lowest ids
+      val seeds = csub
+        .withColumn("rk", dense_rank().over(w.partitionBy(col("m")).orderBy(col("vec_id"))))
+        .filter(col("rk") <= 16)
+        .select(col("m"), col("rk").as("scid"), col("sv").as("scent"))
+      // one Lloyd step: assign every subvector, re-average per code
+      val assign0 = csub.join(broadcast(seeds), "m")
+        .withColumn("d", expr(subL2))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("scid"))))
+        .filter(col("rk") === 1)
+      val cents = assign0
+        .select(col("m"), col("scid"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("m"), col("scid"), col("dim")).agg(avg(col("v")).as("c"))
+        .groupBy(col("m"), col("scid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").as("scent"))
+      // corpus encoding: the 8 codes ARE the stored representation
+      val codes = csub.join(broadcast(cents), "m")
+        .withColumn("d", expr(subL2))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("scid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("scid").as("code"))
+      // ADC table: query-to-centroid distances per subspace (8x16/query)
+      val adc = subRows(e.filter(col("vec_id") < 5))
+        .join(broadcast(cents), "m")
+        .withColumn("d", expr(subL2))
+        .select(col("vec_id").as("query_id"), col("m").as("q_m"),
+          col("scid").as("q_code"), col("d"))
+      codes.join(broadcast(adc),
+          col("m") === col("q_m") && col("code") === col("q_code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adist"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("adist"), 6).as("approx_l2sq"), col("rn"))
+    }),
+
     // ---- text analysis: tokenization + quality scoring ----
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
