@@ -89,6 +89,25 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the unbounded-ingest form of `dedup_exact`:
+    * documents fingerprinted by normalized content, first arrival wins,
+    * later copies dropped. Declarative
+    * (`dropDuplicatesWithinWatermark`): Catalyst plans the streaming
+    * dedup operator with one state row per distinct fingerprint, and the
+    * watermark horizon EVICTS state — on an endless crawl the state
+    * store holds only the fingerprints seen within the lateness window,
+    * not every document ever ingested. Exactly the semantics a training
+    * -data ingest pipeline needs: duplicates cluster in time (re-crawls,
+    * mirror bursts), so a bounded horizon catches them without unbounded
+    * memory.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** End-to-end wiring: file/kafka-shaped source → transform → sink.
     * (`readStream` over a directory of parquet drops mirrors how the
     * reference's kafka connector exposes a topic as an append-only table.)

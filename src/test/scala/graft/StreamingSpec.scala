@@ -116,4 +116,23 @@ class StreamingSpec extends GraftSuite {
       assert(expired7.head.getLong(1) == 1)
     } finally q.stop()
   }
+
+  test("dedupStream keeps the first copy of a fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.dedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_s").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts(0), "the quick fox"), (2L, ts(1), "another doc"))
+      q.processAllAvailable()
+      // same content (normalization collapses case/whitespace) arriving
+      // later within the watermark horizon → dropped
+      input.addData((3L, ts(2), "  THE   quick FOX "), (4L, ts(3), "a third doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
 }
