@@ -52,4 +52,39 @@ class DmlSpec extends GraftSuite {
     // untouched rows unchanged
     assert(after.filter("n_regionkey = 0 AND n_name LIKE '%_X'").count() == 0)
   }
+
+  test("MERGE: update + conditional delete + insert in one statement") {
+    import spark.implicits._
+    val t = scratchTable()
+    // source: keys 0..4 exist (matched), 100/101 do not (insert);
+    // key 3 routed to the DELETE branch by its extra condition
+    val source = Seq((0, "ZERO"), (1, "ONE"), (3, "THREE"),
+      (100, "NEW_A"), (101, "NEW_B")).toDF("k", "newname")
+    val (updated, deleted, inserted) = Dml.merge(spark, t, source,
+      onCond = "n_nationkey = s.k",
+      whenMatched = Seq(
+        Dml.WhenMatched(Some("s.k = 3"), None), // DELETE
+        Dml.WhenMatched(None, Some(Map("n_name" -> "s.newname")))),
+      whenNotMatchedInsert = Some(Map(
+        "n_nationkey" -> "s.k", "n_name" -> "s.newname", "n_regionkey" -> "0")))
+    assert((updated, deleted, inserted) === (2L, 1L, 2L))
+    val after = spark.read.parquet(t)
+    assert(after.count() === 25 - 1 + 2)
+    assert(after.filter("n_nationkey = 0").collect()(0).getAs[String]("n_name") === "ZERO")
+    assert(after.filter("n_nationkey = 1").collect()(0).getAs[String]("n_name") === "ONE")
+    assert(after.filter("n_nationkey = 3").count() === 0)
+    assert(after.filter("n_name = 'NEW_A' AND n_regionkey = 0").count() === 1)
+    // unmatched target rows untouched
+    assert(after.filter("n_nationkey = 5 AND n_name LIKE 'NATION%'").count() === 1)
+  }
+
+  test("MERGE raises when one target row matches multiple source rows") {
+    import spark.implicits._
+    val t = scratchTable()
+    val dupSource = Seq((1, "A"), (1, "B")).toDF("k", "v")
+    val e = intercept[IllegalStateException](
+      Dml.merge(spark, t, dupSource, "n_nationkey = s.k",
+        Seq(Dml.WhenMatched(None, Some(Map("n_name" -> "s.v")))), None))
+    assert(e.getMessage.contains("more than one source row"))
+  }
 }
