@@ -16,6 +16,19 @@ object Statements {
   private val prepared =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
 
+  // SET SESSION overlay, per session — what SHOW SESSION lists
+  private val sessionSets =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[String, String]]()
+  private def sessionProps(spark: SparkSession): scala.collection.mutable.LinkedHashMap[String, String] =
+    sessionSets.synchronized {
+      var m = sessionSets.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.LinkedHashMap[String, String]()
+        sessionSets.put(spark, m)
+      }
+      m
+    }
+
   private def store(spark: SparkSession): scala.collection.mutable.Map[String, String] =
     synchronized {
       var m = prepared.get(spark)
@@ -39,6 +52,8 @@ object Statements {
     """(?is)^\s*(?:START\s+TRANSACTION|BEGIN)(?:\s+.*)?$""".r
   private val Commit = """(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r
+  private val ShowCatalogs = """(?is)^\s*SHOW\s+CATALOGS\s*$""".r
+  private val ShowSession = """(?is)^\s*SHOW\s+SESSION\s*$""".r
 
   /** Strip one level of single quotes from a literal value. */
   private def unquote(v: String): String =
@@ -51,6 +66,7 @@ object Statements {
       case SetSession(key, value) =>
         import spark.implicits._
         spark.conf.set(key, unquote(value))
+        sessionProps(spark).update(key, unquote(value))
         Some(Seq((key, unquote(value))).toDF("name", "value"))
       case Prepare(name, body) =>
         import spark.implicits._
@@ -102,6 +118,17 @@ object Statements {
       case Rollback() =>
         import spark.implicits._
         Some(Seq("ROLLBACK").toDF("result"))
+      case ShowCatalogs() =>
+        import spark.implicits._
+        // one catalog in this engine, like a single-connector deployment
+        Some(spark.catalog.listCatalogs().select("name").as[String].collect().toSeq
+          .toDF("Catalog"))
+      case ShowSession() =>
+        import spark.implicits._
+        // the SET SESSION overlay this layer manages, name/value/default
+        // (reference: ShowSessionTask lists session properties)
+        Some(sessionProps(spark).toSeq.sortBy(_._1)
+          .map { case (k, v) => (k, v, "") }.toDF("Name", "Value", "Default"))
       case _ => None
     }
 

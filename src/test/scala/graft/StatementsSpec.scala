@@ -83,4 +83,13 @@ class StatementsSpec extends GraftSuite {
           |  PATTERN (S R+) DEFINE R AS value > PREV(value))""".stripMargin)
     assert(sql("EXECUTE mrq").collect().nonEmpty)
   }
+
+  test("SHOW CATALOGS lists the catalog; SHOW SESSION lists SET SESSION properties") {
+    val cats = sql("SHOW CATALOGS").collect().map(_.getString(0))
+    assert(cats.contains("spark_catalog"))
+    sql("SET SESSION graft.test_prop = 'hello'")
+    val props = sql("SHOW SESSION").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("graft.test_prop").contains("hello"))
+  }
 }
