@@ -448,6 +448,52 @@ object PipelineQueries {
     }),
 
     // ---- text analysis: tokenization + quality scoring ----
+    // Gopher-style quality rules (Rae et al. 2021, §A1.1): word-count
+    // band, mean word length band, symbol-to-word ratio, alphabetic-word
+    // fraction, stop-word presence — the composite filter a pretraining
+    // pipeline runs at the scan stage. All closed-form string arithmetic,
+    // restated in the oracle; thresholds relaxed to the fixture's short
+    // synthetic docs (the RULE SHAPES are what is under test).
+    "text_gopher_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("words", split(col("norm"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("mean_word_len",
+          aggregate(transform(col("words"), w => length(w)), lit(0L), (a, x) => a + x)
+            .cast("double") / col("n_words"))
+        .withColumn("symbol_ratio",
+          (length(col("norm")) - length(regexp_replace(col("norm"), "[#…]", ""))).cast("double")
+            / col("n_words"))
+        .withColumn("alpha_frac",
+          size(filter(col("words"), w => w.rlike("[a-z]"))).cast("double") / col("n_words"))
+        .withColumn("n_stopwords",
+          size(filter(col("words"),
+            w => w.isin("the", "be", "to", "of", "and", "that", "have", "with"))))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("n_stopwords"),
+          (col("n_words") >= 5 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 2 && col("mean_word_len") <= 12 &&
+            col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.6).as("passes"))
+    }),
+
+    // BPE-ish tokenization: letter runs / digit runs / punctuation runs
+    // (the GPT-2 pre-tokenizer shape) via one regexp_extract_all in the
+    // scan stage — versus the whitespace tokenization of
+    // text_token_stats. Both engines run the same RE class syntax.
+    "text_token_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bpe_tokens"),
+          countDistinct(col("tok")).as("n_distinct"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
@@ -662,6 +708,29 @@ object PipelineQueries {
         |          ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM r)
         |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "text_gopher_quality" ->
+      """SELECT doc_id,
+        |len(words) AS n_words,
+        |round(list_sum(list_transform(words, w -> length(w)))::double / len(words), 6) AS mean_word_len,
+        |round((length(norm) - length(regexp_replace(norm, '[#…]', '', 'g')))::double / len(words), 6) AS symbol_ratio,
+        |round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::double / len(words), 6) AS alpha_frac,
+        |len(list_filter(words, w -> w IN ('the','be','to','of','and','that','have','with')))::int AS n_stopwords,
+        |(len(words) >= 5 AND len(words) <= 100000
+        |  AND list_sum(list_transform(words, w -> length(w)))::double / len(words) >= 2
+        |  AND list_sum(list_transform(words, w -> length(w)))::double / len(words) <= 12
+        |  AND (length(norm) - length(regexp_replace(norm, '[#…]', '', 'g')))::double / len(words) < 0.1
+        |  AND len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::double / len(words) > 0.6) AS passes
+        |FROM (SELECT doc_id,
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |      FROM documents) t""".stripMargin,
+    "text_token_bpe" ->
+      """SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |count(*) AS n_bpe_tokens, count(DISTINCT tok) AS n_distinct
+        |FROM (SELECT lang, doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        |      FROM documents) t
+        |GROUP BY lang""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars,
         |len(tokens) AS n_tokens,
