@@ -448,6 +448,24 @@ object PipelineQueries {
     }),
 
     // ---- text analysis: tokenization + quality scoring ----
+    // ---- the whole training-data pipeline as ONE composed query:
+    // quality filter (Gopher pass flag) ∘ near-dup cluster resolution
+    // (keep = component representative) ∘ per-language corpus stats.
+    // Each stage is the already-verified operator; this pins that they
+    // COMPOSE — the thing a real ingest run executes as a single plan. ----
+    "pipeline_e2e" -> ((s, dir) => {
+      val keep = queries("dedup_components")(s, dir)
+        .filter(col("keep")).select(col("doc_id"))
+      val quality = queries("text_gopher_quality")(s, dir)
+        .filter(col("passes")).select(col("doc_id"), col("n_words"))
+      t(s, dir, "documents")
+        .join(keep, "doc_id").join(quality, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    }),
+
     // Gopher-style quality rules (Rae et al. 2021, §A1.1): word-count
     // band, mean word length band, symbol-to-word ratio, alphabetic-word
     // fraction, stop-word presence — the composite filter a pretraining
@@ -708,6 +726,48 @@ object PipelineQueries {
         |          ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM r)
         |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    // the composed pipeline: components closure + gopher pass + stats,
+    // each stage the same arithmetic as its standalone oracle
+    "pipeline_e2e" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, lang,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |        greatest(len(a.shingles), len(b.shingles)) * 4
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |keep AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)),
+        |quality AS (
+        |  SELECT doc_id, len(words) AS n_words
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 5 AND len(words) <= 100000
+        |    AND list_sum(list_transform(words, w -> length(w)))::double / len(words) >= 2
+        |    AND list_sum(list_transform(words, w -> length(w)))::double / len(words) <= 12
+        |    AND (length(norm) - length(regexp_replace(norm, '[#…]', '', 'g')))::double / len(words) < 0.1
+        |    AND len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::double / len(words) > 0.6)
+        |SELECT d.lang, count(*) AS n_docs_kept,
+        |  sum(q.n_words)::bigint AS total_words,
+        |  round(avg(d.n_chars), 6) AS avg_chars
+        |FROM documents d
+        |JOIN keep USING (doc_id)
+        |JOIN quality q USING (doc_id)
+        |GROUP BY d.lang""".stripMargin,
     "text_gopher_quality" ->
       """SELECT doc_id,
         |len(words) AS n_words,
