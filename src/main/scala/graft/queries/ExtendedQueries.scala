@@ -325,21 +325,28 @@ object ExtendedQueries {
     // (generic TypedImperativeAggregates), numeric_histogram (Ben-Haim &
     // Tom-Tov, exact when distinct <= buckets as here), geometric_mean.
     // Nation names are unique per region so every map is deterministic;
-    // multimap values are sorted to erase arrival order
+    // multimap values are sorted to erase arrival order. Map/array results
+    // are rendered to canonical 'k:v,k:v' strings so the driver harness
+    // (pandas sort) can compare them — same rule as the reference's own
+    // golden-file tests, which render rows to text
     "agg_trino_names" -> (
       """SELECT n_regionkey,
-        |array_sort(map_entries(histogram(n_name))) AS hist,
-        |array_sort(map_entries(map_agg(n_nationkey, n_name))) AS kv,
-        |map_entries(transform_values(multimap_agg(0, n_name), (k, v) -> array_sort(v))) AS mm,
-        |array_sort(map_entries(numeric_histogram(30, cast(n_nationkey AS double) + 0.5))) AS nh,
+        |array_join(transform(array_sort(map_entries(histogram(n_name))),
+        |  e -> concat(e.key, ':', cast(e.value AS string))), ',') AS hist,
+        |array_join(transform(array_sort(map_entries(map_agg(n_nationkey, n_name))),
+        |  e -> concat(cast(e.key AS string), ':', e.value)), ',') AS kv,
+        |array_join(transform(map_entries(transform_values(multimap_agg(0, n_name), (k, v) -> array_sort(v))),
+        |  e -> concat(cast(e.key AS string), ':', array_join(e.value, '|'))), ',') AS mm,
+        |array_join(transform(array_sort(map_entries(numeric_histogram(30, cast(n_nationkey AS double) + 0.5))),
+        |  e -> concat(cast(e.key AS string), ':', cast(e.value AS string))), ',') AS nh,
         |round(geometric_mean(cast(n_nationkey AS double) + 1.0), 6) AS gm
         |FROM nation
         |GROUP BY n_regionkey""".stripMargin,
       """SELECT n_regionkey,
-        |list({'key': n_name, 'value': 1::bigint} ORDER BY n_name) AS hist,
-        |list({'key': n_nationkey, 'value': n_name} ORDER BY n_nationkey) AS kv,
-        |[{'key': 0, 'value': list_sort(list(n_name))}] AS mm,
-        |list({'key': n_nationkey + 0.5, 'value': 1.0::double} ORDER BY n_nationkey) AS nh,
+        |string_agg(n_name || ':1', ',' ORDER BY n_name) AS hist,
+        |string_agg(n_nationkey || ':' || n_name, ',' ORDER BY n_nationkey) AS kv,
+        |'0:' || string_agg(n_name, '|' ORDER BY n_name) AS mm,
+        |string_agg((n_nationkey + 0.5)::double || ':' || 1.0::double, ',' ORDER BY n_nationkey) AS nh,
         |round(exp(avg(ln(n_nationkey + 1.0))), 6) AS gm
         |FROM nation
         |GROUP BY n_regionkey""".stripMargin),
@@ -373,8 +380,8 @@ object ExtendedQueries {
         |cast(from_unixtime_nanos(1500000000123456789) AS string) AS funn,
         |to_unixtime(TIMESTAMP '2024-01-01 00:00:00') AS tux,
         |timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS tzh,
-        |map_keys(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))) AS mm_keys,
-        |map_values(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))) AS mm_vals
+        |array_join(map_keys(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))), ',') AS mm_keys,
+        |array_join(transform(map_values(multimap_from_entries(array(struct('a', 'x'), struct('b', 'y'), struct('a', 'z')))), v -> array_join(v, '|')), ',') AS mm_vals
         |FROM nation""".stripMargin,
       """SELECT n_nationkey,
         |true AS am,
@@ -400,8 +407,8 @@ object ExtendedQueries {
         |'2017-07-14 02:40:00.123456' AS funn,
         |1704067200.0::double AS tux,
         |0 AS tzh,
-        |['a', 'b'] AS mm_keys,
-        |[['x', 'z'], ['y']] AS mm_vals
+        |'a,b' AS mm_keys,
+        |'x|z,y' AS mm_vals
         |FROM nation""".stripMargin),
     // remaining UDF-pack scalars (word_stem, hamming, levenshtein ratio,
     // data-size parse, human-readable durations, MySQL date_parse, format)

@@ -70,16 +70,16 @@ object GeoQueries {
         |round(line_locate_point(l, concat('POINT (', k, ' ', h, ')')), 6) AS loc_a,
         |round(line_locate_point(l, concat('POINT (', h, ' 1)')), 6) AS loc_b,
         |line_interpolate_point(l, 0.25d) AS interp_q,
-        |line_interpolate_points(l, 0.5d) AS interp_halves,
+        |array_join(line_interpolate_points(l, 0.5d), '; ') AS interp_halves,
         |st_startpoint(l) AS sp, st_endpoint(l) AS ep,
         |st_pointn(l, 2) AS p2, st_numpoints(l) AS np,
         |simplify_geometry(concat('LINESTRING (0 0, ', h, ' 0, ', k, ' 0)'), 0.1d) AS simp,
         |st_linestring(array(st_point(0.0d, 0.0d), concat('POINT (', k, ' ', k, ')'))) AS built_line,
         |st_multipoint(array(st_point(0.0d, 0.0d), concat('POINT (', k, ' ', k, ')'))) AS built_mp,
-        |st_points(l) AS pts,
-        |st_envelopeaspts(l) AS env,
-        |st_interiorrings(concat('POLYGON ((0 0, ', 3 * k, ' 0, ', 3 * k, ' ', 3 * k, ', 0 ', 3 * k, ', 0 0), (', k, ' ', k, ', ', 2 * k, ' ', k, ', ', 2 * k, ' ', 2 * k, ', ', k, ' ', 2 * k, ', ', k, ' ', k, '))')) AS irings,
-        |st_geometries(concat('MULTIPOINT (1 1, ', k, ' ', k, ')')) AS parts,
+        |array_join(st_points(l), '; ') AS pts,
+        |array_join(st_envelopeaspts(l), '; ') AS env,
+        |array_join(st_interiorrings(concat('POLYGON ((0 0, ', 3 * k, ' 0, ', 3 * k, ' ', 3 * k, ', 0 ', 3 * k, ', 0 0), (', k, ' ', k, ', ', 2 * k, ' ', k, ', ', 2 * k, ' ', 2 * k, ', ', k, ' ', 2 * k, ', ', k, ' ', k, '))')), '; ') AS irings,
+        |array_join(st_geometries(concat('MULTIPOINT (1 1, ', k, ' ', k, ')')), '; ') AS parts,
         |st_coorddim(l) AS cd
         |FROM (SELECT n_nationkey, (n_nationkey + 1) * 2 AS k, n_nationkey + 1 AS h,
         |  concat('LINESTRING (0 0, ', (n_nationkey + 1) * 2, ' 0, ',
@@ -89,17 +89,17 @@ object GeoQueries {
         |round(0.75::double, 6) AS loc_a,
         |round((h::double) / (4 * h), 6) AS loc_b,
         |'POINT (' || h || ' 0)' AS interp_q,
-        |['POINT (' || k || ' 0)', 'POINT (' || k || ' ' || k || ')'] AS interp_halves,
+        |'POINT (' || k || ' 0); POINT (' || k || ' ' || k || ')' AS interp_halves,
         |'POINT (0 0)' AS sp,
         |'POINT (' || k || ' ' || k || ')' AS ep,
         |'POINT (' || k || ' 0)' AS p2, 3 AS np,
         |'LINESTRING (0 0, ' || k || ' 0)' AS simp,
         |'LINESTRING (0 0, ' || k || ' ' || k || ')' AS built_line,
         |'MULTIPOINT (0 0, ' || k || ' ' || k || ')' AS built_mp,
-        |['POINT (0 0)', 'POINT (' || k || ' 0)', 'POINT (' || k || ' ' || k || ')'] AS pts,
-        |['POINT (0 0)', 'POINT (' || k || ' ' || k || ')'] AS env,
-        |['LINESTRING (' || k || ' ' || k || ', ' || 2 * k || ' ' || k || ', ' || 2 * k || ' ' || 2 * k || ', ' || k || ' ' || 2 * k || ', ' || k || ' ' || k || ')'] AS irings,
-        |['POINT (1 1)', 'POINT (' || k || ' ' || k || ')'] AS parts,
+        |'POINT (0 0); POINT (' || k || ' 0); POINT (' || k || ' ' || k || ')' AS pts,
+        |'POINT (0 0); POINT (' || k || ' ' || k || ')' AS env,
+        |'LINESTRING (' || k || ' ' || k || ', ' || 2 * k || ' ' || k || ', ' || 2 * k || ' ' || 2 * k || ', ' || k || ' ' || 2 * k || ', ' || k || ' ' || k || ')' AS irings,
+        |'POINT (1 1); POINT (' || k || ' ' || k || ')' AS parts,
         |2::tinyint AS cd
         |FROM (SELECT n_nationkey, (n_nationkey + 1) * 2 AS k, n_nationkey + 1 AS h
         |      FROM nation)""".stripMargin),

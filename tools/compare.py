@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Dev-side replica of the driver's t2 check: read Verify output parquet,
 run oracle_sql.json in DuckDB over the same sf dir, compare as multisets
-(sorted columns by name, 1e-9 relative tolerance on floats)."""
+(sorted columns by name, 1e-9 relative tolerance on floats).
+
+ARRAY-COLUMN RULE (round-5 lesson): the driver's pandas harness sorts rows
+with sort_values, which dies on array/list-typed columns (`unhashable type:
+numpy.ndarray`). Any oracle-declared query MUST render array/map/struct
+results to canonical strings (to_json / array_join) in BOTH spellings.
+This script enforces that: a list/struct-typed output column is a FAIL here
+even though repr-sorting could compare it, because the driver cannot."""
 import sys, json, glob, math
 import duckdb, pyarrow.parquet as pq
 
@@ -47,6 +54,12 @@ for name in sorted(oracles):
     s_cols = sorted(spark_tbl.column_names); d_cols = sorted(duck.column_names)
     if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
         failures.append((name, f"schema mismatch: spark={s_cols} duck={d_cols}")); fail += 1; continue
+    import pyarrow as pa
+    nested = [f.name for tbl in (spark_tbl, duck) for f in tbl.schema
+              if pa.types.is_nested(f.type)]
+    if nested:
+        failures.append((name, f"DRIVER-INCOMPATIBLE array/struct columns {sorted(set(nested))}: "
+                         "render to strings (to_json/array_join) in both spellings")); fail += 1; continue
     s_rows = sorted([tuple(norm(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()], key=repr)
     d_rows = sorted([tuple(norm(r[c]) for c in d_cols) for r in duck.to_pylist()], key=repr)
     if s_rows == d_rows:
