@@ -53,7 +53,8 @@ object GeoFunctions {
     u.register("st_y", (g: String) => Wkt.parse(g) match {
       case Wkt.Point(p) => java.lang.Double.valueOf(p.y); case _ => null
     })
-    u.register("st_npoints", (g: String) => Wkt.npoints(Wkt.parse(g)))
+    u.register("st_npoints", (g: String) =>
+      if (g == null) null else Integer.valueOf(Wkt.npoints(Wkt.parse(g))))
     u.register("st_area", (g: String) => Wkt.area(Wkt.parse(g)))
     u.register("st_length", (g: String) => Wkt.length(Wkt.parse(g)))
     u.register("st_centroid", (g: String) => Wkt.write(Wkt.centroid(Wkt.parse(g))))
@@ -333,7 +334,8 @@ object GeoFunctions {
         case Wkt.LineString(ps) if ps.nonEmpty => Some(Wkt.write(Wkt.Point(ps.last)))
         case _ => None
       }).orNull)
-    u.register("st_numpoints", (g: String) => Wkt.npoints(Wkt.parse(g)))
+    u.register("st_numpoints", (g: String) =>
+      if (g == null) null else Integer.valueOf(Wkt.npoints(Wkt.parse(g))))
     u.register("st_symdifference", (a: String, b: String) =>
       if (a == null || b == null) null
       else Wkt.write(GeoConstructive.symDifference(Wkt.parse(a), Wkt.parse(b))))

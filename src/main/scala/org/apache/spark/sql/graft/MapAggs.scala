@@ -266,9 +266,18 @@ case class MergeSketchAgg(
       val qb = graft.functions.QDigest.deserialize(
         b.asInstanceOf[ArrayData].toLongArray())
       new GenericArrayData(qa.merge(qb).serialize())
-    } else
-      graft.functions.Hll.mergeInPlace(
-        a.asInstanceOf[Array[Byte]].clone(), b.asInstanceOf[Array[Byte]])
+    } else {
+      // mergeInPlace indexes a fixed register count into both arrays;
+      // validate up front (mirroring the qdigest deserialize checks) so a
+      // malformed binary value raises a clear error, not an AIOOBE
+      val ba = a.asInstanceOf[Array[Byte]]
+      val bb = b.asInstanceOf[Array[Byte]]
+      val m = graft.functions.Hll.M
+      if (ba.length != m || bb.length != m)
+        throw new IllegalArgumentException(
+          s"merge: malformed HLL sketch (${ba.length}/${bb.length} bytes, expected $m)")
+      graft.functions.Hll.mergeInPlace(ba.clone(), bb)
+    }
   }
 
   override def update(buffer: Any, row: InternalRow): Any = {
@@ -412,6 +421,37 @@ case class NumericHistogramAgg(
       : NumericHistogramAgg = copy(buckets = newLeft, child = newRight)
 }
 
+/** checksum(x) — the reference's ChecksumAggregationFunction
+  * (`core/trino-main/.../aggregation/ChecksumAggregationFunction.java`):
+  * an order-independent ADDITIVE accumulation of xxhash64(x) * PRIME64
+  * over wrapping 64-bit arithmetic, with a distinct +PRIME64 contribution
+  * per NULL row. Addition (unlike xor) does NOT cancel duplicate rows
+  * pairwise — checksum({x,x}) != checksum({}) — which is the aggregate's
+  * main use: detecting duplicated/dropped rows between two relations.
+  * DeclarativeAggregate with EvalMode.LEGACY add/multiply so the wrapping
+  * semantics survive ANSI mode and stay inside whole-stage codegen.
+  */
+case class ChecksumAgg(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+  private val Prime64 = Literal(0x9E3779B185EBCA87L)
+  override def prettyName: String = "checksum"
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  private lazy val acc = AttributeReference("checksum", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = acc :: Nil
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    Add(acc,
+      If(IsNull(child), Prime64,
+        Multiply(new XxHash64(Seq(child)), Prime64, EvalMode.LEGACY)),
+      EvalMode.LEGACY))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Add(acc.left, acc.right, EvalMode.LEGACY))
+  override lazy val evaluateExpression: Expression = acc
+  override protected def withNewChildInternal(newChild: Expression): ChecksumAgg =
+    copy(child = newChild)
+}
+
 object MapAggs {
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -425,11 +465,19 @@ object MapAggs {
       es => MergeSketchAgg(es.head), "built-in")
     reg.createOrReplaceTempFunction("numeric_histogram",
       es => NumericHistogramAgg(es(0), es(1)), "built-in")
-    // composed spellings: checksum = order-independent xor of xxhash64;
-    // geometric_mean = exp(avg(ln x)) (reference GeometricMeanAggregations)
     reg.createOrReplaceTempFunction("checksum",
-      es => aggregate.BitXorAgg(new XxHash64(es)), "built-in")
+      es => ChecksumAgg(es.head), "built-in")
+    // geometric_mean = exp(avg(ln x)), with non-positive inputs poisoning
+    // the mean to NaN as in the reference's GeometricMeanAggregations
+    // (Spark's ln alone would return NULL for x <= 0 and avg would then
+    // silently SKIP the row — a different answer)
     reg.createOrReplaceTempFunction("geometric_mean",
-      es => Exp(aggregate.Average(Log(es.head)).toAggregateExpression()), "built-in")
+      es => {
+        val x = es.head
+        val ln = CaseWhen(
+          Seq(LessThanOrEqual(x, Literal(0)) -> Literal(Double.NaN)),
+          Some(Log(x)))
+        Exp(aggregate.Average(ln).toAggregateExpression())
+      }, "built-in")
   }
 }

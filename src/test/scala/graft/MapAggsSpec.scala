@@ -52,15 +52,62 @@ class MapAggsSpec extends GraftSuite {
     assert(math.abs(q - 1000) <= 40)
   }
 
-  test("checksum is order-independent and equals the xor-of-xxhash composition") {
+  test("checksum is order-independent, additive, and duplicate-sensitive") {
     graft.engine.Tables.register(spark, sfTiny)
+    // reference semantics (ChecksumAggregationFunction): wrapping SUM of
+    // xxhash64(x)*PRIME64, so the value equals the composed spelling...
+    val Prime64 = 0x9E3779B185EBCA87L
     val av = spark.sql("SELECT checksum(o_orderkey) FROM orders").collect()(0).getLong(0)
-    val bv = spark.sql("SELECT bit_xor(xxhash64(o_orderkey)) FROM orders").collect()(0).getLong(0)
-    assert(av === bv)
+    val hashes = spark.sql("SELECT xxhash64(o_orderkey) FROM orders")
+      .collect().map(_.getLong(0))
+    assert(av === hashes.map(_ * Prime64).sum) // Scala Long ops wrap too
+    // ...is insensitive to row order...
     val shuffled = spark.sql(
       "SELECT checksum(o_orderkey) FROM (SELECT * FROM orders ORDER BY o_totalprice)")
       .collect()(0).getLong(0)
     assert(shuffled === av)
+    // ...but NOT to duplicated rows (xor would cancel the pair — the bug
+    // this aggregate exists to catch)
+    val doubled = spark.sql(
+      "SELECT checksum(o_orderkey) FROM (SELECT o_orderkey FROM orders UNION ALL SELECT o_orderkey FROM orders)")
+      .collect()(0).getLong(0)
+    assert(doubled !== av)
+    assert(doubled === av * 2)
+    // NULL rows contribute +PRIME64 each, not a constant collapse
+    import spark.implicits._
+    Seq[Option[Long]](None, None).toDF("v").createOrReplaceTempView("cknulls")
+    val nv = spark.sql("SELECT checksum(v) FROM cknulls").collect()(0).getLong(0)
+    assert(nv === Prime64 * 2)
+  }
+
+  test("geometric_mean poisons to NaN on non-positive inputs") {
+    import spark.implicits._
+    Seq(1.0, 2.0, 4.0).toDF("v").createOrReplaceTempView("gm_pos")
+    val pos = spark.sql("SELECT geometric_mean(v) FROM gm_pos").collect()(0).getDouble(0)
+    assert(math.abs(pos - 2.0) < 1e-9)
+    // the reference's GeometricMeanAggregations includes x <= 0 (ln -> NaN);
+    // Spark's ln would return NULL and avg would silently skip the row
+    Seq(1.0, -2.0, 4.0).toDF("v").createOrReplaceTempView("gm_neg")
+    assert(spark.sql("SELECT geometric_mean(v) FROM gm_neg").collect()(0).getDouble(0).isNaN)
+    Seq(1.0, 0.0, 4.0).toDF("v").createOrReplaceTempView("gm_zero")
+    assert(spark.sql("SELECT geometric_mean(v) FROM gm_zero").collect()(0).getDouble(0).isNaN)
+    // NULLs are still skipped, not poisoned
+    Seq(Some(1.0), None, Some(4.0)).toDF("v").createOrReplaceTempView("gm_null")
+    assert(math.abs(spark.sql("SELECT geometric_mean(v) FROM gm_null")
+      .collect()(0).getDouble(0) - 2.0) < 1e-9)
+  }
+
+  test("merge raises a clear error on a malformed HLL sketch") {
+    import spark.implicits._
+    Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6)).toDF("s")
+      .createOrReplaceTempView("badhll")
+    val e = intercept[Exception] {
+      spark.sql("SELECT hll_cardinality(merge(s)) FROM badhll").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("malformed HLL sketch")))
   }
 
   test("numeric_histogram is exact below capacity and bounded above it") {
