@@ -133,12 +133,19 @@ final class QDigest(val k: Long) extends Serializable {
 
   /** Wire form (array<bigint> at the SQL surface):
     * [k, n, min, max, m, (level, prefix, count) × m].
+    * Nodes are emitted sorted by (level, prefix): the wire form is a SQL
+    * value, so two equal digests must serialize byte-identically — hash-map
+    * iteration order would make comparisons/checksums over the sketch
+    * column flap across JVMs.
     */
   def serialize(): Array[Long] = {
     val out = new Array[Long](5 + 3 * nodes.size)
     out(0) = k; out(1) = n; out(2) = minS; out(3) = maxS; out(4) = nodes.size
+    val ordered = nodes.toArray.sortWith { case (((l1, p1), _), ((l2, p2), _)) =>
+      if (l1 != l2) l1 < l2 else java.lang.Long.compareUnsigned(p1, p2) < 0
+    }
     var i = 5
-    nodes.foreach { case ((level, prefix), c) =>
+    ordered.foreach { case ((level, prefix), c) =>
       out(i) = level; out(i + 1) = prefix; out(i + 2) = c
       i += 3
     }

@@ -79,6 +79,32 @@ class QDigestSpec extends GraftSuite {
       assert(QDigest.valueAtQuantile(wire, q) == d.valueAtQuantile(q))
   }
 
+  test("serialize is canonical: byte-equal wire forms for equal digests") {
+    // The wire form is a SQL value: equal digests must compare equal.
+    // (1) Hash-map iteration order must not leak into the bytes — rebuild
+    // a digest from a node-permuted copy of its own wire form.
+    val src = new QDigest(640)
+    val rnd = new scala.util.Random(3)
+    (1 to 50000).foreach(_ => src.add(rnd.nextDouble() * 1e6))
+    src.compress()
+    val wire = src.serialize()
+    val m = wire(4).toInt
+    val triples = (0 until m).map(i => wire.slice(5 + 3 * i, 8 + 3 * i))
+    val permuted = wire.take(5) ++ rnd.shuffle(triples).flatten
+    assert(java.util.Arrays.equals(QDigest.deserialize(permuted).serialize(), wire))
+    // (2) Data insertion order must not matter either, in the regime where
+    // that is guaranteed (leaf count below the streaming-compression
+    // trigger, one final compress): the tree then depends only on the
+    // value multiset and the deterministic bottom-up walk.
+    val xs = (1 to 5000).map(i => (i * 2654435761L % 2003).toDouble)
+    val fwd = new QDigest(640); xs.foreach(fwd.add); fwd.compress()
+    val rev = new QDigest(640); xs.reverse.foreach(rev.add); rev.compress()
+    val shuf = new QDigest(640)
+    new scala.util.Random(7).shuffle(xs).foreach(shuf.add); shuf.compress()
+    assert(java.util.Arrays.equals(fwd.serialize(), rev.serialize()))
+    assert(java.util.Arrays.equals(fwd.serialize(), shuf.serialize()))
+  }
+
   test("SQL surface: build, merge, query through qdigest_agg") {
     val est = Tables
       .sql(spark, sfTiny,
