@@ -57,8 +57,14 @@ object GraftFunctions {
         while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
         java.lang.Long.valueOf(out)
       })
-    u.register("hamming_distance64", (a: Long, b: Long) =>
-      java.lang.Long.bitCount(a ^ b))
+    // hamming_distance64 keeps its SQL name but lowers to the codegen'd
+    // builtins bit_count(a ^ b) — no UDF boundary in any plan using it
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_distance64",
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BitwiseCount(
+          org.apache.spark.sql.catalyst.expressions.BitwiseXor(es(0), es(1))),
+      "built-in")
     // Trino hamming_distance(varchar, varchar) — StringFunctions.java
     u.register("hamming_distance", (a: String, b: String) =>
       if (a == null || b == null) null

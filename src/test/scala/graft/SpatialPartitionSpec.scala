@@ -24,15 +24,43 @@ class SpatialPartitionSpec extends GraftSuite {
 
   test("leaves tile the plane: disjoint, complete, every point in exactly one") {
     val tree = SpatialPartition.kdbTree(pointsDf, "x", "y", sampleN = 400, leafCap = 40)
-    assert(tree.length > 1) // 400 samples / cap 40 must split
-    assert(tree.map(_.id).distinct.length == tree.length)
+    val leaves = tree.leaves
+    assert(leaves.length > 1) // 400 samples / cap 40 must split
+    assert(leaves.map(_.id).distinct.length == leaves.length)
     // probe a grid incl. points far outside the sampled extent
     for (i <- 0 to 15; j <- 0 to 16) {
       val px = -5.0 + i * 1.7; val py = -5.0 + j * 1.9
-      val owners = tree.filter(_.containsPoint(px, py))
+      val owners = leaves.filter(_.containsPoint(px, py))
       assert(owners.length == 1, s"point ($px,$py) in ${owners.length} leaves")
     }
     ()
+  }
+
+  test("leaf assignment is a codegen'd tree descent — no UDF in the plan") {
+    val tree = SpatialPartition.kdbTree(pointsDf, "x", "y", sampleN = 400, leafCap = 40)
+    val joined = SpatialPartition
+      .pointInBoxJoin(pointsDf, "x", "y", boxesDf, "bxmin", "bymin", "bxmax", "bymax", tree)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"leaf assignment fell back to a UDF:\n$plan")
+    // the descent agrees with the flat leaf scan on every point
+    import spark.implicits._
+    val assigned = pointsDf
+      .withColumn("pid", SpatialPartition.pointPartition(tree, col("x"), col("y")))
+      .select($"x", $"y", $"pid").collect()
+    assigned.foreach { r =>
+      val want = tree.leaves.find(_.containsPoint(r.getDouble(0), r.getDouble(1))).get.id
+      assert(r.getInt(2) == want)
+    }
+    // and the box expansion agrees with the flat intersection scan
+    val expanded = boxesDf
+      .withColumn("pids", SpatialPartition.boxPartitions(
+        tree, col("bxmin"), col("bymin"), col("bxmax"), col("bymax")))
+      .select($"bxmin", $"bymin", $"bxmax", $"bymax", $"pids").collect()
+    expanded.foreach { r =>
+      val want = tree.leaves.filter(_.intersectsBox(
+        r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).map(_.id).sorted
+      assert(r.getSeq[Int](4).sorted == want)
+    }
   }
 
   test("partitioned join result equals brute force; no pair lost or duplicated") {
