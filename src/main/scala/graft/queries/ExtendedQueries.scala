@@ -467,6 +467,16 @@ object ExtendedQueries {
       val inTxn = Tables.sql(s, dir, "SELECT count(*) AS n FROM nation")
       Tables.sql(s, dir, "COMMIT")
       inTxn
+    }),
+    // EXPLAIN ANALYZE (reference ExplainAnalyzeOperator.java:34): executes
+    // the statement and reports one row per physical operator with its
+    // runtime metrics. The driver row projects the deterministic columns
+    // (operator sequence + numOutputRows); the timing/size metrics column
+    // is exercised in StatementsSpec
+    "stmt_explain_analyze" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+        .select("step", "operator", "output_rows")
     }))
 
   val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
@@ -477,5 +487,16 @@ object ExtendedQueries {
     "stmt_describe_input" ->
       "SELECT * FROM (VALUES (0, 'int'), (1, 'string')) AS t(position, type)",
     "stmt_transaction" ->
-      "SELECT count(*) AS n FROM nation")
+      "SELECT count(*) AS n FROM nation",
+    // the physical plan of a single-key parquet group-by at local[32]
+    // under AQE: final agg over a coalesced shuffle read of the partial
+    // agg over the columnar scan — row counts are exact, not sampled
+    "stmt_explain_analyze" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'HashAggregate', 5::bigint),
+        |  (1, 'AQEShuffleRead', NULL::bigint),
+        |  (2, 'Exchange', NULL::bigint),
+        |  (3, 'HashAggregate', 5::bigint),
+        |  (4, 'ColumnarToRow', 25::bigint),
+        |  (5, 'Scan', 25::bigint)) AS t(step, operator, output_rows)""".stripMargin)
 }

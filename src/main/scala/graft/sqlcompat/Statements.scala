@@ -54,6 +54,7 @@ object Statements {
   private val Rollback = """(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r
   private val ShowCatalogs = """(?is)^\s*SHOW\s+CATALOGS\s*$""".r
   private val ShowSession = """(?is)^\s*SHOW\s+SESSION\s*$""".r
+  private val ExplainAnalyze = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
 
   /** Strip one level of single quotes from a literal value. */
   private def unquote(v: String): String =
@@ -118,6 +119,34 @@ object Statements {
       case Rollback() =>
         import spark.implicits._
         Some(Seq("ROLLBACK").toDF("result"))
+      case ExplainAnalyze(body) =>
+        import spark.implicits._
+        // the reference's ExplainAnalyzeOperator (ExplainAnalyzeOperator
+        // .java:34) RUNS the query and reports the plan annotated with
+        // per-operator runtime stats; here: execute, unwrap the AQE-final
+        // physical plan, one row per operator. `output_rows` is the
+        // deterministic metric (drives the driver row); `metrics` renders
+        // the full runtime metric map (timings/sizes, nondeterministic).
+        val df = runQuery(body)
+        df.collect() // populate runtime metrics
+        import org.apache.spark.sql.execution._
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+        def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case w: WholeStageCodegenExec => walk(w.child)
+          case i: InputAdapter => walk(i.child)
+          case r: ReusedExchangeExec => walk(r.child)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val rows = walk(df.queryExecution.executedPlan).zipWithIndex.map { case (p, i) =>
+          val rowsOut: Option[Long] = p.metrics.get("numOutputRows").map(_.value)
+          val rendered = p.metrics.toSeq.sortBy(_._1)
+            .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+          (i, p.nodeName.split(' ').head, rowsOut, rendered)
+        }
+        Some(rows.toDF("step", "operator", "output_rows", "metrics"))
       case ShowCatalogs() =>
         import spark.implicits._
         // one catalog in this engine, like a single-connector deployment

@@ -84,6 +84,25 @@ class StatementsSpec extends GraftSuite {
     assert(sql("EXECUTE mrq").collect().nonEmpty)
   }
 
+  test("EXPLAIN ANALYZE runs the query and reports per-operator rows and metrics") {
+    val rows = sql(
+      "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+      .collect()
+    val ops = rows.map(_.getString(1))
+    info(rows.map(r => s"${r.getInt(0)} ${r.getString(1)} rows=${if (r.isNullAt(2)) "-" else r.getLong(2)} [${r.getString(3)}]").mkString("\n"))
+    assert(ops.exists(_.contains("HashAggregate")))
+    assert(ops.exists(_.contains("Scan")) || ops.exists(_.contains("FileScan")))
+    // runtime metrics populated: the scan actually saw the 25 nations and
+    // the final aggregate emitted one row per region
+    val scanRows = rows.filter(r => r.getString(1).contains("Scan")).flatMap(r =>
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    assert(scanRows.exists(_ == 25L))
+    val aggRows = rows.filter(_.getString(1).contains("HashAggregate")).map(_.getLong(2))
+    assert(aggRows.contains(5L))
+    // the rendered metric map exposes more than the row count
+    assert(rows.exists(_.getString(3).contains("numOutputRows=")))
+  }
+
   test("SHOW CATALOGS lists the catalog; SHOW SESSION lists SET SESSION properties") {
     val cats = sql("SHOW CATALOGS").collect().map(_.getString(0))
     assert(cats.contains("spark_catalog"))
