@@ -1,7 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{expr, not}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Row-level DML over parquet tables — the reference's DeleteOperator /
   * UpdateOperator / MergeOperator family
@@ -11,24 +11,122 @@ import org.apache.spark.sql.functions.{expr, not}
   * written to a staging directory and atomically swapped in, so readers
   * see either the old or the new table, never a partial state.
   *
-  * Scale note: COW rewrites the whole table per statement here; a
-  * partition-pruned implementation would rewrite only affected
-  * partitions (predicate → partition keys), which is exactly how the
-  * production formats bound DML cost. Both the rewrite and the swap are
-  * driver-light: one distributed write + one filesystem rename.
+  * Scale shape:
+  *   - PARTITION-PRUNED rewrites: on a Hive-layout table (`k=v/`
+  *     directories) only the partitions that can contain matching rows
+  *     are rewritten and swapped; untouched partition directories are
+  *     never read for the rewrite and keep their files byte-for-byte
+  *     (the reference bounds DML the same way via connector rowIds —
+  *     `DeleteOperator.java:23`; lakehouse COW bounds it by predicate →
+  *     partition keys). A one-row DELETE on a 100 TB table costs one
+  *     partition, not the table.
+  *   - ONE JOB per statement: affected-row counts come from
+  *     `Dataset.observe` (CollectMetrics inside the write job) — exact,
+  *     native, no pre/post `count()` rescans, and consistent with the
+  *     written data even when the source plan is nondeterministic,
+  *     because they are measured on the very rows that were written.
   */
 object Dml {
+
+  /** Hive-layout partition spec of `path`: partition column names (outer
+    * to inner) and one (values, directory) entry per leaf partition.
+    * Empty column list = unpartitioned table.
+    */
+  private[engine] def partitionLayout(spark: SparkSession, path: String)
+      : (Seq[String], Seq[(Seq[String], String)]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Part = """([^=/]+)=(.*)""".r
+    def walk(dir: org.apache.hadoop.fs.Path, values: Seq[String])
+        : (Seq[String], Seq[(Seq[String], String)]) = {
+      val subdirs = fs.listStatus(dir).filter(_.isDirectory)
+        .map(s => s.getPath).filterNot(_.getName.startsWith("."))
+      val parts = subdirs.flatMap(p => p.getName match {
+        case Part(k, v) => Some((k,
+          java.net.URLDecoder.decode(v, "UTF-8"), p))
+        case _ => None
+      })
+      if (parts.isEmpty || parts.length != subdirs.length) (Nil, Nil)
+      else {
+        val names = parts.map(_._1).distinct
+        if (names.length != 1) (Nil, Nil) // mixed keys: not a Hive layout
+        else {
+          val children = parts.map { case (_, v, p) => walk(p, values :+ v) }
+          val deeper = children.head._1
+          if (children.forall(_._1 == deeper) && deeper.nonEmpty)
+            (names.head +: deeper, children.flatMap(_._2).toSeq)
+          else
+            (Seq(names.head),
+              parts.map { case (_, v, p) => (values :+ v, p.toString) }.toSeq)
+        }
+      }
+    }
+    walk(root, Nil)
+  }
+
+  /** Leaf partitions whose directory can hold a row matching `predicate`.
+    * When the predicate references only partition columns the decision is
+    * made on the directory VALUES alone (no data read at all); otherwise
+    * one pruned `distinct` scan asks the data which partitions match —
+    * Catalyst still prunes that scan by whatever partition-column
+    * conjuncts the predicate carries.
+    */
+  private def touchedPartitions(spark: SparkSession, df: DataFrame,
+      partCols: Seq[String], parts: Seq[(Seq[String], String)],
+      predicate: String): Seq[(Seq[String], String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate).collect {
+        case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+      }.toSet
+    val partLower = partCols.map(_.toLowerCase)
+    if (refs.subsetOf(partLower.toSet)) {
+      // decide per-directory from the encoded values: a tiny local job
+      // over |partitions| rows, zero table data read
+      import scala.jdk.CollectionConverters._
+      val rows = parts.zipWithIndex.map { case ((vs, _), i) =>
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: vs)
+      }.asJava
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__pidx",
+          org.apache.spark.sql.types.LongType) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      val hit = spark.createDataFrame(rows, schema)
+        .filter(expr(predicate)).select("__pidx")
+        .collect().map(_.getLong(0)).toSet
+      parts.zipWithIndex.collect { case (p, i) if hit(i.toLong) => p }
+    } else {
+      val hit = df.filter(expr(predicate))
+        .select(partCols.map(col): _*).distinct()
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      parts.filter { case (vs, _) => hit(vs) }
+    }
+  }
+
+  private def partitionFilter(partCols: Seq[String], values: Seq[String]): Column =
+    partCols.zip(values).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
   /** DELETE FROM <tablePath> WHERE <predicate>; returns rows deleted. */
   def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
     val df = spark.read.parquet(tablePath)
-    val total = df.count()
-    val remaining = df.filter(not(expr(predicate)))
-    val staging = s"$tablePath.__staging"
-    remaining.write.mode("overwrite").parquet(staging)
-    val kept = spark.read.parquet(staging).count()
-    Fs.swapIn(spark, tablePath, staging)
-    total - kept
+    val (partCols, parts) = partitionLayout(spark, tablePath)
+    def rewrite(slice: DataFrame, dest: String, dropCols: Seq[String]): Long = {
+      val obs = Observation()
+      val survivors = slice
+        .observe(obs, sum(when(expr(predicate), 1L).otherwise(0L)).as("matched"))
+        .filter(!expr(predicate))
+        .drop(dropCols: _*)
+      val staging = s"$dest.__staging"
+      survivors.write.mode("overwrite").parquet(staging)
+      Fs.swapIn(spark, dest, staging)
+      Option(obs.get("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    if (partCols.isEmpty) rewrite(df, tablePath, Nil)
+    else touchedPartitions(spark, df, partCols, parts, predicate).map {
+      case (values, dir) =>
+        rewrite(df.filter(partitionFilter(partCols, values)), dir, partCols)
+    }.sum
   }
 
   /** UPDATE <tablePath> SET col = expr, ... WHERE <predicate>; returns
@@ -40,19 +138,29 @@ object Dml {
   def update(spark: SparkSession, tablePath: String, predicate: String,
       set: Map[String, String]): Long = {
     val df = spark.read.parquet(tablePath)
+    val (partCols, parts) = partitionLayout(spark, tablePath)
+    require(!set.keys.exists(k => partCols.exists(_.equalsIgnoreCase(k))),
+      s"UPDATE of a partition column is not supported: ${set.keys.mkString(", ")}")
     val cond = expr(predicate)
-    val projected = df.columns.map { c =>
-      if (set.contains(c))
-        org.apache.spark.sql.functions.when(cond, expr(set(c)))
-          .otherwise(org.apache.spark.sql.functions.col(c)).as(c)
-      else org.apache.spark.sql.functions.col(c)
+    def rewrite(slice: DataFrame, dest: String, dropCols: Seq[String]): Long = {
+      val projected = slice.columns.filterNot(dropCols.contains).map { c =>
+        if (set.contains(c)) when(cond, expr(set(c))).otherwise(col(c)).as(c)
+        else col(c)
+      }
+      val obs = Observation()
+      val updated = slice
+        .observe(obs, sum(when(cond, 1L).otherwise(0L)).as("matched"))
+        .select(projected.toIndexedSeq: _*)
+      val staging = s"$dest.__staging"
+      updated.write.mode("overwrite").parquet(staging)
+      Fs.swapIn(spark, dest, staging)
+      Option(obs.get("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
-    val updated = df.select(projected.toIndexedSeq: _*)
-    val n = df.filter(cond).count()
-    val staging = s"$tablePath.__staging"
-    updated.write.mode("overwrite").parquet(staging)
-    Fs.swapIn(spark, tablePath, staging)
-    n
+    if (partCols.isEmpty) rewrite(df, tablePath, Nil)
+    else touchedPartitions(spark, df, partCols, parts, predicate).map {
+      case (values, dir) =>
+        rewrite(df.filter(partitionFilter(partCols, values)), dir, partCols)
+    }.sum
   }
 
   /** One WHEN MATCHED branch: optional extra condition (sees both target
@@ -72,12 +180,19 @@ object Dml {
     * source row raises, per the standard's cardinality rule — checked
     * distributedly (a groupBy on a synthetic target-row id, no driver
     * materialization). Returns (updated, deleted, inserted).
+    *
+    * The target-source join is PERSISTED and computed once: the
+    * cardinality check reads it, and the single staged write (survivors
+    * ∪ inserts) reuses it, with all three counts observed inside that
+    * write job — so the reported counts are exactly the written rows
+    * even when `source` is nondeterministic across recomputations.
+    * (Matched rows stay whole-table COW: which partitions they live in
+    * is only known from the join itself, not from a static predicate.)
     */
   def merge(spark: SparkSession, tablePath: String,
-      source: org.apache.spark.sql.DataFrame, onCond: String,
+      source: DataFrame, onCond: String,
       whenMatched: Seq[WhenMatched],
       whenNotMatchedInsert: Option[Map[String, String]]): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions._
     val target = spark.read.parquet(tablePath)
     val tCols = target.columns.toSeq
     val t = target.withColumn("__tid", monotonically_increasing_id())
@@ -86,48 +201,62 @@ object Dml {
     // `s.x` spellings in conditions/assignments resolve to the renamed cols
     def rewrite(e: String): String = "(?i)\\bs\\.([A-Za-z_]\\w*)".r
       .replaceAllIn(e, m => "s_" + m.group(1))
-    val joined = t.join(s, expr(rewrite(onCond)), "left_outer")
-    // SQL-standard cardinality check: no target row may match twice
-    val dup = joined.filter(col("__smatch").isNotNull)
-      .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
-    if (dup > 0) throw new IllegalStateException(
-      "MERGE: one target row matched more than one source row")
+    val joined = t.join(s, expr(rewrite(onCond)), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fromTarget = col("__tid").isNotNull
+      // SQL-standard cardinality check: no target row may match twice
+      val dup = joined.filter(fromTarget && col("__smatch").isNotNull)
+        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE: one target row matched more than one source row")
 
-    val matched = col("__smatch").isNotNull
-    // branch selector: index of the first applicable WHEN MATCHED branch,
-    // -1 = no branch applies (row is kept unchanged)
-    val branch = whenMatched.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
-      case ((wm, i), alt) =>
-        val c = wm.condition.map(c0 => expr(rewrite(c0))).getOrElse(lit(true))
-        when(c, lit(i)).otherwise(alt)
-    }
-    val withBranch = joined.withColumn("__branch", when(matched, branch).otherwise(lit(-1)))
-    val deletes = whenMatched.zipWithIndex.collect { case (WhenMatched(_, None), i) => i }
-    val survivorsBase = withBranch.filter(!col("__branch").isInCollection(
-      if (deletes.isEmpty) Seq(-999) else deletes))
-    val survivors = survivorsBase.select(tCols.map { c =>
-      whenMatched.zipWithIndex.foldRight(col(c)) {
-        case ((WhenMatched(_, Some(set)), i), alt) if set.contains(c) =>
-          when(col("__branch") === i, expr(rewrite(set(c)))).otherwise(alt)
-        case (_, alt) => alt
-      }.as(c)
-    }: _*)
-    val inserts = whenNotMatchedInsert.map { ins =>
-      s.join(t, expr(rewrite(onCond)), "left_anti")
-        .select(tCols.map(c => expr(rewrite(ins.getOrElse(c, "NULL"))).cast(
-          target.schema(c).dataType).as(c)): _*)
-    }
-    val nUpdated = withBranch.filter(col("__branch") >= 0 &&
-      !col("__branch").isInCollection(if (deletes.isEmpty) Seq(-999) else deletes)).count()
-    val nDeleted = if (deletes.isEmpty) 0L
-      else withBranch.filter(col("__branch").isInCollection(deletes)).count()
-    val nInserted = inserts.map(_.count()).getOrElse(0L)
-
-    val result = inserts.map(survivors.unionByName(_)).getOrElse(survivors)
-    val staging = s"$tablePath.__staging"
-    result.write.mode("overwrite").parquet(staging)
-    Fs.swapIn(spark, tablePath, staging)
-    (nUpdated, nDeleted, nInserted)
+      val matched = fromTarget && col("__smatch").isNotNull
+      // branch selector: index of the first applicable WHEN MATCHED branch,
+      // -1 = no branch applies (row is kept unchanged)
+      val branch = whenMatched.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((wm, i), alt) =>
+          val c = wm.condition.map(c0 => expr(rewrite(c0))).getOrElse(lit(true))
+          when(c, lit(i)).otherwise(alt)
+      }
+      val deletes = whenMatched.zipWithIndex.collect { case (WhenMatched(_, None), i) => i }
+      val deleteSet = if (deletes.isEmpty) Seq(-999) else deletes
+      val insertable = whenNotMatchedInsert.isDefined
+      val withBranch = joined
+        .withColumn("__branch", when(matched, branch).otherwise(lit(-1)))
+        // -2 marks a source-only row that WHEN NOT MATCHED will insert
+        .withColumn("__branch", when(fromTarget, col("__branch"))
+          .otherwise(lit(if (insertable) -2 else -999)))
+        .filter(col("__branch") =!= -999)
+      val obs = Observation()
+      val observed = withBranch.observe(obs,
+        sum(when(col("__branch") >= 0 && !col("__branch").isInCollection(deleteSet), 1L)
+          .otherwise(0L)).as("updated"),
+        sum(when(col("__branch").isInCollection(deleteSet), 1L).otherwise(0L)).as("deleted"),
+        sum(when(col("__branch") === -2, 1L).otherwise(0L)).as("inserted"))
+      val survivorsAndInserts = observed
+        .filter(!col("__branch").isInCollection(deleteSet))
+        .select(tCols.map { c =>
+          val updated = whenMatched.zipWithIndex.foldRight(col(c)) {
+            case ((WhenMatched(_, Some(set)), i), alt) if set.contains(c) =>
+              when(col("__branch") === i, expr(rewrite(set(c)))).otherwise(alt)
+            case (_, alt) => alt
+          }
+          val value = whenNotMatchedInsert match {
+            case Some(ins) => when(col("__branch") === -2,
+              expr(rewrite(ins.getOrElse(c, "NULL"))).cast(target.schema(c).dataType))
+              .otherwise(updated)
+            case None => updated
+          }
+          value.as(c)
+        }: _*)
+      val staging = s"$tablePath.__staging"
+      survivorsAndInserts.write.mode("overwrite").parquet(staging)
+      Fs.swapIn(spark, tablePath, staging)
+      def metric(name: String): Long =
+        Option(obs.get(name)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (metric("updated"), metric("deleted"), metric("inserted"))
+    } finally joined.unpersist()
   }
 }
 

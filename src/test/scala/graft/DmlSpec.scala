@@ -87,4 +87,80 @@ class DmlSpec extends GraftSuite {
         Seq(Dml.WhenMatched(None, Some(Map("n_name" -> "s.v")))), None))
     assert(e.getMessage.contains("more than one source row"))
   }
+
+  private def partitionedScratch(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-part").toString + "/nation"
+    graft.engine.Tables.load(spark, sfTiny, "nation")
+      .write.partitionBy("n_regionkey").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** (path → mtime) for every data file under each partition dir. */
+  private def fileStamps(table: String): Map[String, Map[String, Long]] = {
+    val root = new java.io.File(table)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }.toMap
+  }
+
+  test("partitioned DELETE rewrites only the touched partitions") {
+    val t = partitionedScratch()
+    val before = fileStamps(t)
+    assert(before.size == 5) // one dir per region
+    val expect = spark.read.parquet(t).filter("n_regionkey = 2").count()
+    Thread.sleep(1100) // mtime granularity
+    val deleted = Dml.delete(spark, t, "n_regionkey = 2")
+    assert(deleted == expect && expect > 0)
+    val after = fileStamps(t)
+    // untouched partitions: identical file paths AND identical mtimes
+    for (p <- before.keys if p != "n_regionkey=2")
+      assert(after(p) == before(p), s"partition $p was rewritten")
+    assert(spark.read.parquet(t).filter("n_regionkey = 2").count() == 0)
+    assert(spark.read.parquet(t).count() == 25 - expect)
+  }
+
+  test("partitioned UPDATE with a data predicate touches only matching partitions") {
+    val t = partitionedScratch()
+    val before = fileStamps(t)
+    // NATION_7 lives in exactly one region partition (7 % 5 = 2); the
+    // predicate is on a DATA column, so pruning must come from the
+    // distinct scan, not the directory values
+    Thread.sleep(1100)
+    val updated = Dml.update(spark, t, "n_name = 'NATION_7'",
+      Map("n_name" -> "'REWRITTEN'"))
+    assert(updated == 1)
+    val after = fileStamps(t)
+    val touched = before.keys.filter(p => after(p) != before(p)).toSet
+    assert(touched == Set("n_regionkey=2"), s"touched=$touched")
+    assert(spark.read.parquet(t)
+      .filter("n_name = 'REWRITTEN'").count() == 1)
+    assert(spark.read.parquet(t).count() == 25)
+  }
+
+  test("DELETE and UPDATE report counts without extra scan jobs") {
+    val t = scratchTable()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settle(): Unit = { Thread.sleep(300) } // let queued listener events drain
+    try {
+      val deleted = Dml.delete(spark, t, "n_regionkey = 2")
+      settle()
+      assert(deleted == 5)
+      // one write job (+ at most one parquet schema-inference read);
+      // the r4 shape was three full scans per statement
+      assert(jobs.get() <= 2, s"DELETE ran ${jobs.get()} jobs")
+      jobs.set(0)
+      val updated = Dml.update(spark, t, "n_regionkey = 1",
+        Map("n_comment" -> "'x'"))
+      settle()
+      assert(updated == 5)
+      assert(jobs.get() <= 2, s"UPDATE ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
