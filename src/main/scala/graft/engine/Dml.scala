@@ -71,7 +71,7 @@ object Dml {
     * Catalyst still prunes that scan by whatever partition-column
     * conjuncts the predicate carries.
     */
-  private def touchedPartitions(spark: SparkSession, df: DataFrame,
+  private[engine] def touchedPartitions(spark: SparkSession, df: DataFrame,
       partCols: Seq[String], parts: Seq[(Seq[String], String)],
       predicate: String): Seq[(Seq[String], String)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -104,7 +104,7 @@ object Dml {
     }
   }
 
-  private def partitionFilter(partCols: Seq[String], values: Seq[String]): Column =
+  private[engine] def partitionFilter(partCols: Seq[String], values: Seq[String]): Column =
     partCols.zip(values).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
   /** DELETE FROM <tablePath> WHERE <predicate>; returns rows deleted. */

@@ -27,12 +27,15 @@ object Views {
 
   /** CREATE MATERIALIZED VIEW name AS query, persisted under
     * `storageDir/name` and registered as a temp view over the files.
+    * `partitionBy` lays the MV out Hive-style, which is what makes
+    * partition-scoped refresh possible.
     */
   def createMaterializedView(
       spark: SparkSession, dir: String, name: String, query: String,
-      storageDir: String): Unit = {
+      storageDir: String, partitionBy: Seq[String] = Nil): Unit = {
     val path = storagePath(storageDir, name)
-    Tables.sql(spark, dir, query).write.mode("overwrite").parquet(path)
+    val w = Tables.sql(spark, dir, query).write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(name)
   }
 
@@ -49,5 +52,49 @@ object Views {
     Tables.sql(spark, dir, query).write.mode("overwrite").parquet(staging)
     Fs.swapIn(spark, path, staging)
     spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
+  /** INCREMENTAL refresh: recompute only the MV slice selected by
+    * `predicate` (over the view query's output columns) and swap only
+    * the partition directories that slice can live in — everything else
+    * keeps its files untouched. This is the partition-scoped refresh a
+    * real 100 TB deployment runs nightly ("refresh day X"): the view
+    * query executes with the predicate pushed into it, so Catalyst
+    * prunes the SOURCE scan too, and the rewrite cost is proportional to
+    * the refreshed slice, not the view.
+    *
+    * The predicate must reference only the MV's partition columns (the
+    * reference's full-rebuild `RefreshMaterializedViewOperator.java:151`
+    * has no such scoping; this is parity-plus). Partitions the fresh
+    * slice no longer produces are rewritten empty; brand-new partitions
+    * are created. Returns the number of partition directories touched.
+    */
+  def refreshMaterializedViewPartitions(
+      spark: SparkSession, dir: String, name: String, query: String,
+      storageDir: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions._
+    val path = storagePath(storageDir, name)
+    val (partCols, parts) = Dml.partitionLayout(spark, path)
+    require(partCols.nonEmpty,
+      s"partition-scoped refresh needs a partitionBy'd materialized view: $name")
+    val fresh = Tables.sql(spark, dir, query).filter(expr(predicate))
+    // on-disk partitions the predicate covers (values-only decision) ∪
+    // partitions the fresh slice produces (covers brand-new ones)
+    val disk = Dml.touchedPartitions(spark, fresh, partCols, parts, predicate)
+      .map(_._1)
+    val produced = fresh.select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq
+    val touched = (disk ++ produced).distinct
+    touched.foreach { values =>
+      val dest = path + "/" + partCols.zip(values)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      val staging = s"$dest.__staging"
+      fresh.filter(Dml.partitionFilter(partCols, values))
+        .drop(partCols: _*)
+        .write.mode("overwrite").parquet(staging)
+      Fs.swapIn(spark, dest, staging)
+    }
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    touched.length.toLong
   }
 }

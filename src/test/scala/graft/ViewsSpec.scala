@@ -35,4 +35,31 @@ class ViewsSpec extends GraftSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(mv2 == direct)
   }
+
+  test("partition-scoped refresh touches only the selected partition dirs") {
+    val storage = java.nio.file.Files.createTempDirectory("graft-mv-inc").toString
+    val q = "SELECT n_regionkey, n_nationkey, n_name FROM nation"
+    Views.createMaterializedView(spark, sfTiny, "mv_inc", q, storage,
+      partitionBy = Seq("n_regionkey"))
+    def stamps(): Map[String, Map[String, Long]] = {
+      val root = new java.io.File(s"$storage/mv_inc")
+      root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap).toMap
+    }
+    val before = stamps()
+    assert(before.size == 5)
+    Thread.sleep(1100) // mtime granularity
+    val touched = Views.refreshMaterializedViewPartitions(
+      spark, sfTiny, "mv_inc", q, storage, "n_regionkey = 3")
+    assert(touched == 1L)
+    val after = stamps()
+    for (p <- before.keys if p != "n_regionkey=3")
+      assert(after(p) == before(p), s"partition $p was rewritten")
+    assert(after("n_regionkey=3") != before("n_regionkey=3"))
+    // the registered view still answers the full, correct result
+    assert(spark.sql("SELECT count(*) FROM mv_inc").collect()(0).getLong(0) == 25)
+    assert(spark.sql("SELECT count(*) FROM mv_inc WHERE n_regionkey = 3")
+      .collect()(0).getLong(0) == 5)
+  }
 }
