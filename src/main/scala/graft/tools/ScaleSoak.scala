@@ -51,10 +51,38 @@ object ScaleSoak {
     // reads the soak copy the same way it reads the driver's parquet
     write("events", replicate(t("events"), Seq("event_id", "user_id"))
       .withColumn("ts", expr("unix_micros(ts) * 1000L")))
-    // documents/embeddings replicated as-is (ids shifted) — the dedup/ANN
-    // soak is NOT meaningful on them (clones are true near-duplicates and
-    // quadratically inflate the pair set), so the soak bench skips those
-    write("documents", replicate(t("documents"), Seq("doc_id")))
+    // documents: replica i applies a per-copy ALPHABET ROTATION
+    // (translate by i·2+1 letters), making each copy an exactly
+    // isomorphic image of the original corpus: word lengths, vocabulary
+    // richness, and the fixture's own near-duplicate clusters are all
+    // preserved within a copy (the char map is injective, so shingle
+    // sets map injectively), while ACROSS copies a rotated trigram never
+    // equals its source, so clones share ~zero shingles and the true
+    // pair set grows LINEARLY in the copy count. Two rejected designs,
+    // measured: a token-order shuffle keeps word-interior shingles, so
+    // every replica family collides in every MinHash band (quadratic
+    // candidates, bench >10 min); hash-renaming words collapses the
+    // corpus trigram alphabet to {w,0-9}, which makes ALL documents
+    // similar (ppjoin 37× at 10× data). Copy 0 is verbatim.
+    val docs = t("documents")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val perturbedDocs = (0 until Copies).map { i =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+      if (i == 0) shifted
+      else {
+        val k = (i * 2 + 1) % 26
+        val rot = lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)
+        shifted.withColumn("text",
+          translate(col("text"), lower + upper, rot))
+      }
+    }.reduce(_ unionAll _)
+    write("documents", perturbedDocs)
+    // embeddings replicated as-is (ids shifted) — the ANN soak is NOT
+    // meaningful on them (clones are exact duplicates in embedding space
+    // and would quadratically inflate the neighbor set), so the soak
+    // bench keeps skipping the sim_* queries
     write("embeddings", replicate(t("embeddings"), Seq("vec_id")))
     spark.stop()
   }
