@@ -41,6 +41,9 @@ object Dml {
         : (Seq[String], Seq[(Seq[String], String)]) = {
       val subdirs = fs.listStatus(dir).filter(_.isDirectory)
         .map(s => s.getPath).filterNot(_.getName.startsWith("."))
+        // a crash can strand swap workspaces next to real partitions;
+        // they must never parse as partition values
+        .filterNot(p => p.getName.endsWith(".__staging") || p.getName.endsWith(".__backup"))
       val parts = subdirs.flatMap(p => p.getName match {
         case Part(k, v) => Some((k,
           java.net.URLDecoder.decode(v, "UTF-8"), p))

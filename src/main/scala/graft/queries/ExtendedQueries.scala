@@ -477,7 +477,15 @@ object ExtendedQueries {
       Tables.sql(s, dir,
         "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
         .select("step", "operator", "output_rows")
-    }))
+    }),
+    // SHOW COLUMNS (Trino shape: Column/Type/Extra/Comment) and
+    // SHOW STATS FOR (ShowStatsRewrite shape: per-column ndv / nulls
+    // fraction / low / high + a summary row_count row) — stats computed
+    // exactly in one aggregate pass, so the oracle recomputes them
+    "stmt_show_columns" -> ((s, dir) =>
+      Tables.sql(s, dir, "SHOW COLUMNS FROM nation")),
+    "stmt_show_stats" -> ((s, dir) =>
+      Tables.sql(s, dir, "SHOW STATS FOR region")))
 
   val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
     "stmt_prepare_execute" ->
@@ -498,5 +506,24 @@ object ExtendedQueries {
         |  (2, 'Exchange', NULL::bigint),
         |  (3, 'HashAggregate', 5::bigint),
         |  (4, 'ColumnarToRow', 25::bigint),
-        |  (5, 'Scan', 25::bigint)) AS t(step, operator, output_rows)""".stripMargin)
+        |  (5, 'Scan', 25::bigint)) AS t(step, operator, output_rows)""".stripMargin,
+    "stmt_show_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('n_nationkey', 'int', '', ''),
+        |  ('n_name', 'string', '', ''),
+        |  ('n_regionkey', 'int', '', '')) AS t("Column", "Type", "Extra", "Comment")""".stripMargin,
+    "stmt_show_stats" ->
+      """SELECT 'r_regionkey' AS column_name,
+        |  count(DISTINCT r_regionkey)::bigint AS distinct_values_count,
+        |  avg(CASE WHEN r_regionkey IS NULL THEN 1.0 ELSE 0.0 END)::double AS nulls_fraction,
+        |  NULL::bigint AS row_count,
+        |  min(r_regionkey)::varchar AS low_value, max(r_regionkey)::varchar AS high_value
+        |FROM region
+        |UNION ALL
+        |SELECT 'r_name', count(DISTINCT r_name)::bigint,
+        |  avg(CASE WHEN r_name IS NULL THEN 1.0 ELSE 0.0 END)::double,
+        |  NULL::bigint, min(r_name), max(r_name) FROM region
+        |UNION ALL
+        |SELECT NULL, NULL::bigint, NULL::double, count(*)::bigint, NULL, NULL
+        |FROM region""".stripMargin)
 }

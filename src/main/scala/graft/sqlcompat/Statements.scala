@@ -55,6 +55,13 @@ object Statements {
   private val ShowCatalogs = """(?is)^\s*SHOW\s+CATALOGS\s*$""".r
   private val ShowSession = """(?is)^\s*SHOW\s+SESSION\s*$""".r
   private val ExplainAnalyze = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
+  private val ExplainTyped =
+    """(?is)^\s*EXPLAIN\s+\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)\s*\)\s+(.+)$""".r
+  private val ShowSchemas = """(?is)^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+[\w.]+)?\s*$""".r
+  private val ShowTables = """(?is)^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowColumns = """(?is)^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*$""".r
+  private val ShowFunctions = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
+  private val ShowStats = """(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*$""".r
 
   /** Strip one level of single quotes from a literal value. */
   private def unquote(v: String): String =
@@ -119,6 +126,30 @@ object Statements {
       case Rollback() =>
         import spark.implicits._
         Some(Seq("ROLLBACK").toDF("result"))
+      case ExplainTyped(kind, body) =>
+        import spark.implicits._
+        // the reference's EXPLAIN (TYPE ...) grammar (SqlBase.g4): LOGICAL
+        // = the optimized plan, DISTRIBUTED = the physical plan with its
+        // exchanges, VALIDATE = analyze only, IO = the tables/files read
+        val df = runQuery(body)
+        kind.toUpperCase match {
+          case "LOGICAL" =>
+            Some(Seq(df.queryExecution.optimizedPlan.toString).toDF("Query Plan"))
+          case "DISTRIBUTED" =>
+            Some(Seq(df.queryExecution.executedPlan.toString).toDF("Query Plan"))
+          case "VALIDATE" =>
+            df.queryExecution.assertAnalyzed()
+            Some(Seq(true).toDF("valid"))
+          case _ => // IO — from the optimized logical plan (pre-AQE)
+            import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+            val paths = df.queryExecution.optimizedPlan.collect {
+              case l: LogicalRelation => l.relation match {
+                case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+            }.flatten.distinct.sorted
+            Some(paths.toDF("input"))
+        }
       case ExplainAnalyze(body) =>
         import spark.implicits._
         // the reference's ExplainAnalyzeOperator (ExplainAnalyzeOperator
@@ -152,6 +183,54 @@ object Statements {
         // one catalog in this engine, like a single-connector deployment
         Some(spark.catalog.listCatalogs().select("name").as[String].collect().toSeq
           .toDF("Catalog"))
+      case ShowSchemas() =>
+        import spark.implicits._
+        // the parquet catalog is single-schema, like the reference's
+        // information_schema + one data schema per connector
+        Some((spark.catalog.listDatabases().collect().map(_.name).toSeq :+
+          "information_schema").distinct.sorted.toDF("Schema"))
+      case ShowTables(like) =>
+        import spark.implicits._
+        val pat = Option(like).map(_.replace("%", ".*").replace("_", "."))
+        val names = spark.catalog.listTables().collect().map(_.name)
+          .filter(n => pat.forall(p => n.toLowerCase.matches(p.toLowerCase)))
+        Some(names.sorted.toSeq.toDF("Table"))
+      case ShowColumns(table) =>
+        import spark.implicits._
+        // Trino's SHOW COLUMNS shape (Column, Type, Extra, Comment)
+        val schema = runQuery(s"SELECT * FROM $table LIMIT 0").schema
+        Some(schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, "", ""))
+          .toDF("Column", "Type", "Extra", "Comment"))
+      case ShowFunctions() =>
+        import spark.implicits._
+        Some(spark.catalog.listFunctions().collect().map(_.name)
+          .distinct.sorted.toSeq.toDF("Function"))
+      case ShowStats(table) =>
+        import spark.implicits._
+        // reference ShowStatsRewrite shape: one row per column
+        // (ndv, nulls fraction, low/high) + a summary row carrying
+        // row_count. Stats are COMPUTED exactly in one aggregate pass —
+        // data_size is omitted (format-dependent in the reference too)
+        import org.apache.spark.sql.functions._
+        val df = runQuery(s"SELECT * FROM $table")
+        val cols = df.columns.toSeq
+        val aggs = count(lit(1L)).as("__n") +: cols.flatMap { c =>
+          Seq(count_distinct(col(c)).as(s"__ndv_$c"),
+            avg(when(col(c).isNull, 1.0).otherwise(0.0)).as(s"__nf_$c"),
+            min(col(c)).cast("string").as(s"__lo_$c"),
+            max(col(c)).cast("string").as(s"__hi_$c"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = r.getAs[Long]("__n")
+        val rows = cols.map { c =>
+          (c, Option(r.getAs[Long](s"__ndv_$c")),
+            Option(r.getAs[Double](s"__nf_$c")), Option.empty[Long],
+            Option(r.getAs[String](s"__lo_$c")), Option(r.getAs[String](s"__hi_$c")))
+        } :+ ((null: String), Option.empty[Long], Option.empty[Double],
+          Some(n), Option.empty[String], Option.empty[String])
+        Some(rows.toDF("column_name", "distinct_values_count",
+          "nulls_fraction", "row_count", "low_value", "high_value"))
       case ShowSession() =>
         import spark.implicits._
         // the SET SESSION overlay this layer manages, name/value/default

@@ -103,6 +103,38 @@ class StatementsSpec extends GraftSuite {
     assert(rows.exists(_.getString(3).contains("numOutputRows=")))
   }
 
+  test("EXPLAIN (TYPE LOGICAL | DISTRIBUTED | VALIDATE | IO)") {
+    val q = "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey"
+    val logical = sql(s"EXPLAIN (TYPE LOGICAL) $q").collect()(0).getString(0)
+    assert(logical.contains("Aggregate") && !logical.contains("Exchange"))
+    val dist = sql(s"EXPLAIN (TYPE DISTRIBUTED) $q").collect()(0).getString(0)
+    assert(dist.contains("HashAggregate") && dist.contains("Exchange"))
+    assert(sql(s"EXPLAIN (TYPE VALIDATE) $q").collect()(0).getBoolean(0))
+    val io = sql(s"EXPLAIN (TYPE IO) $q").collect().map(_.getString(0))
+    assert(io.length == 1 && io.head.contains("nation.parquet"), io.mkString)
+  }
+
+  test("SHOW SCHEMAS / TABLES / COLUMNS / FUNCTIONS / STATS") {
+    val schemas = sql("SHOW SCHEMAS").collect().map(_.getString(0))
+    assert(schemas.contains("default") && schemas.contains("information_schema"))
+    val tables = sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(Set("nation", "region", "orders").subsetOf(tables.toSet))
+    val filtered = sql("SHOW TABLES LIKE 'nat%'").collect().map(_.getString(0))
+    assert(filtered.toSeq == Seq("nation"))
+    val cols = sql("SHOW COLUMNS FROM nation").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq == Seq(("n_nationkey", "int"), ("n_name", "string"),
+      ("n_regionkey", "int")))
+    val fns = sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(Set("approx_set", "st_contains", "checksum", "minhash").subsetOf(fns))
+    val stats = sql("SHOW STATS FOR region").collect()
+    val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byCol("r_regionkey").getLong(1) == 5) // exact ndv
+    assert(byCol("r_name").getString(5) == "MIDDLE EAST") // high_value
+    val summary = stats.filter(_.isNullAt(0))
+    assert(summary.length == 1 && summary.head.getLong(3) == 5) // row_count
+  }
+
   test("SHOW CATALOGS lists the catalog; SHOW SESSION lists SET SESSION properties") {
     val cats = sql("SHOW CATALOGS").collect().map(_.getString(0))
     assert(cats.contains("spark_catalog"))
