@@ -254,7 +254,11 @@ object Dml {
           value.as(c)
         }: _*)
       val staging = s"$tablePath.__staging"
-      survivorsAndInserts.write.mode("overwrite").parquet(staging)
+      // a Hive-layout target must keep its layout through the rewrite —
+      // a flat staging write would silently de-partition the table
+      val (partCols, _) = partitionLayout(spark, tablePath)
+      val w = survivorsAndInserts.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
       Fs.swapIn(spark, tablePath, staging)
       def metric(name: String): Long =
         Option(obs.get(name)).map(_.asInstanceOf[Long]).getOrElse(0L)

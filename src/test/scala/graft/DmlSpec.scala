@@ -139,6 +139,25 @@ class DmlSpec extends GraftSuite {
     assert(spark.read.parquet(t).count() == 25)
   }
 
+  test("MERGE on a partitioned table preserves the Hive layout") {
+    import spark.implicits._
+    val t = partitionedScratch()
+    val source = Seq((7, "SRCNAME"), (77, "NEWROW")).toDF("k", "newname")
+    val (updated, _, inserted) = Dml.merge(spark, t, source,
+      "n_nationkey = s.k AND n_regionkey = 2",
+      Seq(Dml.WhenMatched(None, Some(Map("n_name" -> "s.newname")))),
+      Some(Map("n_nationkey" -> "s.k", "n_name" -> "s.newname",
+        "n_regionkey" -> "s.k % 5")))
+    assert(updated == 1 && inserted == 1)
+    // the table is still partition-discovered with the same column
+    val dirs = new java.io.File(t).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("n_regionkey=")), dirs.mkString(","))
+    val df = spark.read.parquet(t)
+    assert(df.count() == 26)
+    assert(df.filter("n_name = 'SRCNAME'").count() == 1)
+    assert(df.filter("n_name = 'NEWROW' AND n_regionkey = 2").count() == 1)
+  }
+
   test("DELETE and UPDATE report counts without extra scan jobs") {
     val t = scratchTable()
     val jobs = new java.util.concurrent.atomic.AtomicInteger
