@@ -108,6 +108,32 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream INTERVAL join: each click pairs with the impression
+    * of the same user that happened at most `horizonSeconds` before it.
+    * Both sides carry watermarks and the join condition bounds the event
+    * -time distance, so Spark can size the join state to the horizon and
+    * EVICT rows the watermark has passed — the canonical bounded-state
+    * stream-stream join (attribution, funnel stitching). Without the
+    * time bound the state store would have to keep every row forever.
+    */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+      horizonSeconds: Long = 3600, watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("event_id").as("impression_id"))
+      .withWatermark("i_ts", watermark)
+    val clk = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    clk.join(imp,
+      col("c_user") === col("i_user") &&
+        col("i_ts") <= col("c_ts") &&
+        col("i_ts") >= col("c_ts") - expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("c_user").as("user_id"), col("impression_id"),
+        col("click_id"), col("i_ts"), col("c_ts"))
+  }
+
   /** End-to-end wiring: file/kafka-shaped source → transform → sink.
     * (`readStream` over a directory of parquet drops mirrors how the
     * reference's kafka connector exposes a topic as an append-only table.)

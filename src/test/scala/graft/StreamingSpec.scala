@@ -31,6 +31,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    impressions.addData(
+      Event(100, ts(0), 1, "imp", 0.0),   // clicked 10 min later → pair
+      Event(101, ts(1), 2, "imp", 0.0),   // never clicked
+      Event(102, ts(40), 1, "imp", 0.0))  // after the click → no pair
+    clicks.addData(
+      Event(200, ts(10), 1, "click", 0.0),
+      Event(201, ts(30), 3, "click", 0.0)) // user 3 has no impression
+    val joined = EventStream.intervalJoin(
+      impressions.toDF(), clicks.toDF(),
+      horizonSeconds = 1800, watermark = "5 minutes")
+    // the physical plan is the bounded-state streaming join operator
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet == Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize tracks per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
