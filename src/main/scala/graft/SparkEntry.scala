@@ -129,7 +129,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ OperatorQueries.queries ++ FunctionQueries.queries ++
       EventQueries.queries ++ PipelineQueries.queries ++ ExtendedQueries.queries ++
-      GeoQueries.queries ++ sketchQueries
+      GeoQueries.queries ++ EngineQueries.queries ++ sketchQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible /
@@ -138,5 +138,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ OperatorQueries.oracles ++ FunctionQueries.oracles ++
       EventQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
-      GeoQueries.oracles ++ sketchOracles
+      GeoQueries.oracles ++ EngineQueries.oracles ++ sketchOracles
 }

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Dml, Tables, Views, Writer}
+
+/** Round-trip queries that put the ENGINE capabilities (DML, MV refresh,
+  * layout-controlled writes) under the oracle, not just ScalaTest: each
+  * copies fixture data to a scratch directory, applies the operation
+  * through the real engine path (copy-on-write staging swaps, partition
+  * pruning, observed counts), and returns the resulting table — which
+  * DuckDB reproduces from the fixture with plain SQL. A failing rewrite,
+  * a lost partition, or a wrong count surfaces as a row/hash mismatch.
+  */
+object EngineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString + "/t"
+
+  val queries: Map[String, Q] = Map(
+    // DELETE through the copy-on-write path (partitioned layout, so the
+    // partition-pruned branch executes); result = surviving rows + the
+    // observed delete count as a column
+    "dml_delete_roundtrip" -> ((s, dir) => {
+      val t = scratch("del")
+      Tables.load(s, dir, "nation")
+        .write.partitionBy("n_regionkey").parquet(t)
+      val n = Dml.delete(s, t, "n_regionkey = 2 AND n_nationkey > 5")
+      s.read.parquet(t)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .withColumn("n_deleted", lit(n))
+    }),
+    // UPDATE with pre-update right-hand sides through the same path
+    "dml_update_roundtrip" -> ((s, dir) => {
+      val t = scratch("upd")
+      Tables.load(s, dir, "nation")
+        .write.partitionBy("n_regionkey").parquet(t)
+      val n = Dml.update(s, t, "n_regionkey = 1",
+        Map("n_name" -> "concat(n_name, '_U')"))
+      s.read.parquet(t)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .withColumn("n_updated", lit(n))
+    }),
+    // MERGE: ordered WHEN MATCHED update + NOT MATCHED insert, counts
+    // observed in the single staged write
+    "dml_merge_roundtrip" -> ((s, dir) => {
+      val t = scratch("mrg")
+      Tables.load(s, dir, "nation").write.parquet(t)
+      val source = Tables.load(s, dir, "region")
+        .select((col("r_regionkey") * 10).as("k"), col("r_name").as("v"))
+      val (u, d, i) = Dml.merge(s, t, source, "n_nationkey = s.k",
+        Seq(Dml.WhenMatched(None, Some(Map("n_name" -> "concat('M_', n_name)")))),
+        Some(Map("n_nationkey" -> "s.k", "n_name" -> "concat('NEW_', s.v)",
+          "n_regionkey" -> "cast(s.k % 5 AS int)")))
+      s.read.parquet(t)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("n_updated", lit(u))
+        .withColumn("n_deleted", lit(d))
+        .withColumn("n_inserted", lit(i))
+    }),
+    // materialized view: create partitioned, refresh ONE partition
+    // incrementally, read the registered view back
+    "mv_refresh_roundtrip" -> ((s, dir) => {
+      val storage = java.nio.file.Files.createTempDirectory("graft-mvq").toString
+      val q = "SELECT n_regionkey, n_nationkey, n_name FROM nation"
+      Views.createMaterializedView(s, dir, "mv_rt", q, storage,
+        partitionBy = Seq("n_regionkey"))
+      val touched = Views.refreshMaterializedViewPartitions(
+        s, dir, "mv_rt", q, storage, "n_regionkey = 3")
+      s.table("mv_rt")
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .withColumn("n_touched", lit(touched))
+    }),
+    // layout-controlled sink: partitioned write (bounded files per
+    // partition) read back through partition discovery; the aggregate
+    // would be wrong if any partition were lost, duplicated, or mis-keyed
+    "sink_partitioned_roundtrip" -> ((s, dir) => {
+      val t = scratch("sink")
+      Writer.writePartitioned(Tables.load(s, dir, "orders"), t,
+        Seq("o_orderpriority"))
+      s.read.parquet(t).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dml_delete_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 2 AND n_nationkey > 5)::bigint AS n_deleted
+        |FROM nation WHERE NOT (n_regionkey = 2 AND n_nationkey > 5)""".stripMargin,
+    "dml_update_roundtrip" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_U' ELSE n_name END AS n_name,
+        |  n_regionkey,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 1)::bigint AS n_updated
+        |FROM nation""".stripMargin,
+    "dml_merge_roundtrip" ->
+      """WITH src AS (SELECT r_regionkey * 10 AS k, r_name AS v FROM region),
+        |merged AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey IN (SELECT k FROM src) THEN 'M_' || n_name
+        |         ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT k, 'NEW_' || v, (k % 5)::int FROM src
+        |  WHERE k NOT IN (SELECT n_nationkey FROM nation))
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  (SELECT count(*) FROM src WHERE k IN (SELECT n_nationkey FROM nation))::bigint AS n_updated,
+        |  0::bigint AS n_deleted,
+        |  (SELECT count(*) FROM src WHERE k NOT IN (SELECT n_nationkey FROM nation))::bigint AS n_inserted
+        |FROM merged""".stripMargin,
+    "mv_refresh_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 1::bigint AS n_touched
+        |FROM nation""".stripMargin,
+    "sink_partitioned_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+}
