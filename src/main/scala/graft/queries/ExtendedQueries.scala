@@ -485,7 +485,18 @@ object ExtendedQueries {
     "stmt_show_columns" -> ((s, dir) =>
       Tables.sql(s, dir, "SHOW COLUMNS FROM nation")),
     "stmt_show_stats" -> ((s, dir) =>
-      Tables.sql(s, dir, "SHOW STATS FOR region")))
+      Tables.sql(s, dir, "SHOW STATS FOR region")),
+    // CREATE TABLE AS / INSERT INTO over the managed parquet store
+    // (SqlBase.g4 createTableAsSelect / insertInto): CTAS materializes a
+    // query, INSERT appends through a staged swap, and the read-back is
+    // what the oracle reproduces
+    "stmt_ctas_insert" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "CREATE TABLE ctas_rt AS SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+      Tables.sql(s, dir,
+        "INSERT INTO ctas_rt SELECT 99 AS n_regionkey, 0 AS n")
+      Tables.sql(s, dir, "SELECT n_regionkey, n FROM ctas_rt")
+    }))
 
   val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
     "stmt_prepare_execute" ->
@@ -525,5 +536,8 @@ object ExtendedQueries {
         |  NULL::bigint, min(r_name), max(r_name) FROM region
         |UNION ALL
         |SELECT NULL, NULL::bigint, NULL::double, count(*)::bigint, NULL, NULL
-        |FROM region""".stripMargin)
+        |FROM region""".stripMargin,
+    "stmt_ctas_insert" ->
+      """SELECT n_regionkey, count(*)::bigint AS n FROM nation GROUP BY n_regionkey
+        |UNION ALL SELECT 99, 0::bigint""".stripMargin)
 }

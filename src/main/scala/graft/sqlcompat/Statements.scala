@@ -62,6 +62,23 @@ object Statements {
   private val ShowColumns = """(?is)^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*$""".r
   private val ShowFunctions = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
   private val ShowStats = """(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*$""".r
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.+)$""".r
+  private val InsertInto = """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$""".r
+  private val DropTable =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
+
+  // managed-table storage, one directory per (session, table) — the
+  // single-schema parquet analog of the reference's connector-managed
+  // CTAS target (SqlBase.g4 createTableAsSelect / insertInto / dropTable)
+  private val managed =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  private def managedTables(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    managed.synchronized {
+      var m = managed.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map[String, String](); managed.put(spark, m) }
+      m
+    }
 
   /** Strip one level of single quotes from a literal value. */
   private def unquote(v: String): String =
@@ -183,6 +200,37 @@ object Statements {
         // one catalog in this engine, like a single-connector deployment
         Some(spark.catalog.listCatalogs().select("name").as[String].collect().toSeq
           .toDF("Catalog"))
+      case CreateTableAs(name, body) =>
+        import spark.implicits._
+        val key = name.toLowerCase
+        val path = managedTables(spark).getOrElseUpdate(key,
+          java.nio.file.Files.createTempDirectory(s"graft-tbl-$key").toString + "/t")
+        val result = runQuery(body)
+        result.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        val n = spark.read.parquet(path).count()
+        Some(Seq(n).toDF("rows"))
+      case InsertInto(name, body) =>
+        import spark.implicits._
+        val path = managedTables(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"not a managed table: $name"))
+        val rows = runQuery(body)
+        // append through a staged union + swap: an in-place append that
+        // dies mid-write would leave a torn table
+        val staging = s"$path.__staging"
+        spark.read.parquet(path).unionByName(rows, allowMissingColumns = false)
+          .write.mode("overwrite").parquet(staging)
+        graft.engine.Fs.swapIn(spark, path, staging)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        Some(Seq(rows.count()).toDF("rows"))
+      case DropTable(name) =>
+        import spark.implicits._
+        managedTables(spark).remove(name.toLowerCase).foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        spark.catalog.dropTempView(name)
+        Some(Seq(("DROP TABLE", name)).toDF("result", "statement"))
       case ShowSchemas() =>
         import spark.implicits._
         // the parquet catalog is single-schema, like the reference's

@@ -103,6 +103,24 @@ class StatementsSpec extends GraftSuite {
     assert(rows.exists(_.getString(3).contains("numOutputRows=")))
   }
 
+  test("CREATE TABLE AS / INSERT INTO / DROP TABLE over the managed store") {
+    val created = sql(
+      "CREATE TABLE ct1 AS SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
+      .collect()(0).getLong(0)
+    assert(created == 5)
+    assert(sql("SELECT count(*) FROM ct1").collect()(0).getLong(0) == 5)
+    val inserted = sql("INSERT INTO ct1 SELECT 100 AS n_nationkey, 'X' AS n_name")
+      .collect()(0).getLong(0)
+    assert(inserted == 1)
+    assert(sql("SELECT count(*) FROM ct1").collect()(0).getLong(0) == 6)
+    // fixture tables are not managed: INSERT must refuse, not corrupt
+    val e = intercept[IllegalArgumentException](
+      sql("INSERT INTO nation SELECT * FROM nation"))
+    assert(e.getMessage.contains("not a managed table"))
+    sql("DROP TABLE ct1")
+    assert(!spark.catalog.tableExists("ct1"))
+  }
+
   test("EXPLAIN (TYPE LOGICAL | DISTRIBUTED | VALIDATE | IO)") {
     val q = "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey"
     val logical = sql(s"EXPLAIN (TYPE LOGICAL) $q").collect()(0).getString(0)
