@@ -496,6 +496,23 @@ object ExtendedQueries {
       Tables.sql(s, dir,
         "INSERT INTO ctas_rt SELECT 99 AS n_regionkey, 0 AS n")
       Tables.sql(s, dir, "SELECT n_regionkey, n FROM ctas_rt")
+    }),
+    // the full SQL DML statement surface end-to-end: CTAS a managed copy,
+    // DELETE / UPDATE / MERGE by their SQL spellings (lowered onto the
+    // partition-pruned copy-on-write engine), read the final state back
+    "stmt_sql_dml" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "CREATE TABLE sqldml AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      Tables.sql(s, dir, "DELETE FROM sqldml WHERE n_regionkey = 4")
+      Tables.sql(s, dir,
+        "UPDATE sqldml SET n_name = concat(n_name, '_u') WHERE n_regionkey = 0")
+      Tables.sql(s, dir,
+        "MERGE INTO sqldml USING (SELECT 1 AS k, 'ONE' AS v UNION ALL SELECT 55, 'NEW') s " +
+          "ON n_nationkey = s.k " +
+          "WHEN MATCHED THEN UPDATE SET n_name = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) VALUES (s.k, s.v, 9)")
+      Tables.sql(s, dir,
+        "SELECT n_nationkey, n_name, cast(n_regionkey AS int) AS n_regionkey FROM sqldml")
     }))
 
   val oracles: Map[String, String] = defs.map { case (k, (_, duck)) => k -> duck } ++ Map(
@@ -539,5 +556,13 @@ object ExtendedQueries {
         |FROM region""".stripMargin,
     "stmt_ctas_insert" ->
       """SELECT n_regionkey, count(*)::bigint AS n FROM nation GROUP BY n_regionkey
-        |UNION ALL SELECT 99, 0::bigint""".stripMargin)
+        |UNION ALL SELECT 99, 0::bigint""".stripMargin,
+    "stmt_sql_dml" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 1 THEN 'ONE'
+        |       WHEN n_regionkey = 0 THEN n_name || '_u'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_regionkey <> 4
+        |UNION ALL SELECT 55, 'NEW', 9""".stripMargin)
 }

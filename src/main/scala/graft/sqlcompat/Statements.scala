@@ -67,6 +67,14 @@ object Statements {
   private val InsertInto = """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$""".r
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val DeleteFrom =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))?\s*$""".r
+  private val UpdateStmt =
+    """(?is)^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*$""".r
+  private val MergeStmt =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+\((.+?)\)\s+(?:AS\s+)?s\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
+  private val WhenClause =
+    """(?is)WHEN\s+(MATCHED(?:\s+AND\s+.+?)?\s+THEN\s+(?:UPDATE\s+SET\s+.+?|DELETE)|NOT\s+MATCHED\s+THEN\s+INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))(?=\s+WHEN\s|\s*$)""".r
 
   // managed-table storage, one directory per (session, table) — the
   // single-schema parquet analog of the reference's connector-managed
@@ -223,6 +231,43 @@ object Statements {
         graft.engine.Fs.swapIn(spark, path, staging)
         spark.read.parquet(path).createOrReplaceTempView(name)
         Some(Seq(rows.count()).toDF("rows"))
+      case DeleteFrom(name, where) =>
+        import spark.implicits._
+        val path = managedPath(spark, name)
+        val n = graft.engine.Dml.delete(spark, path, Option(where).getOrElse("true"))
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        Some(Seq(n).toDF("rows"))
+      case UpdateStmt(name, setClause, where) =>
+        import spark.implicits._
+        val path = managedPath(spark, name)
+        val n = graft.engine.Dml.update(spark, path,
+          Option(where).getOrElse("true"), parseAssignments(setClause))
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        Some(Seq(n).toDF("rows"))
+      case MergeStmt(name, sourceSql, onCond, whenTail) =>
+        import spark.implicits._
+        val path = managedPath(spark, name)
+        val MatchedRe =
+          """(?is)^MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+(?:UPDATE\s+SET\s+(.+)|(DELETE))\s*$""".r
+        val InsertRe =
+          """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$""".r
+        var insert: Option[Map[String, String]] = None
+        val matchedBranches = Seq.newBuilder[graft.engine.Dml.WhenMatched]
+        val clauses = WhenClause.findAllMatchIn(whenTail).map(_.group(1)).toList
+        require(clauses.nonEmpty, s"MERGE: no WHEN clause parsed in: $whenTail")
+        clauses.foreach {
+          case MatchedRe(cond, set, del) =>
+            matchedBranches += graft.engine.Dml.WhenMatched(Option(cond),
+              if (del != null) None else Some(parseAssignments(set)))
+          case InsertRe(cols, vals) =>
+            insert = Some(splitTopLevel(cols).zip(splitTopLevel(vals)).toMap)
+          case other =>
+            throw new IllegalArgumentException(s"MERGE: unsupported clause: $other")
+        }
+        val (u, d, i) = graft.engine.Dml.merge(spark, path, runQuery(sourceSql),
+          onCond, matchedBranches.result(), insert)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        Some(Seq((u, d, i)).toDF("updated", "deleted", "inserted"))
       case DropTable(name) =>
         import spark.implicits._
         managedTables(spark).remove(name.toLowerCase).foreach { path =>
@@ -347,6 +392,20 @@ object Statements {
     }
     n
   }
+
+  private def managedPath(spark: SparkSession, name: String): String =
+    managedTables(spark).getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"not a managed table: $name"))
+
+  /** `a = expr, b = expr` → Map, splitting each assignment on its FIRST
+    * top-level `=` (the left side is always a bare column name).
+    */
+  private def parseAssignments(setClause: String): Map[String, String] =
+    splitTopLevel(setClause).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad assignment: $a")
+      a.substring(0, i).trim -> a.substring(i + 1).trim
+    }.toMap
 
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]

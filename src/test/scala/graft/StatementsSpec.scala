@@ -121,6 +121,30 @@ class StatementsSpec extends GraftSuite {
     assert(!spark.catalog.tableExists("ct1"))
   }
 
+  test("SQL DELETE / UPDATE / MERGE INTO on managed tables") {
+    sql("CREATE TABLE mdml AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    val del = sql("DELETE FROM mdml WHERE n_regionkey = 4").collect()(0).getLong(0)
+    assert(del == 5)
+    val upd = sql("UPDATE mdml SET n_name = concat(n_name, '_u') WHERE n_regionkey = 0")
+      .collect()(0).getLong(0)
+    assert(upd == 5)
+    assert(sql("SELECT count(*) FROM mdml WHERE n_name LIKE '%_u'")
+      .collect()(0).getLong(0) == 5)
+    val m = sql(
+      """MERGE INTO mdml USING (SELECT 1 AS k, 'ONE' AS v UNION ALL SELECT 55, 'NEW') s
+        |ON n_nationkey = s.k
+        |WHEN MATCHED THEN UPDATE SET n_name = s.v
+        |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) VALUES (s.k, s.v, 9)""".stripMargin)
+      .collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((1L, 0L, 1L)))
+    assert(sql("SELECT n_name FROM mdml WHERE n_nationkey = 1")
+      .collect()(0).getString(0) == "ONE")
+    assert(sql("SELECT n_regionkey FROM mdml WHERE n_nationkey = 55")
+      .collect()(0).getInt(0) == 9)
+    assert(sql("SELECT count(*) FROM mdml").collect()(0).getLong(0) == 21)
+    sql("DROP TABLE mdml")
+  }
+
   test("EXPLAIN (TYPE LOGICAL | DISTRIBUTED | VALIDATE | IO)") {
     val q = "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey"
     val logical = sql(s"EXPLAIN (TYPE LOGICAL) $q").collect()(0).getString(0)
