@@ -651,6 +651,27 @@ object PipelineQueries {
           ((length(col("payload")) * 7 + ascii(col("text"))) % 1920).as("fake_width"),
           (unhex(md5(col("payload"))).cast("binary").isNotNull).as("decodable"),
           substring(base64(col("payload")), 1, 8).as("magic64"))
+    }),
+
+    // ---- multimodal frame sampling: a video payload rides as one opaque
+    // binary column; sampling takes every k-th fixed-size frame chunk as
+    // its own row (media_id, frame_idx, frame). The chunking arithmetic
+    // and the row explosion are the real Spark-side plumbing (scan-stage
+    // expressions + generator, no shuffle); an actual codec would replace
+    // the byte-slicing with keyframe extraction behind the same schema ----
+    "mm_frame_sample" -> ((s, dir) => {
+      val frameBytes = 256
+      val everyK = 4
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8")) // stand-in video bytes
+        .select(col("doc_id").as("media_id"), col("payload"),
+          explode(expr(
+            s"sequence(0, cast(floor((greatest(length(payload), 1) - 1) / $frameBytes) AS int))"))
+            .as("frame_idx"))
+        .filter(col("frame_idx") % everyK === 0)
+        .select(col("media_id"), col("frame_idx"),
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+        .withColumn("frame_bytes", length(col("frame")))
     }))
 
   private val jaccardOracle =
@@ -872,5 +893,17 @@ object PipelineQueries {
         |(octet_length(text::blob) * 7 + ascii(text)) % 1920 AS fake_width,
         |true AS decodable,
         |substr(to_base64(text::blob), 1, 8) AS magic64
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // DuckDB 1.0 has no BLOB substring; the fixture text is pure ASCII
+    // (octet_length(text::blob) == length(text) for every row), so char
+    // slicing over the VARCHAR is byte-exact and casts to the same blob
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS payload FROM documents),
+        |f AS (SELECT media_id, payload,
+        |        unnest(range(0, ((greatest(length(payload), 1) - 1) // 256)::int + 1)) AS frame_idx
+        |      FROM m)
+        |SELECT media_id, frame_idx,
+        |  substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob AS frame,
+        |  octet_length(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_bytes
+        |FROM f WHERE frame_idx % 4 = 0""".stripMargin)
 }
