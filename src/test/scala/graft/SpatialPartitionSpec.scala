@@ -63,6 +63,26 @@ class SpatialPartitionSpec extends GraftSuite {
     }
   }
 
+  test("descent equals the flat leaf scan on random points (5 seeds × 100 probes)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val pts = Seq.fill(300)((r.nextLong(), r.nextDouble() * 40 - 20, r.nextDouble() * 40 - 20))
+      val tree = SpatialPartition.kdbTree(
+        pts.toDF("id", "x", "y"), "x", "y", sampleN = 300, leafCap = 25)
+      // probes beyond the sampled extent too: border leaves stretch to ±∞
+      val probes = Seq.fill(100)((r.nextLong(), r.nextDouble() * 60 - 30, r.nextDouble() * 60 - 30))
+      val assigned = probes.toDF("id", "x", "y")
+        .withColumn("pid", SpatialPartition.pointPartition(tree, col("x"), col("y")))
+        .collect()
+      assigned.foreach { row =>
+        val owners = tree.leaves.filter(_.containsPoint(row.getDouble(1), row.getDouble(2)))
+        assert(owners.length == 1)
+        assert(row.getInt(3) == owners.head.id)
+      }
+    }
+  }
+
   test("partitioned join result equals brute force; no pair lost or duplicated") {
     val tree = SpatialPartition.kdbTree(pointsDf, "x", "y", sampleN = 400, leafCap = 40)
     val got = SpatialPartition
