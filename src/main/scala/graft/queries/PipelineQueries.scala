@@ -143,21 +143,44 @@ object PipelineQueries {
     // ---- PPJoin-style prefix filtering: same result set as
     // dedup_jaccard via a different blocking theorem — two sets with
     // jaccard ≥ t MUST share an element among their first
-    // n − ⌈t·n⌉ + 1 tokens under any fixed global token order (we use
-    // the sorted hash order). Blocking key = (lang, prefix hash):
-    // at corpus scale this beats length-banding when the vocabulary is
-    // sparse (prefix tokens are rare → small buckets), while banding
-    // wins on saturated vocabularies. Conservative prefix length
+    // n − ⌈t·n⌉ + 1 tokens under ANY fixed global token order.
+    // The order is ASCENDING DOCUMENT FREQUENCY (the canonical PPJoin
+    // choice, Xiao et al. WWW'08): prefixes are then each document's
+    // RAREST tokens, so a prefix bucket holds at most df(token) docs and
+    // the frequent tokens that would form quadratic buckets never appear
+    // in any prefix. Costs one df aggregation + one per-doc top-plen
+    // pass over the exploded tokens (both linear, content-addressed);
+    // buys bucket sizes that stay bounded as the corpus grows — the sf1
+    // soak measures the difference. Conservative prefix length
     // (floor + 1 ≥ the ⌈⌉-form) never drops a qualifying pair. ----
     "dedup_jaccard_ppjoin" -> ((s, dir) => {
-      val pref = t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
         .withColumn("hsh", expr(shingleHashExpr))
         .withColumn("n_sh", size(col("hsh")))
-        .withColumn("plen",
+      // exploded tokens stay SLIM (no shingle array): the df join and the
+      // per-doc rank shuffle move |tokens| scalar rows, not |tokens| copies
+      // of each document's full shingle array — the arrays are re-attached
+      // by one linear doc_id join only after the prefix (a few tokens per
+      // doc) has been selected
+      val toks = base.select(col("doc_id"), col("lang"),
+        col("n_sh"), explode(col("hsh")).as("tok"))
+      // global token order: (df, tok) — deterministic, computed per-lang
+      // corpus-wide; the join is a plain shuffled equi-join on tok (the
+      // vocabulary can be arbitrarily large, so no broadcast)
+      val dfreq = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val prefIds = toks.join(dfreq, Seq("lang", "tok"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("tok"))))
+        .filter(col("rk") <=
           greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
-        .select(col("doc_id"), col("lang"), col("hsh"), col("n_sh"),
-          explode(expr("slice(hsh, 1, plen)")).as("ptok"))
+        .select(col("doc_id"), col("tok").as("ptok"))
+      val pref = prefIds.join(
+        base.select(col("doc_id"), col("lang"), col("hsh"), col("n_sh")),
+        Seq("doc_id"))
       pref.hint("shuffle_hash").as("x").join(pref.hint("shuffle_hash").as("y"),
           col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
           col("x.doc_id") < col("y.doc_id") &&
