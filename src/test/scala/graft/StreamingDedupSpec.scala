@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.streaming.DedupStream
+
+/** Streaming MinHash/LSH near-dup detection over MemoryStream batches. */
+class StreamingDedupSpec extends GraftSuite {
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+    "from the window and the birds sing in the morning light of spring"
+  private val nearText = baseText.replace("morning", "evening")
+  private val otherText =
+    "completely different content about databases query planning and " +
+    "distributed execution engines running on large clusters of machines"
+
+  test("identical docs across batches pair exactly once despite colliding in every band") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = DedupStream.nearDedupStream(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("nd1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Doc(1, ts(0), baseText), Doc(9, ts(0), otherText))
+      q.processAllAvailable()
+      input.addData(Doc(2, ts(5), baseText))
+      q.processAllAvailable()
+      val rows = spark.table("nd1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // identical text ⇒ jaccard 1.0 and ALL four bands collide — the
+      // lowest-colliding-band rule must still emit the pair exactly once
+      assert(rows.toSeq == Seq((1L, 2L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("near-duplicate in the same batch is verified and paired; unrelated doc is not") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = DedupStream.nearDedupStream(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("nd2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Doc(1, ts(0), baseText), Doc(2, ts(1), nearText),
+        Doc(9, ts(1), otherText))
+      q.processAllAvailable()
+      val rows = spark.table("nd2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 1)
+      val (a, b, jac) = rows.head
+      assert(a == 1L && b == 2L && jac >= 0.8 && jac < 1.0)
+    } finally q.stop()
+  }
+
+  test("watermark evicts bucket state: a duplicate past the horizon is not paired") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = DedupStream.nearDedupStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("nd3")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Doc(1, ts(0), baseText))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1 (10:50 − 10 min ≫ 10:00)
+      input.addData(Doc(9, ts(50), otherText))
+      q.processAllAvailable()
+      input.addData(Doc(2, ts(55), baseText))
+      q.processAllAvailable()
+      assert(spark.table("nd3").collect().isEmpty)
+    } finally q.stop()
+  }
+}
