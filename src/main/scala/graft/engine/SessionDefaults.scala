@@ -22,4 +22,13 @@ object SessionDefaults {
     .config("spark.ui.enabled", "false")
     .config("spark.buffer.pageSize",
       sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m"))
+    // Shuffled-hash join only when the RUNTIME map output says the
+    // partition fits: a statically forced SHJ builds an unspillable hash
+    // relation over its whole shuffle partition, which grows with the
+    // data — the dedup self-joins died with "Can't acquire memory to
+    // build hash relation" on the 100× documents soak. With the static
+    // hints on merge and this threshold, AQE converts SMJ→SHJ per stage
+    // only when every partition ≤ 64 MB, keeping the small-scale hash
+    // build win without the large-scale OOM.
+    .config("spark.sql.adaptive.shuffleHashJoinLocalMapThreshold", "64m")
 }

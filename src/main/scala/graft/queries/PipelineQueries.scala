@@ -97,14 +97,19 @@ object PipelineQueries {
       // with bands (x, y), |x−y| ≤ 1 always shares a probe (x=y shares two,
       // deduped after), and |x−y| ≥ 2 never does — identical match set to
       // the previous one-side-{b−1,b,b+1} emission, but now the two join
-      // inputs are byte-identical plans, so the shuffle_hash hint makes Spark
-      // reuse ONE shuffle exchange for both sides and the shingle scan
-      // stage runs once instead of twice (the d15ed1e LSH pattern; the
-      // scan stage dominates at corpus scale). shuffle_hash (not merge):
-      // the build side of each task is ONE band bucket, bounded by the
-      // banding construction, so the hash table always fits, and skipping
-      // the two per-partition sorts measures ~15% faster at sf0.1
-      // (1.77 -> 1.52 s) — same exchange-reuse property as merge.
+      // inputs are byte-identical plans, so the shuffle-join hint makes
+      // Spark reuse ONE shuffle exchange for both sides and the shingle
+      // scan stage runs once instead of twice (the d15ed1e LSH pattern;
+      // the scan stage dominates at corpus scale). merge, NOT a forced
+      // shuffle_hash: an SHJ task must build a hash table over its whole
+      // shuffle PARTITION (every bucket that hashes into it — linear in
+      // corpus size, NOT bounded by the banding), and Spark's hash
+      // relation cannot spill, so a forced SHJ that wins ~15% at sf0.1
+      // dies with "Can't acquire memory to build hash relation" at 100×
+      // (measured on the 500k-doc soak). Sort-merge spills; AQE's
+      // shuffleHashJoinLocalMapThreshold (SessionDefaults) still converts
+      // to the faster hash build per-stage whenever the RUNTIME partition
+      // sizes are small, so the small-scale win is kept adaptively.
       val banded = t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
         .withColumn("hsh", expr(shingleHashExpr))
@@ -116,7 +121,7 @@ object PipelineQueries {
       // single intersect evaluation): rejected pairs are dropped as
       // transient JoinedRows — the ~10⁶ candidate rows (each carrying two
       // long arrays) are never copied to join output.
-      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.lang") === col("y.lang") && col("x.probe_band") === col("y.probe_band") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
@@ -177,14 +182,32 @@ object PipelineQueries {
             .orderBy(col("df"), col("tok"))))
         .filter(col("rk") <=
           greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
-        .select(col("doc_id"), col("tok").as("ptok"))
+        .select(col("doc_id"), col("rk"), col("tok").as("ptok"))
       val pref = prefIds.join(
         base.select(col("doc_id"), col("lang"), col("hsh"), col("n_sh")),
         Seq("doc_id"))
-      pref.hint("shuffle_hash").as("x").join(pref.hint("shuffle_hash").as("y"),
+      // Everything stays INSIDE the join condition — candidates are never
+      // materialized (a candidate-materialize + fetch-arrays variant OOMs
+      // at 100×: 7.9M candidates per 5k docs means ~786M slim rows to
+      // distinct). Filter order, cheap to expensive:
+      //  1. size-ratio prune (two int muls);
+      //  2. PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): for a
+      //     shared token at ranks (i, j) of the df order, total overlap
+      //     ≤ 1 + min(nₓ−i, n_y−j); jaccard ≥ 0.8 needs overlap ≥
+      //     4/9·(nₓ+n_y), so 9·(1+min(nₓ−rkₓ, n_y−rk_y)) < 4·(nₓ+n_y)
+      //     rejects with int math before any array work. Result-
+      //     preserving: a qualifying pair's FIRST shared prefix token has
+      //     the minimal ranks, where the bound is loosest and must hold
+      //     (every other shared token sits after it in both docs).
+      //     Measured 7.86M → 1.84M candidates at sf0.1 (4.3×) before the
+      //     intersect ever runs;
+      //  3. exact sorted-merge intersect, evaluated once.
+      pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
           col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
+          (lit(1) + least(col("x.n_sh") - col("x.rk"), col("y.n_sh") - col("y.rk"))) * 9 >=
+            (col("x.n_sh") + col("y.n_sh")) * 4 &&
           expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
@@ -210,10 +233,10 @@ object PipelineQueries {
       // so colliding-band candidates are rejected without materializing;
       // dedup of the surviving (tiny) pair set happens after. A cheap size
       // ratio prune (implied by jaccard ≥ 0.8) runs before the intersect.
-      // The shuffle_hash hint forces identical shuffle exchanges on both sides of
+      // The merge hint forces identical shuffle exchanges on both sides of
       // the self-join: ReuseExchange then computes the shingle+minhash
       // stage ONCE (a broadcast build side would recompute it).
-      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -237,9 +260,9 @@ object PipelineQueries {
       val banded = fp.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))
           .as(Seq("band_idx", "band_val")))
-      // shuffle_hash hints on both (identical) sides → one reused shuffle exchange;
+      // merge hints on both (identical) sides → one reused shuffle exchange;
       // without them the broadcast self-join recomputes the signature scan
-      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -284,7 +307,7 @@ object PipelineQueries {
       val banded = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           posexplode(expr(bucketArr)).as(Seq("tbl", "bucket")))
-      banded.hint("shuffle_hash").as("x").join(banded.hint("shuffle_hash").as("y"),
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.label") === col("y.label") &&
           col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
@@ -623,7 +646,7 @@ object PipelineQueries {
       // over doc_id — one shuffle, no norms join), so the pair join's
       // dot product IS the cosine and the weight pipeline exists once
       // in the plan: the two self-join sides are byte-identical and the
-      // shuffle_hash hint collapses them to one reused exchange. The
+      // merge hint collapses them to one reused exchange. The
       // naive dot/norms-join formulation planned the weight pipeline
       // FOUR times (12 scans of documents at sf0.01).
       val docs = t(s, dir, "documents")
@@ -639,8 +662,8 @@ object PipelineQueries {
         .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
         .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
         .select(col("doc_id"), col("token"), col("wn"))
-      wn.hint("shuffle_hash").as("a")
-        .join(wn.hint("shuffle_hash").as("b"),
+      wn.hint("merge").as("a")
+        .join(wn.hint("merge").as("b"),
           col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(sum(col("a.wn") * col("b.wn")).as("cos"))
