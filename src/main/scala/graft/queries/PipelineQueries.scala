@@ -262,16 +262,21 @@ object PipelineQueries {
           .as(Seq("band_idx", "band_val")))
       // merge hints on both (identical) sides → one reused shuffle exchange;
       // without them the broadcast self-join recomputes the signature scan
+      // The hamming test runs INSIDE the join condition: band collisions
+      // that fail it die as transient JoinedRows, and only verified pairs
+      // reach the dropDuplicates. (Filtering after the distinct — the
+      // previous shape — materializes EVERY band collision into the
+      // distinct's shuffle; a 16-bit band has only 65k values, so at
+      // corpus scale that candidate set saturates and the distinct, not
+      // the verify, becomes the operator's footprint.)
       banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= 8)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
         .dropDuplicates("doc_a", "doc_b")
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-        .filter(col("hamming") <= 8)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
