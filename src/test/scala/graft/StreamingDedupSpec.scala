@@ -62,6 +62,45 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("bucket state is bounded by the horizon, not by documents ever seen") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = DedupStream.nearDedupStream(input.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("nd4")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 12 batches of unique docs, event time advancing 10 min per batch —
+      // far past the 5-min horizon, so earlier batches' buckets must be
+      // evicted as the watermark passes them
+      def tsAt(minutesTotal: Int): Timestamp =
+        Timestamp.valueOf(f"2024-01-01 ${10 + minutesTotal / 60}%02d:${minutesTotal % 60}%02d:00")
+      var stateRows = List.empty[Long]
+      for (b <- 0 until 12) {
+        input.addData((0 until 40).map(i =>
+          Doc(b * 100L + i, tsAt(b * 10),
+            s"unique document number ${b * 100 + i} " + otherText + s" tail $i")): _*)
+        q.processAllAvailable()
+        stateRows ::= q.lastProgress.stateOperators
+          .map(_.numRowsTotal).sum
+      }
+      val counts = stateRows.reverse
+      // state grows for the first horizon's worth of batches, then the
+      // watermark holds it flat — the last batches must not exceed the
+      // high-water mark set once eviction kicks in
+      assert(counts.last <= counts.max,
+        s"state rows never evicted: $counts")
+      assert(counts.last < counts.sum,
+        s"state accumulated monotonically: $counts")
+      // 40 docs/batch × 4 bands = 160 banded rows per batch; a bounded
+      // state holds ~one horizon (≤ 2 batches in flight) + current batch,
+      // with margin for watermark lag — NOT all 12 batches (1920 rows)
+      assert(counts.last <= 800,
+        s"state rows ${counts.last} suggests no horizon eviction: $counts")
+    } finally q.stop()
+  }
+
   test("watermark evicts bucket state: a duplicate past the horizon is not paired") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
