@@ -14,11 +14,13 @@ object Bench {
   // wide agg, join+topk, star join, pushdown scan, having+join, profit
   // rollup (q9), EXISTS/NOT EXISTS decorrelation (q21), window topN,
   // sessionization, LSH dedup, ANN, explode+agg, distinct agg,
-  // token-blocked TF-IDF pair join (round 4).
+  // token-blocked TF-IDF pair join (round 4), df-ordered PPJoin exact
+  // dedup (round 5 — the scale path for exact near-dup).
   private val headline = Seq(
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
     "tpch_q21", "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
-    "dedup_minhash_lsh", "dedup_jaccard", "sim_topk_brute",
+    "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_ppjoin",
+    "sim_topk_brute",
     "text_token_stats", "mr_funnel", "sketch_hll_merge", "sim_tfidf_pairs")
 
   def main(args: Array[String]): Unit = {
