@@ -138,7 +138,13 @@ object PipelineQueries {
     // retain). Large-star/small-star, O(log n) rounds — see
     // [[graft.operators.ConnectedComponents]]. ----
     "dedup_components" -> ((s, dir) => {
-      val pairs = queries("dedup_jaccard")(s, dir).select(col("doc_a"), col("doc_b"))
+      // pairs come from the PPJoin variant: identical pair set to
+      // dedup_jaccard (both oracle-verified against the same SQL), but
+      // its content-addressed prefix blocking scales linearly where the
+      // size-band blocking goes quadratic (BENCH_SOAK_DEDUP_r05.json) —
+      // so the composed pipeline (components, pipeline_e2e) rides the
+      // 100 TB path
+      val pairs = queries("dedup_jaccard_ppjoin")(s, dir).select(col("doc_a"), col("doc_b"))
       val verts = t(s, dir, "documents").select(col("doc_id"))
       graft.operators.ConnectedComponents.resolve(pairs, verts)
         .select(col("id").as("doc_id"), col("component").as("component_id"),
