@@ -101,6 +101,34 @@ class StreamingDedupSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming pairs equal the batch dedup_minhash_lsh pair set on the fixture corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val batchPairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(0), r.getString(1)))
+    val input = MemoryStream[Doc]
+    // same signatures, same verification threshold; band hash functions
+    // differ (hash vs xxhash64) but bucketing by hash equality is
+    // collision-verified either way, so the VERIFIED pair sets must agree
+    val q = DedupStream.nearDedupStream(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("nd5")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.table("nd5").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream-only: ${streamPairs -- batchPairs}; batch-only: ${batchPairs -- streamPairs}")
+    } finally q.stop()
+  }
+
   test("watermark evicts bucket state: a duplicate past the horizon is not paired") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
