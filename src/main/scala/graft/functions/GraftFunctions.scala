@@ -317,6 +317,7 @@ object GraftFunctions {
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)
     SortedIntersectCountExpr.install(spark)
+    SortedDotExpr.install(spark)
     ShingleHashesExpr.install(spark)
     SimHash64Expr.install(spark)
     MinHashExpr.install(spark)

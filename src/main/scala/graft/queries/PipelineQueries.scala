@@ -67,6 +67,72 @@ object PipelineQueries {
         (col("n_hit") >= col("n_brute") * floor).as("recall_ok"))
   }
 
+  /** TF-IDF cosine near-dup pairs (threshold 0.6) in the exact ALL-PAIRS
+    * shape (Bayardo et al. WWW'07). The naive groupBy-dot formulation
+    * (join on token, sum per pair) must shuffle one row per shared token
+    * per candidate pair; at the 100× corpus that shuffle overflowed the
+    * disk. Here, each doc's tokens are ordered by ascending (df, thash)
+    * — a global order, rare tokens first — with s_i = ‖suffix from i‖.
+    * For a pair with cos ≥ t, its FIRST shared token (ranks i, j) has
+    * every shared token inside both suffixes, so by Cauchy–Schwarz
+    * t ≤ cos ≤ s_i·s_j ≤ min(s_i, s_j): both rows lie in the prefix
+    * {s ≥ t} and the in-join product filter keeps them — frequent
+    * tokens sort last, so their quadratic buckets fall outside every
+    * prefix. Verification is the whole dot, evaluated INSIDE the join
+    * condition by a codegen'd sorted-merge over the two docs' full
+    * capped vectors ([[graft.functions.SortedDotExpr]]) — candidates
+    * never materialize. ONE window stage computes both the suffix norms
+    * and the doc's sorted vector (collect_list over the same doc_id
+    * partitioning), so prefix rows leave the stage already carrying the
+    * arrays and the weight pipeline exists once in the plan; the
+    * merge-hinted self-join sides are byte-identical → one reused
+    * exchange.
+    *
+    * `relativeCap` selects the document-frequency prune: true = df ≤
+    * 10% of corpus (reference semantics); false = df ≤ 500 absolute
+    * (the production parameterization — see the map entries' notes).
+    */
+  private def tfidfPairs(relativeCap: Boolean): Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val cap = if (relativeCap) col("n_docs") * 0.1 else lit(500.0)
+    val wn = tf.join(dfx, "token")
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") <= cap)
+      .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
+      .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+      .select(col("doc_id"), xxhash64(col("token")).as("thash"),
+        col("wn"), col("df"))
+    val W = org.apache.spark.sql.expressions.Window
+    val suffixNorm = sqrt(sum(col("wn") * col("wn")).over(
+      W.partitionBy(col("doc_id")).orderBy(col("df"), col("thash"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)))
+    val fullVec = sort_array(collect_list(struct(col("thash"), col("wn"))).over(
+      W.partitionBy(col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val pref = wn
+      .withColumn("s", suffixNorm)
+      .withColumn("v", fullVec)
+      .filter(col("s") >= 0.6)
+      .select(col("doc_id"), col("thash").as("ptok"), col("s"),
+        expr("transform(v, x -> x.thash)").as("vt"),
+        expr("transform(v, x -> x.wn)").as("vw"))
+    pref.hint("merge").as("a")
+      .join(pref.hint("merge").as("b"),
+        col("a.ptok") === col("b.ptok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.s") * col("b.s") >= 0.6 &&
+        expr("sorted_dot(a.vt, a.vw, b.vt, b.vw)") >= 0.6)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(expr("sorted_dot(a.vt, a.vw, b.vt, b.vw)"), 6).as("cos_sim"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on normalized content ----
     "dedup_exact" -> ((s, dir) => {
@@ -643,44 +709,23 @@ object PipelineQueries {
           max(length(col("token"))).as("max_token_len"))
     }),
 
-    // ---- TF-IDF cosine near-dup pairs: the weighted-token variant of
-    // the similarity family. Scale shape: the pair join is blocked on
-    // the shared TOKEN with a RELATIVE document-frequency cap
-    // (df <= 10% of the corpus) — the standard stopword prune that
-    // bounds per-token fanout at df^2 pairs; relative so the prune
-    // keeps the same semantics at every corpus size (a fixed cap
-    // silently empties the result at 10x the documents). Everything
-    // after the cap is exact, so the DuckDB oracle mirrors the
-    // arithmetic term by term. ----
-    "sim_tfidf_pairs" -> ((s, dir) => {
-      // weights are UNIT-normalized before pairing (norm via a window
-      // over doc_id — one shuffle, no norms join), so the pair join's
-      // dot product IS the cosine and the weight pipeline exists once
-      // in the plan: the two self-join sides are byte-identical and the
-      // merge hint collapses them to one reused exchange. The
-      // naive dot/norms-join formulation planned the weight pipeline
-      // FOUR times (12 scans of documents at sf0.01).
-      val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val wn = tf.join(dfx, "token")
-        .crossJoin(broadcast(nDocs))
-        .where(col("df") <= col("n_docs") * 0.1)
-        .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
-        .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
-        .select(col("doc_id"), col("token"), col("wn"))
-      wn.hint("merge").as("a")
-        .join(wn.hint("merge").as("b"),
-          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.wn") * col("b.wn")).as("cos"))
-        .where(col("cos") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
-    }),
+    // ---- TF-IDF cosine near-dup pairs (see [[tfidfPairs]] for the
+    // all-pairs prefix shape; everything after the df cap is exact, so
+    // the DuckDB oracle mirrors the arithmetic term by term). ----
+    // Reference/oracle semantics: RELATIVE df cap (≤10% of corpus), the
+    // standard stopword prune. The 100× soak showed the relative cap is
+    // scale-UNSTABLE semantically: the cap grows with N, re-admitting
+    // words that are frequent within any subset of bounded size (at 100×
+    // every per-copy-frequent word passes 0.1·N), so the operator's own
+    // answer — not its implementation — goes quadratic. The abscap
+    // variant below is the production 100 TB parameterization.
+    "sim_tfidf_pairs" -> tfidfPairs(relativeCap = true),
+    // ABSOLUTE df cap (df ≤ 500, the value 0.1·N takes at the calibration
+    // corpus size): blocking and answer stay linear at every corpus size
+    // because a token's admission no longer depends on N. Distinct
+    // result from the relative variant at any sf where 0.1·N ≠ 500, so
+    // it gets its own oracle row.
+    "sim_tfidf_pairs_abscap" -> tfidfPairs(relativeCap = false),
 
     // ---- document fingerprinting: content hash + rolling polynomial ----
     "text_fingerprint" -> ((s, dir) => {
@@ -769,6 +814,27 @@ object PipelineQueries {
         |      FROM tf JOIN (SELECT token, count(DISTINCT doc_id) AS df
         |                    FROM tf GROUP BY 1) dfx USING (token)
         |      WHERE dfx.df <= (SELECT n_docs FROM n) * 0.1),
+        |wn AS (SELECT doc_id, token,
+        |         w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
+        |       FROM w),
+        |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wn * b.wn) AS cos
+        |        FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(cos, 6) AS cos_sim
+        |FROM dot WHERE cos >= 0.6""".stripMargin,
+    // same arithmetic, ABSOLUTE df cap (the 100 TB parameterization)
+    "sim_tfidf_pairs_abscap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |        tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfx.df) AS w
+        |      FROM tf JOIN (SELECT token, count(DISTINCT doc_id) AS df
+        |                    FROM tf GROUP BY 1) dfx USING (token)
+        |      WHERE dfx.df <= 500),
         |wn AS (SELECT doc_id, token,
         |         w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
         |       FROM w),

@@ -153,3 +153,50 @@ object PpjoinCandidateProbe {
     spark.stop()
   }
 }
+
+/** Dev probe: TF-IDF all-pairs prefix blocking stats (no arrays). */
+object TfidfPrefixProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfdocs100")
+    val spark = graft.engine.SessionDefaults(
+      org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.engine.GraftExtensions)
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wn = tf.join(dfx, "token")
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") <= col("n_docs") * 0.1)
+      .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
+      .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+      .select(col("doc_id"), xxhash64(col("token")).as("thash"), col("wn"), col("df"))
+    val W = org.apache.spark.sql.expressions.Window
+    val pref = wn
+      .withColumn("s", sqrt(sum(col("wn") * col("wn")).over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("thash"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing))))
+      .filter(col("s") >= 0.6)
+      .select(col("doc_id"), col("thash").as("ptok"), col("s"))
+    pref.persist()
+    val nPref = pref.count()
+    val buckets = pref.groupBy(col("ptok")).agg(count(lit(1)).as("n"))
+    val topBuckets = buckets.orderBy(col("n").desc).limit(5).collect()
+      .map(r => r.getLong(1)).mkString(",")
+    val cand = pref.as("x").join(pref.as("y"),
+      col("x.ptok") === col("y.ptok") && col("x.doc_id") < col("y.doc_id") &&
+      col("x.s") * col("y.s") >= 0.6).count()
+    println(s"[tfprobe] dir=$dir prefix_rows=$nPref top_buckets=$topBuckets candidates=$cand")
+    pref.unpersist()
+    spark.stop()
+  }
+}
