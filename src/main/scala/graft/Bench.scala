@@ -21,7 +21,8 @@ object Bench {
     "tpch_q21", "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
     "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_ppjoin",
     "sim_topk_brute",
-    "text_token_stats", "mr_funnel", "sketch_hll_merge", "sim_tfidf_pairs")
+    "text_token_stats", "mr_funnel", "sketch_hll_merge", "sim_tfidf_pairs",
+    "sim_tfidf_pairs_abscap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

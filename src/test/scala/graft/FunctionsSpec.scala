@@ -162,4 +162,26 @@ class FunctionsSpec extends GraftSuite {
     val r = one("SELECT hamming_distance('karolin', 'kathrin') d")
     assert(r.getLong(0) == 3L)
   }
+
+  test("sorted_dot: sorted-merge sparse dot matches map-based reference (100 random cases)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 100) {
+      def vec(): Map[Long, Double] =
+        List.fill(rnd.nextInt(12))(
+          rnd.nextInt(20).toLong -> (rnd.nextDouble() * 4 - 2)).toMap
+      val (a, b) = (vec(), vec())
+      val expected = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+      def lits(v: Map[Long, Double]): (String, String) = {
+        val sorted = v.toSeq.sortBy(_._1)
+        if (sorted.isEmpty)
+          ("cast(array() as array<bigint>)", "cast(array() as array<double>)")
+        else
+          (sorted.map(_._1 + "L").mkString("array(", ",", ")"),
+            sorted.map(x => s"cast(${x._2} as double)").mkString("array(", ",", ")"))
+      }
+      val (ka, wa) = lits(a); val (kb, wb) = lits(b)
+      val got = one(s"SELECT sorted_dot($ka, $wa, $kb, $wb) d").getDouble(0)
+      assert(math.abs(got - expected) < 1e-9, s"a=$a b=$b got=$got want=$expected")
+    }
+  }
 }
