@@ -727,6 +727,30 @@ object PipelineQueries {
     // it gets its own oracle row.
     "sim_tfidf_pairs_abscap" -> tfidfPairs(relativeCap = false),
 
+    // ---- decontamination: flag training docs that contain any word
+    // 5-gram from an evaluation/benchmark set (here: source 'src0'
+    // plays the eval suite) — the train/test-overlap scrub every LLM
+    // data pipeline runs before training. Scale shape: the benchmark
+    // n-gram set is SMALL by construction (eval suites are megabytes,
+    // the corpus is the 100 TB side), so it broadcasts; the corpus side
+    // stays scan-shaped (explode → broadcast semi-ish join) and the only
+    // shuffle carries HIT rows, which are rare. Grams are matched as
+    // exact strings, so the DuckDB oracle mirrors the op verbatim. ----
+    "text_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("words", split(normText(col("text")), " "))
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(words) - 4), i -> concat_ws(' ', slice(words, i, 5)))"))
+          .as("gram"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("gram")).distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_hits"))
+    }),
+
     // ---- document fingerprinting: content hash + rolling polynomial ----
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1004,6 +1028,18 @@ object PipelineQueries {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents) t
         |GROUP BY source""".stripMargin,
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS gram
+        |  FROM d WHERE len(words) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.source <> 'src0'
+        |GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(norm) AS content_md5,
         |list_reduce(list_prepend(0::bigint,
