@@ -22,6 +22,15 @@ import graft.engine.Tables
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Redaction patterns shared by `text_redact_pii` and its spec (the
+    * fixture corpus contains no PII, so the spec drives them with
+    * synthetic strings). */
+  object PiiPatterns {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[- .]\\d{3,4}[- .]\\d{4}\\b"
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // pipeline ops use the pack
     Tables.load(s, dir, name)
@@ -751,6 +760,22 @@ object PipelineQueries {
         .agg(countDistinct(col("gram")).as("n_hits"))
     }),
 
+    // ---- PII redaction: scan-stage regex rewrite (emails, phone-like
+    // digit runs, IPv4) to fixed placeholder tokens, with per-doc hit
+    // counts — the scrub step a pipeline runs before releasing text.
+    // Pure per-row expressions: embarrassingly parallel at any scale,
+    // no shuffle at all (the plan is scan → project). ----
+    "text_redact_pii" -> ((s, dir) => {
+      import PiiPatterns.{email, ipv4, phone}
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>").as("redacted"),
+          (size(split(col("text"), email, -1)) - 1).as("n_emails"),
+          (size(split(col("text"), ipv4, -1)) - 1).as("n_ips"),
+          (size(split(col("text"), phone, -1)) - 1).as("n_phones"))
+    }),
+
     // ---- document fingerprinting: content hash + rolling polynomial ----
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1028,6 +1053,16 @@ object PipelineQueries {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents) t
         |GROUP BY source""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{3}[- .]\d{3,4}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::int AS n_emails,
+        |len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::int AS n_ips,
+        |len(regexp_extract_all(text, '\b\d{3}[- .]\d{3,4}[- .]\d{4}\b'))::int AS n_phones
+        |FROM documents""".stripMargin,
     "text_decontaminate" ->
       """WITH d AS (SELECT doc_id, source,
         |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words

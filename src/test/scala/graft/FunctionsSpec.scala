@@ -163,6 +163,25 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getLong(0) == 3L)
   }
 
+  test("PII patterns redact synthetic email/ip/phone and leave clean text alone") {
+    import graft.queries.PipelineQueries.PiiPatterns._
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import spark.implicits._
+    // the spec drives the SAME patterns the query uses, via the same
+    // Column API (the fixture has no PII, so the oracle row only pins
+    // the no-op path)
+    val dirty = "mail bob.smith+x@corp.example.org from 10.0.255.3 or call 415-555-0199 now"
+    val clean = "no personal data here, just 3 numbers: 1 2 42"
+    val out = Seq(dirty, clean).toDF("text")
+      .select(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>").as("red"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> from <IP> or call <PHONE> now", out(0))
+    assert(out(0) == dirty.replaceAll(email, "<EMAIL>")
+      .replaceAll(ipv4, "<IP>").replaceAll(phone, "<PHONE>"))
+    assert(out(1) == clean, out(1))
+  }
+
   test("sorted_dot: sorted-merge sparse dot matches map-based reference (100 random cases)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 100) {
