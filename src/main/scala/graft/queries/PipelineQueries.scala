@@ -760,6 +760,60 @@ object PipelineQueries {
         .agg(countDistinct(col("gram")).as("n_hits"))
     }),
 
+    // ---- dataset mixture sampling: reweight sources toward a target
+    // mix by DETERMINISTIC per-document sampling — keep doc iff
+    // u(doc_id) < rate(source), u = Knuth multiplicative hash mapped to
+    // [0,1). Content-addressed, so the sample is reproducible across
+    // runs/engines (no RNG), composable with dedup (same doc always
+    // lands the same way), and embarrassingly parallel at the scan
+    // stage. Here even-numbered sources downsample to 30%. ----
+    "pipeline_mixture_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("u",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L)).cast("double")
+            / lit(4294967296.0))
+        .withColumn("rate",
+          when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0, 0.3)
+            .otherwise(1.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          first(col("rate")).as("rate"))
+    }),
+
+    // ---- repetition filter: the other half of the Gopher/MassiveText
+    // quality rules — a document dominated by one repeated word or
+    // bigram is boilerplate, not prose. Share-of-most-common word and
+    // bigram per doc (count-based adaptation of Gopher's
+    // chars-in-most-common-2-gram rule; thresholds 0.2 / 0.18). Scale
+    // shape: two groupBys keyed by (doc_id, gram) — cardinality ≤ token
+    // count, map-side partial aggregation, no pair joins. ----
+    "text_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("words", split(normText(col("text")), " "))
+      val wtop = docs
+        .select(col("doc_id"), size(col("words")).as("n_words"),
+          explode(col("words")).as("w"))
+        .groupBy(col("doc_id"), col("n_words"), col("w")).count()
+        .groupBy(col("doc_id"), col("n_words")).agg(max(col("count")).as("top_w"))
+      val btop = docs
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2)))"))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).count()
+        .groupBy(col("doc_id"))
+        .agg(max(col("count")).as("top_b"), sum(col("count")).as("n_bg"))
+      wtop.join(btop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(col("top_w").cast("double") / col("n_words"), 6).as("top_word_share"),
+          round(coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)), 6)
+            .as("top_bigram_share"),
+          (col("top_w").cast("double") / col("n_words") <= 0.2 &&
+            coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)) <= 0.18)
+            .as("passes"))
+    }),
+
     // ---- PII redaction: scan-stage regex rewrite (emails, phone-like
     // digit runs, IPv4) to fixed placeholder tokens, with per-doc hit
     // counts — the scrub step a pipeline runs before releasing text.
@@ -1053,6 +1107,39 @@ object PipelineQueries {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents) t
         |GROUP BY source""".stripMargin,
+    "pipeline_mixture_sample" ->
+      """SELECT source, count(*) AS n_total,
+        |sum(CASE WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0
+        |         < CASE WHEN regexp_extract(source, '\d+')::int % 2 = 0
+        |                THEN 0.3 ELSE 1.0 END
+        |    THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |any_value(CASE WHEN regexp_extract(source, '\d+')::int % 2 = 0
+        |          THEN 0.3 ELSE 1.0 END) AS rate
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |wtop AS (
+        |  SELECT doc_id, n_words, max(c) AS top_w FROM (
+        |    SELECT doc_id, len(words) AS n_words, w, count(*) AS c
+        |    FROM (SELECT doc_id, words, unnest(words) AS w FROM d)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |btop AS (
+        |  SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg FROM (
+        |    SELECT doc_id, bg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |          i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS bg
+        |          FROM d WHERE len(words) >= 2)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT w.doc_id,
+        |  round(w.top_w * 1.0 / w.n_words, 6) AS top_word_share,
+        |  round(coalesce(b.top_b * 1.0 / b.n_bg, 0), 6) AS top_bigram_share,
+        |  (w.top_w * 1.0 / w.n_words <= 0.2 AND
+        |   coalesce(b.top_b * 1.0 / b.n_bg, 0) <= 0.18) AS passes
+        |FROM wtop w LEFT JOIN btop b USING (doc_id)""".stripMargin,
     "text_redact_pii" ->
       """SELECT doc_id,
         |regexp_replace(regexp_replace(regexp_replace(text,
