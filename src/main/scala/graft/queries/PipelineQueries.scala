@@ -760,6 +760,37 @@ object PipelineQueries {
         .agg(countDistinct(col("gram")).as("n_hits"))
     }),
 
+    // ---- the FULL ingest pipeline in one plan: near-dup cluster
+    // representative ∧ Gopher quality ∧ repetition filter ∧ NOT
+    // contaminated by the eval set ∧ mixture-sampled → per-lang corpus
+    // stats. Every stage is an oracle-verified operator above; the
+    // composition proves they chain in a single Catalyst plan (shared
+    // scan subtrees, semi/anti joins on doc_id, one final aggregate) —
+    // the job a training-data ingest actually runs. ----
+    "pipeline_e2e_full" -> ((s, dir) => {
+      val keep = queries("dedup_components")(s, dir)
+        .filter(col("keep")).select(col("doc_id"))
+      val quality = queries("text_gopher_quality")(s, dir)
+        .filter(col("passes")).select(col("doc_id"), col("n_words"))
+      val rep = queries("text_repetition")(s, dir)
+        .filter(col("passes")).select(col("doc_id"))
+      val contaminated = queries("text_decontaminate")(s, dir).select(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("u",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L)).cast("double")
+            / lit(4294967296.0))
+        .withColumn("rate",
+          when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0, 0.3)
+            .otherwise(1.0))
+        .filter(col("u") < col("rate"))
+        .join(keep, "doc_id").join(quality, "doc_id").join(rep, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    }),
+
     // ---- dataset mixture sampling: reweight sources toward a target
     // mix by DETERMINISTIC per-document sampling — keep doc iff
     // u(doc_id) < rate(source), u = Knuth multiplicative hash mapped to
@@ -1107,6 +1138,82 @@ object PipelineQueries {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents) t
         |GROUP BY source""".stripMargin,
+    // the full composition restated as one DuckDB query from the same
+    // proven CTE bodies as the component oracles
+    "pipeline_e2e_full" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, lang,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |        greatest(len(a.shingles), len(b.shingles)) * 4
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |keep AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)),
+        |dwords AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, len(words) AS n_words
+        |  FROM dwords
+        |  WHERE len(words) >= 5 AND len(words) <= 100000
+        |    AND list_sum(list_transform(words, w -> length(w)))::double / len(words) >= 2
+        |    AND list_sum(list_transform(words, w -> length(w)))::double / len(words) <= 12
+        |    AND (length(norm) - length(regexp_replace(norm, '[#…]', '', 'g')))::double / len(words) < 0.1
+        |    AND len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::double / len(words) > 0.6),
+        |wtop AS (
+        |  SELECT doc_id, n_words, max(c) AS top_w FROM (
+        |    SELECT doc_id, len(words) AS n_words, w, count(*) AS c
+        |    FROM (SELECT doc_id, words, unnest(words) AS w FROM dwords)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |btop AS (
+        |  SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg FROM (
+        |    SELECT doc_id, bg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |          i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS bg
+        |          FROM dwords WHERE len(words) >= 2)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rep AS (
+        |  SELECT w.doc_id FROM wtop w LEFT JOIN btop b USING (doc_id)
+        |  WHERE w.top_w * 1.0 / w.n_words <= 0.2
+        |    AND coalesce(b.top_b * 1.0 / b.n_bg, 0) <= 0.18),
+        |g AS (SELECT d2.doc_id, d2.source, unnest(list_transform(range(1, len(d2.words) - 3),
+        |    i -> array_to_string(list_slice(d2.words, i, i + 4), ' '))) AS gram
+        |  FROM (SELECT dw.doc_id, doc.source, dw.words
+        |        FROM dwords dw JOIN documents doc USING (doc_id)) d2
+        |  WHERE len(d2.words) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        |  WHERE g.source <> 'src0')
+        |SELECT d.lang, count(*) AS n_docs_kept,
+        |  sum(q.n_words)::bigint AS total_words,
+        |  round(avg(d.n_chars), 6) AS avg_chars
+        |FROM documents d
+        |JOIN keep USING (doc_id)
+        |JOIN quality q USING (doc_id)
+        |JOIN rep USING (doc_id)
+        |LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+        |WHERE c.doc_id IS NULL
+        |  AND (d.doc_id * 2654435761) % 4294967296 / 4294967296.0
+        |      < CASE WHEN regexp_extract(d.source, '\d+')::int % 2 = 0
+        |             THEN 0.3 ELSE 1.0 END
+        |GROUP BY d.lang""".stripMargin,
     "pipeline_mixture_sample" ->
       """SELECT source, count(*) AS n_total,
         |sum(CASE WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0
