@@ -96,7 +96,7 @@ object DedupSoakReport100 {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val entries = Seq("dedup_minhash_lsh", "dedup_jaccard_ppjoin",
-      "dedup_simhash").map { name =>
+      "dedup_simhash", "sim_tfidf_pairs_abscap", "text_decontaminate").map { name =>
       one(name, sf01) // prewarm: plan + codegen + JIT, so the measured
       one(name, sf01) // sf0.1 run is warm like the x100 run effectively is
       val (tSmall, nSmall) = one(name, sf01)
