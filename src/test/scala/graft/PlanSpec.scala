@@ -77,4 +77,30 @@ class PlanSpec extends GraftSuite {
     val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$s")
   }
+
+  test("text_redact_pii is a pure scan -> project plan (zero exchanges)") {
+    val df = q("text_redact_pii"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s"redaction must not shuffle:\n$s")
+  }
+
+  test("text_decontaminate broadcasts the benchmark gram set") {
+    val df = q("text_decontaminate"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast (corpus side stays scan-shaped):\n$s")
+  }
+
+  test("sim_tfidf_pairs_abscap computes the prefix+vector stage once (ReusedExchange)") {
+    val df = q("sim_tfidf_pairs_abscap"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange"), s)
+  }
+
+  test("pipeline_mixture_sample filters at the scan stage (one aggregate exchange)") {
+    val df = q("pipeline_mixture_sample"); df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = s.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected only the aggregate exchange (+AQE read):\n$s")
+  }
 }
