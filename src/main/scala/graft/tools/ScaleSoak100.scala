@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * Only `documents.parquet` is written: the dedup queries read nothing
   * else.
   *
-  * Usage: runMain graft.tools.ScaleSoak100 [outDir]  (default /tmp/sfdocs100)
+  * Usage: runMain graft.tools.ScaleSoak100 [outDir] [copies]
+  * (defaults /tmp/sfdocs100, 100 — the permutation family supports any
+  * copy count, so the same tool generates the 1000× corpus)
   * then:  runMain graft.tools.DedupSoakReport100 [outDir]
   */
 object ScaleSoak100 {
@@ -44,6 +46,7 @@ object ScaleSoak100 {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sfdocs100")
+    val copies = args.lift(1).map(_.toInt).getOrElse(Copies)
     val src = "/root/testdata/sf0.1"
     val spark = graft.engine.SessionDefaults(
       SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
@@ -56,7 +59,7 @@ object ScaleSoak100 {
     val upper = lower.toUpperCase
     val docs = graft.engine.Tables.load(spark, src, "documents")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    val replicated = (0 until Copies).map { i =>
+    val replicated = (0 until copies).map { i =>
       val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
       if (i == 0) shifted
       else {
