@@ -360,6 +360,45 @@ object PipelineQueries {
         .dropDuplicates("doc_a", "doc_b")
     }),
 
+    // ---- simhash at web scale: Manku et al. WWW'07 rotate-and-prefix
+    // blocking. The 4×16-bit banding above saturates (65k values per
+    // band ⇒ ~76-doc buckets at 5M docs ⇒ quadratic candidates,
+    // measured); here each of T bit-ROTATIONS of the fingerprint is
+    // bucketed by its top-B bits, so the bucket space is 2^B per table —
+    // a PARAMETER, not a property of the fingerprint layout. A pair
+    // differing in few bits agrees on the top-B window of any rotation
+    // those bits avoid, so candidates stay an equi-join on (tbl, bucket)
+    // with the hamming verify inside the join condition — the same
+    // linear shape as minhash LSH, at any corpus size. Thresholds match
+    // the paper's regime: hamming ≤ 3 (Manku's production setting for
+    // 64-bit fingerprints at 8B pages), where a window-miss needs all 16
+    // rotations hit — P(find) ≈ 1 − (1 − (44/64)³)¹⁶ ≈ 0.998. The ≤ 8
+    // threshold of `dedup_simhash` is NOT reachable by any linear
+    // blocking of a 64-bit fingerprint (measured: 0.49 recall at T=16,
+    // B=20) — that looseness belongs to the banded small-corpus plan.
+    // Recall vs the exhaustive ≤ 3 truth is pinned in `SimhashMankuSpec`. ----
+    "dedup_simhash_manku" -> ((s, dir) => {
+      val T = 16; val B = 20
+      val fp = t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("sh", expr("simhash64_native(norm)"))
+        .select(col("doc_id"), col("sh"))
+      val banded = fp.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${T - 1}), t ->
+             |  shiftrightunsigned(shiftleft(sh, t * ${64 / T}) |
+             |    shiftrightunsigned(sh, 64 - t * ${64 / T}), ${64 - B}))""".stripMargin))
+          .as(Seq("tbl", "bucket")))
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+          col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= 3)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+    }),
+
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
     // fixture's clusters peak near 0.47, so 0.35 yields a real, stable
     // match set at every SF). Scale shape: labels block the candidates,
