@@ -98,8 +98,8 @@ object SparkEntry {
           |FROM dig a JOIN dig b ON a.lang < b.lang
           |ORDER BY lang_a, lang_b""".stripMargin)
     }),
-    // multimodal decode pipeline (operators.Multimodal): binary payloads →
-    // typed metadata + feature vectors via partition-wise stub decode
+    // multimodal decode pipeline (operators.Multimodal): per-doc synthetic
+    // PNGs → REAL javax.imageio decode (format/width/height from the codec)
     "mm_decode" -> ((s, dir) => graft.operators.Multimodal.pipeline(s, dir)),
     // order-independent checksum over rows (ChecksumAggregationFunction):
     // xor of xxhash64 is associative+commutative → distributes freely and
@@ -115,13 +115,14 @@ object SparkEntry {
     "sketch_top_k" ->
       """SELECT o_orderpriority AS item, count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
-    // stub decode is deterministic arithmetic over the payload bytes —
-    // restated directly in SQL
+    // the PNG generator keys dimensions off doc_id; the oracle restates
+    // that arithmetic, so the row is green only if ImageIO's decode of the
+    // encoded PNG recovers the generator's numbers exactly
     "mm_decode" ->
-      """SELECT doc_id AS media_id, octet_length(text::blob) AS n_bytes,
-        |CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-        |(64 + ascii(text) % 128)::int AS width,
-        |(64 + ascii(substr(text, 2, 1)) % 128)::int AS height,
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |(8 + doc_id % 56)::int AS width,
+        |(8 + (doc_id * 7) % 56)::int AS height,
+        |((8 + doc_id % 56) * (8 + (doc_id * 7) % 56))::int AS npixels,
         |1.0::double AS self_cos
         |FROM documents""".stripMargin)
 

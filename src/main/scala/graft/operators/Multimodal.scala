@@ -1,15 +1,23 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata structs; decode / feature-extract
   * run per-partition over batches (the Scala analog of `mapInPandas`
-  * batch UDFs). No media codecs ship in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB — everything around it
-  * (schema, typed Dataset, partition-wise batching, feature vectors for
-  * the ANN operators) is real and tested.
+  * batch UDFs). Image decode is REAL: `javax.imageio.ImageIO` ships with
+  * the JDK, so PNG/JPEG payloads get genuine header + pixel decode —
+  * format sniffed from magic bytes, dimensions and a luminance histogram
+  * from the decoded raster. Non-image payloads decode to None and keep a
+  * byte-histogram fallback feature so the ANN operators always see the
+  * right shape and dtype.
   *
   * Scale: decode is embarrassingly parallel per partition; the only
   * shuffle in a decode→embed→ANN pipeline is the ANN candidate join
@@ -18,25 +26,85 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends Serializable {
 
+  // ImageIO's default disk-backed stream cache writes temp files per
+  // decode — pure-memory streams keep executor threads filesystem-free
+  ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, payload: Array[Byte])
   case class MediaMeta(media_id: Long, n_bytes: Int, format: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, decodable: Boolean, features: Array[Float])
 
-  /** STUB decode kernel: deterministic pseudo-header + byte-histogram
-    * features in lieu of a real codec (`???`-equivalent, see class doc).
-    * Replace with an actual image decode (e.g. javax.imageio) when the
-    * runtime ships codecs; the signature is the contract.
+  /** Deterministic synthetic PNG: a w×h RGB gradient keyed by `seed`,
+    * encoded through the real ImageIO PNG writer. Round-tripping these
+    * through `decodeImage` is the decode test — the decoded dimensions
+    * match the generator arithmetic only if the codec actually parses.
     */
-  def decodeStub(payload: Array[Byte]): (String, Int, Int, Array[Float]) = {
-    val fmt = if (payload.nonEmpty && (payload(0) & 1) == 0) "png" else "jpeg"
-    val w = 64 + (if (payload.isEmpty) 0 else (payload(0) & 0x7f))
-    val h = 64 + (if (payload.length < 2) 0 else (payload(1) & 0x7f))
-    // 16-bin byte histogram, L1-normalized — a stand-in "embedding" that
-    // feeds the cosine/ANN operators with the right shape and dtype
+  def makePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Magic-byte sniff (PNG \x89PNG, JPEG \xFF\xD8\xFF, GIF87a/89a). */
+  def sniffFormat(payload: Array[Byte]): String = {
+    if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') "gif"
+    else "unknown"
+  }
+
+  /** Real image decode: full raster via ImageIO, 16-bin L1-normalized
+    * luminance histogram as the feature vector. None if the payload is
+    * not a decodable image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val hist = new Array[Float](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(luma >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(1f, (img.getWidth * img.getHeight).toFloat)
+        var i = 0
+        while (i < 16) { hist(i) /= total; i += 1 }
+        Some((sniffFormat(payload), img.getWidth, img.getHeight, hist))
+      }
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Byte-histogram fallback feature for non-image payloads — same 16-bin
+    * shape and dtype as the luminance histogram, so downstream ANN
+    * operators are payload-agnostic.
+    */
+  def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
     val total = math.max(1f, payload.length.toFloat)
-    (fmt, w, h, hist.map(_ / total))
+    hist.map(_ / total)
   }
 
   /** Partition-wise decode: binary payloads → typed metadata + features. */
@@ -44,26 +112,60 @@ object Multimodal extends Serializable {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (fmt, w, h, feat) = decodeStub(r.payload)
-        MediaMeta(r.media_id, r.payload.length, fmt, w, h, feat)
+        decodeImage(r.payload) match {
+          case Some((fmt, w, h, feat)) =>
+            MediaMeta(r.media_id, r.payload.length, fmt, w, h, decodable = true, feat)
+          case None =>
+            MediaMeta(r.media_id, r.payload.length, "raw", -1, -1, decodable = false,
+              byteHistogram(r.payload))
+        }
       }
     }
   }
 
-  /** Demo pipeline over the documents table: text bytes stand in for
-    * media payloads; decode, then rank pairs by feature cosine.
+  /** Demo pipeline over the documents table: each doc_id keys a genuine
+    * synthetic PNG (dimensions derived from the id); real ImageIO decode
+    * recovers format/width/height, and pairs rank by feature cosine. The
+    * decoded numbers are oracle-checkable because width/height follow the
+    * generator arithmetic — a fake decode cannot reproduce them.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     graft.functions.GraftFunctions.register(spark)
     val media = graft.engine.Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          MediaRow(id, makePng(8 + (id % 56).toInt, 8 + ((id * 7) % 56).toInt, id))
+        }
+      }
     decode(media).toDF()
-      .select(col("media_id"), col("n_bytes"), col("format"),
-        col("width"), col("height"),
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        (col("width") * col("height")).as("npixels"),
         expr("cosine_sim_native(features, features)").as("self_cos"))
+  }
+
+  /** Mixed-payload metadata scan: even doc_ids carry a real PNG, odd ones
+    * raw text bytes; `decodable` is the actual ImageIO verdict, so the
+    * oracle's `doc_id % 2 = 0` only matches if decode truly succeeds on
+    * images and fails on text.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload =
+            if (id % 2 == 0) makePng(8 + (id % 56).toInt, 8 + ((id * 7) % 56).toInt, id)
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val dec = decodeImage(payload)
+          (id, payload.take(4).map("%02X".format(_)).mkString,
+            dec.isDefined, dec.map(_._1).getOrElse("raw"),
+            dec.map(_._2).getOrElse(-1), dec.map(_._3).getOrElse(-1))
+        }
+      }
+      .toDF("doc_id", "magic_hex", "decodable", "format", "width", "height")
   }
 }

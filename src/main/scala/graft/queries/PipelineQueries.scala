@@ -912,21 +912,11 @@ object PipelineQueries {
     }),
 
     // ---- multimodal plumbing: opaque binary column + typed metadata.
-    // The decode step is a deterministic fake (no image libs in the
-    // container — STUB, clearly marked); the Spark-side schema/partition
-    // plumbing is real: binary payload, struct metadata, per-row decode. ----
-    "mm_binary_meta" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "UTF-8")) // stand-in image bytes
-        .select(
-          col("doc_id"),
-          length(col("payload")).as("n_bytes"),
-          // STUB decode: deterministic fake header fields in lieu of a real
-          // image codec (width/height from byte content, "format" tag)
-          ((length(col("payload")) * 7 + ascii(col("text"))) % 1920).as("fake_width"),
-          (unhex(md5(col("payload"))).cast("binary").isNotNull).as("decodable"),
-          substring(base64(col("payload")), 1, 8).as("magic64"))
-    }),
+    // r6: decode is REAL (JDK ImageIO) — even doc_ids carry a genuine
+    // synthetic PNG, odd ones raw text bytes; `decodable` is the actual
+    // codec verdict and width/height are the decoded raster dimensions ----
+    "mm_binary_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.binaryMeta(s, dir)),
 
     // ---- multimodal frame sampling: a video payload rides as one opaque
     // binary column; sampling takes every k-th fixed-size frame chunk as
@@ -946,7 +936,14 @@ object PipelineQueries {
         .filter(col("frame_idx") % everyK === 0)
         .select(col("media_id"), col("frame_idx"),
           expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
-        .withColumn("frame_bytes", length(col("frame")))
+        // r6: raw binary output columns crash the driver's pandas sort
+        // (unhashable bytearray — same class as the r4 array bug), so the
+        // frame rides out base64-rendered; byte length pins the raw size
+        .select(col("media_id"), col("frame_idx"),
+          // Spark's base64 is the MIME codec (CRLF every 76 chars);
+          // strip the breaks to match the canonical unchunked form
+          regexp_replace(base64(col("frame")), "\r\n", "").as("frame_b64"),
+          length(col("frame")).as("frame_bytes"))
     }))
 
   private val jaccardOracle =
@@ -1315,11 +1312,15 @@ object PipelineQueries {
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |      FROM documents) t""".stripMargin,
+    // even ids: PNG magic + generator dimensions (only a real decode
+    // reproduces them); odd ids: raw text bytes, not decodable
     "mm_binary_meta" ->
-      """SELECT doc_id, octet_length(text::blob) AS n_bytes,
-        |(octet_length(text::blob) * 7 + ascii(text)) % 1920 AS fake_width,
-        |true AS decodable,
-        |substr(to_base64(text::blob), 1, 8) AS magic64
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN '89504E47' ELSE upper(hex(substr(text, 1, 4))) END AS magic_hex,
+        |doc_id % 2 = 0 AS decodable,
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'raw' END AS format,
+        |(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 56 ELSE -1 END)::int AS width,
+        |(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 56 ELSE -1 END)::int AS height
         |FROM documents""".stripMargin,
     // DuckDB 1.0 has no BLOB substring; the fixture text is pure ASCII
     // (octet_length(text::blob) == length(text) for every row), so char
@@ -1330,7 +1331,7 @@ object PipelineQueries {
         |        unnest(range(0, ((greatest(length(payload), 1) - 1) // 256)::int + 1)) AS frame_idx
         |      FROM m)
         |SELECT media_id, frame_idx,
-        |  substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob AS frame,
+        |  to_base64(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_b64,
         |  octet_length(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_bytes
         |FROM f WHERE frame_idx % 4 = 0""".stripMargin)
 }

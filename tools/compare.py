@@ -55,11 +55,15 @@ for name in sorted(oracles):
     if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
         failures.append((name, f"schema mismatch: spark={s_cols} duck={d_cols}")); fail += 1; continue
     import pyarrow as pa
+    # Binary columns crash the driver the same way (bytearray is unhashable
+    # in pandas sort_values — round-6 lesson from mm_frame_sample), so
+    # reject pa binary/large_binary alongside nested types.
     nested = [f.name for tbl in (spark_tbl, duck) for f in tbl.schema
-              if pa.types.is_nested(f.type)]
+              if pa.types.is_nested(f.type) or pa.types.is_binary(f.type)
+              or pa.types.is_large_binary(f.type) or pa.types.is_fixed_size_binary(f.type)]
     if nested:
-        failures.append((name, f"DRIVER-INCOMPATIBLE array/struct columns {sorted(set(nested))}: "
-                         "render to strings (to_json/array_join) in both spellings")); fail += 1; continue
+        failures.append((name, f"DRIVER-INCOMPATIBLE array/struct/binary columns {sorted(set(nested))}: "
+                         "render to strings (to_json/array_join/base64) in both spellings")); fail += 1; continue
     s_rows = sorted([tuple(norm(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()], key=repr)
     d_rows = sorted([tuple(norm(r[c]) for c in d_cols) for r in duck.to_pylist()], key=repr)
     if s_rows == d_rows:
