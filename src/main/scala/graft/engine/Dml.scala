@@ -67,48 +67,76 @@ object Dml {
     walk(root, Nil)
   }
 
+  private[engine] val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Leaf partitions whose directory can hold a row matching `predicate`.
     * When the predicate references only partition columns the decision is
     * made on the directory VALUES alone (no data read at all); otherwise
     * one pruned `distinct` scan asks the data which partitions match —
     * Catalyst still prunes that scan by whatever partition-column
     * conjuncts the predicate carries.
+    *
+    * Matching is TYPED in both branches: directory strings are cast to
+    * the table's discovered partition column types before comparison
+    * (null partitions via the `__HIVE_DEFAULT_PARTITION__` sentinel), so
+    * renderings that differ from `String.valueOf` of the typed value —
+    * zero-padded numerics (`month=01`), timestamp partitions, nulls —
+    * still prune correctly instead of silently matching nothing.
     */
   private[engine] def touchedPartitions(spark: SparkSession, df: DataFrame,
       partCols: Seq[String], parts: Seq[(Seq[String], String)],
       predicate: String): Seq[(Seq[String], String)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import scala.jdk.CollectionConverters._
     val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate).collect {
         case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
       }.toSet
     val partLower = partCols.map(_.toLowerCase)
-    if (refs.subsetOf(partLower.toSet)) {
-      // decide per-directory from the encoded values: a tiny local job
-      // over |partitions| rows, zero table data read
-      import scala.jdk.CollectionConverters._
-      val rows = parts.zipWithIndex.map { case ((vs, _), i) =>
-        org.apache.spark.sql.Row.fromSeq(i.toLong +: vs)
-      }.asJava
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("__pidx",
-          org.apache.spark.sql.types.LongType) +:
-          partCols.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)))
-      val hit = spark.createDataFrame(rows, schema)
-        .filter(expr(predicate)).select("__pidx")
-        .collect().map(_.getLong(0)).toSet
-      parts.zipWithIndex.collect { case (p, i) if hit(i.toLong) => p }
-    } else {
-      val hit = df.filter(expr(predicate))
-        .select(partCols.map(col): _*).distinct()
-        .collect().map(_.toSeq.map(String.valueOf)).toSet
-      parts.filter { case (vs, _) => hit(vs) }
+    // one row per leaf partition, directory values cast to the types
+    // Spark inferred for the partition columns on read
+    val rows = parts.zipWithIndex.map { case ((vs, _), i) =>
+      org.apache.spark.sql.Row.fromSeq(i.toLong +: vs)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pidx",
+        org.apache.spark.sql.types.LongType) +:
+        partCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    val partTypes = partCols.map { c =>
+      df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
     }
+    val typedDirs = partCols.zip(partTypes)
+      .foldLeft(spark.createDataFrame(rows, schema)) { case (d, (c, t)) =>
+        d.withColumn(c, when(col(c) === lit(HiveDefaultPartition), lit(null))
+          .otherwise(col(c)).cast(t))
+      }
+    val hit: Set[Long] =
+      if (refs.subsetOf(partLower.toSet)) {
+        // decide per-directory from the typed values: a tiny local job
+        // over |partitions| rows, zero table data read
+        typedDirs.filter(expr(predicate)).select("__pidx")
+          .collect().map(_.getLong(0)).toSet
+      } else {
+        // typed-to-typed null-safe semi-join against the pruned distinct
+        // scan — no string rendering on either side
+        val matching = df.filter(expr(predicate))
+          .select(partCols.map(col): _*).distinct()
+        val cond = partCols.map(c => typedDirs(c) <=> matching(c)).reduce(_ && _)
+        typedDirs.join(matching, cond, "left_semi").select("__pidx")
+          .collect().map(_.getLong(0)).toSet
+      }
+    parts.zipWithIndex.collect { case (p, i) if hit(i.toLong) => p }
   }
 
   private[engine] def partitionFilter(partCols: Seq[String], values: Seq[String]): Column =
-    partCols.zip(values).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    partCols.zip(values).map { case (c, v) =>
+      // directory value is a string; === lets Catalyst coerce it to the
+      // column's type. The null partition sentinel must test IS NULL —
+      // an equality against it can never match.
+      if (v == HiveDefaultPartition) col(c).isNull else col(c) === lit(v)
+    }.reduce(_ && _)
 
   /** DELETE FROM <tablePath> WHERE <predicate>; returns rows deleted. */
   def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {

@@ -77,6 +77,17 @@ object Views {
     val (partCols, parts) = Dml.partitionLayout(spark, path)
     require(partCols.nonEmpty,
       s"partition-scoped refresh needs a partitionBy'd materialized view: $name")
+    // enforce the documented contract: a predicate on a data column would
+    // rewrite each touched partition with ONLY the predicate-matching
+    // rows, silently deleting every other row of that partition
+    val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+    require(refs.subsetOf(partCols.map(_.toLowerCase).toSet),
+      s"partition-scoped refresh predicate must reference only partition " +
+        s"columns ${partCols.mkString("[", ", ", "]")}; got: $predicate")
     val fresh = Tables.sql(spark, dir, query).filter(expr(predicate))
     // on-disk partitions the predicate covers (values-only decision) ∪
     // partitions the fresh slice produces (covers brand-new ones)

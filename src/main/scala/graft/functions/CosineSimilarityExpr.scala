@@ -53,19 +53,26 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed identifiers — two instances in one codegen
+      // scope (e.g. join condition + projection) must not collide
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
       s"""
-         |int n$$ = $a.numElements();
-         |if (n$$ != $b.numElements() || n$$ == 0) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot$$ = 0.0, na$$ = 0.0, nb$$ = 0.0;
-         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |    double x$$ = (double) $a.getFloat(i$$);
-         |    double y$$ = (double) $b.getFloat(i$$);
-         |    dot$$ += x$$ * y$$; na$$ += x$$ * x$$; nb$$ += y$$ * y$$;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double d$$ = Math.sqrt(na$$) * Math.sqrt(nb$$);
-         |  if (d$$ == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = dot$$ / d$$; }
+         |  double $d = Math.sqrt($na) * Math.sqrt($nb);
+         |  if ($d == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $d; }
          |}
        """.stripMargin
     })

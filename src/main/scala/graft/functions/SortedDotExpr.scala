@@ -53,17 +53,24 @@ case class SortedDotExpr(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (ka, wa, kb, wb) => {
+      // freshName, not fixed identifiers: two instances can land in one
+      // codegen scope (tfidfPairs uses sorted_dot in both the join
+      // condition and the projection) and fixed names would collide
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int i$$ = 0, j$$ = 0;
-         |double acc$$ = 0.0;
-         |int n$$ = $ka.numElements(), m$$ = $kb.numElements();
-         |while (i$$ < n$$ && j$$ < m$$) {
-         |  long x$$ = $ka.getLong(i$$); long y$$ = $kb.getLong(j$$);
-         |  if (x$$ < y$$) i$$++;
-         |  else if (x$$ > y$$) j$$++;
-         |  else { acc$$ += $wa.getDouble(i$$) * $wb.getDouble(j$$); i$$++; j$$++; }
+         |int $i = 0, $j = 0;
+         |double $acc = 0.0;
+         |int $n = $ka.numElements(), $m = $kb.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $x = $ka.getLong($i); long $y = $kb.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $acc += $wa.getDouble($i) * $wb.getDouble($j); $i++; $j++; }
          |}
-         |${ev.value} = acc$$;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

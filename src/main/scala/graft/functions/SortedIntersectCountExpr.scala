@@ -51,16 +51,22 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed identifiers — two instances in one codegen
+      // scope (e.g. join condition + projection) must not collide
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int i$$ = 0, j$$ = 0, c$$ = 0;
-         |int n$$ = $a.numElements(), m$$ = $b.numElements();
-         |while (i$$ < n$$ && j$$ < m$$) {
-         |  long x$$ = $a.getLong(i$$); long y$$ = $b.getLong(j$$);
-         |  if (x$$ < y$$) i$$++;
-         |  else if (x$$ > y$$) j$$++;
-         |  else { c$$++; i$$++; j$$++; }
+         |int $i = 0, $j = 0, $c = 0;
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $c++; $i++; $j++; }
          |}
-         |${ev.value} = c$$;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

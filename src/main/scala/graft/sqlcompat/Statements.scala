@@ -63,7 +63,7 @@ object Statements {
   private val ShowFunctions = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
   private val ShowStats = """(?is)^\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*$""".r
   private val CreateTableAs =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.+)$""".r
   private val InsertInto = """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$""".r
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
@@ -208,21 +208,37 @@ object Statements {
         // one catalog in this engine, like a single-connector deployment
         Some(spark.catalog.listCatalogs().select("name").as[String].collect().toSeq
           .toDF("Catalog"))
-      case CreateTableAs(name, body) =>
+      case CreateTableAs(ifNotExists, name, body) =>
         import spark.implicits._
         val key = name.toLowerCase
-        val path = managedTables(spark).getOrElseUpdate(key,
-          java.nio.file.Files.createTempDirectory(s"graft-tbl-$key").toString + "/t")
-        val result = runQuery(body)
-        result.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path).createOrReplaceTempView(name)
-        val n = spark.read.parquet(path).count()
-        Some(Seq(n).toDF("rows"))
+        // IF NOT EXISTS on an existing managed table is a no-op (the
+        // clause's contract) — NOT an overwrite of its data
+        if (ifNotExists != null && managedTables(spark).contains(key)) {
+          Some(Seq(0L).toDF("rows"))
+        } else {
+          val path = managedTables(spark).getOrElseUpdate(key,
+            java.nio.file.Files.createTempDirectory(s"graft-tbl-$key").toString + "/t")
+          val obs = org.apache.spark.sql.Observation()
+          runQuery(body)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("written"))
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path).createOrReplaceTempView(name)
+          val n = Option(obs.get("written")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          Some(Seq(n).toDF("rows"))
+        }
       case InsertInto(name, body) =>
         import spark.implicits._
         val path = managedTables(spark).getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"not a managed table: $name"))
+        // appended-row count observed INSIDE the staged write (the
+        // Dml Observation pattern) — a post-hoc rows.count() would
+        // re-run the source, wrong for nondeterministic or
+        // self-referencing queries
+        val obs = org.apache.spark.sql.Observation()
         val rows = runQuery(body)
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("inserted"))
         // append through a staged union + swap: an in-place append that
         // dies mid-write would leave a torn table
         val staging = s"$path.__staging"
@@ -230,7 +246,8 @@ object Statements {
           .write.mode("overwrite").parquet(staging)
         graft.engine.Fs.swapIn(spark, path, staging)
         spark.read.parquet(path).createOrReplaceTempView(name)
-        Some(Seq(rows.count()).toDF("rows"))
+        val n = Option(obs.get("inserted")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        Some(Seq(n).toDF("rows"))
       case DeleteFrom(name, where) =>
         import spark.implicits._
         val path = managedPath(spark, name)

@@ -158,6 +158,53 @@ class DmlSpec extends GraftSuite {
     assert(df.filter("n_name = 'NEWROW' AND n_regionkey = 2").count() == 1)
   }
 
+  test("data-predicate pruning matches partitions whose dir rendering differs from the typed value") {
+    import spark.implicits._
+    // zero-padded string partition values: dirs are month=01/02/03 but
+    // Spark's read-back infers month as INT (1/2/3) — string equality
+    // between String.valueOf(1) and "01" would silently prune everything
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-pad").toString + "/t"
+    Seq(("a", "01"), ("b", "01"), ("c", "02"), ("d", "03"))
+      .toDF("name", "month").write.partitionBy("month").parquet(dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("month=01", "month=02", "month=03"), dirs.mkString(","))
+    // data-column predicate → the distinct-scan branch decides partitions
+    val deleted = Dml.delete(spark, dir, "name = 'a'")
+    assert(deleted == 1, s"typed pruning missed the zero-padded partition (deleted=$deleted)")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3 && after.filter("name = 'a'").count() == 0)
+    // sibling rows in the same partition survive
+    assert(after.filter("name = 'b'").count() == 1)
+  }
+
+  test("data-predicate pruning handles timestamp-typed partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-ts").toString + "/t"
+    Seq(("x", "2024-01-01 00:00:00"), ("y", "2024-02-01 00:00:00"))
+      .toDF("name", "ts_s")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s"))).drop("ts_s")
+      .write.partitionBy("ts").parquet(dir)
+    val updated = Dml.update(spark, dir, "name = 'x'", Map("name" -> "'X2'"))
+    assert(updated == 1, s"typed pruning missed the timestamp partition (updated=$updated)")
+    val after = spark.read.parquet(dir)
+    assert(after.filter("name = 'X2'").count() == 1 && after.count() == 2)
+  }
+
+  test("DELETE reaches rows in the null (__HIVE_DEFAULT_PARTITION__) partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-null").toString + "/t"
+    Seq(("a", Some(1)), ("b", None), ("c", None))
+      .toDF("name", "k").write.partitionBy("k").parquet(dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("k=__HIVE_DEFAULT_PARTITION__"), dirs.mkString(","))
+    val deleted = Dml.delete(spark, dir, "name = 'b'")
+    assert(deleted == 1, s"null partition unreachable (deleted=$deleted)")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 2 && after.filter("name = 'b'").count() == 0)
+    assert(after.filter("k IS NULL").count() == 1) // 'c' survives in place
+  }
+
   test("DELETE and UPDATE report counts without extra scan jobs") {
     val t = scratchTable()
     val jobs = new java.util.concurrent.atomic.AtomicInteger

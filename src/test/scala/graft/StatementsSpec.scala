@@ -121,6 +121,20 @@ class StatementsSpec extends GraftSuite {
     assert(!spark.catalog.tableExists("ct1"))
   }
 
+  test("CREATE TABLE IF NOT EXISTS is a no-op on an existing table") {
+    sql("CREATE TABLE ctne AS SELECT n_nationkey FROM nation WHERE n_regionkey = 0")
+    assert(sql("SELECT count(*) FROM ctne").collect()(0).getLong(0) == 5)
+    // the clause's contract: existing data must NOT be overwritten
+    val rows = sql("CREATE TABLE IF NOT EXISTS ctne AS SELECT 1 AS n_nationkey")
+      .collect()(0).getLong(0)
+    assert(rows == 0)
+    assert(sql("SELECT count(*) FROM ctne").collect()(0).getLong(0) == 5)
+    // without the clause, CTAS still replaces
+    assert(sql("CREATE TABLE ctne AS SELECT 1 AS n_nationkey").collect()(0).getLong(0) == 1)
+    assert(sql("SELECT count(*) FROM ctne").collect()(0).getLong(0) == 1)
+    sql("DROP TABLE ctne")
+  }
+
   test("SQL DELETE / UPDATE / MERGE INTO on managed tables") {
     sql("CREATE TABLE mdml AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
     val del = sql("DELETE FROM mdml WHERE n_regionkey = 4").collect()(0).getLong(0)

@@ -62,4 +62,19 @@ class ViewsSpec extends GraftSuite {
     assert(spark.sql("SELECT count(*) FROM mv_inc WHERE n_regionkey = 3")
       .collect()(0).getLong(0) == 5)
   }
+
+  test("partition-scoped refresh rejects predicates on data columns") {
+    val storage = java.nio.file.Files.createTempDirectory("graft-mv-guard").toString
+    val q = "SELECT n_regionkey, n_nationkey, n_name FROM nation"
+    Views.createMaterializedView(spark, sfTiny, "mv_guard", q, storage,
+      partitionBy = Seq("n_regionkey"))
+    // a data-column predicate would rewrite touched partitions with only
+    // the matching rows, silently dropping the rest — must fail fast
+    val e = intercept[IllegalArgumentException](
+      Views.refreshMaterializedViewPartitions(
+        spark, sfTiny, "mv_guard", q, storage, "n_name = 'NATION_3'"))
+    assert(e.getMessage.contains("partition columns"))
+    // the MV is untouched
+    assert(spark.sql("SELECT count(*) FROM mv_guard").collect()(0).getLong(0) == 25)
+  }
 }
