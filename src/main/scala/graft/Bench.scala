@@ -14,14 +14,18 @@ object Bench {
   // wide agg, join+topk, star join, pushdown scan, having+join, profit
   // rollup (q9), EXISTS/NOT EXISTS decorrelation (q21), window topN,
   // sessionization, LSH dedup, ANN, explode+agg, distinct agg,
-  // token-blocked TF-IDF pair join (round 4), df-ordered PPJoin exact
-  // dedup (round 5 — the scale path for exact near-dup).
+  // abscap TF-IDF pair join, df-ordered PPJoin exact dedup (the scale
+  // path for exact near-dup). Every slot is a scale-path plan: the
+  // measured-quadratic variants (size-band dedup_jaccard, relative-cap
+  // sim_tfidf_pairs) stay oracle-verified correctness rows but are NOT
+  // benched as headline — a documented-quadratic plan has no place in
+  // the set a 2×-gate is judged on (r5 verdict).
   private val headline = Seq(
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
     "tpch_q21", "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
-    "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_ppjoin",
+    "dedup_minhash_lsh", "dedup_jaccard_ppjoin",
     "sim_topk_brute",
-    "text_token_stats", "mr_funnel", "sketch_hll_merge", "sim_tfidf_pairs",
+    "text_token_stats", "mr_funnel", "sketch_hll_merge",
     "sim_tfidf_pairs_abscap")
 
   def main(args: Array[String]): Unit = {

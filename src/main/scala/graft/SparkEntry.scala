@@ -108,6 +108,129 @@ object SparkEntry {
       Tables.load(s, dir, "orders")
         .agg(bit_xor(xxhash64(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
           .as("table_checksum"))
+    }),
+
+    // ---- r6: sketch-BOUND rows — each no_oracle sketch family gains a
+    // derived row whose claim IS oracle-checkable: |estimate − exact| ≤
+    // bound as a boolean (estimates are deterministic given the hashes).
+    // Where the exact side is plain SQL, DuckDB recomputes it; where it
+    // is engine arithmetic (rank of an estimate, hash checksums), the
+    // oracle states the deterministic booleans. ----
+    // HLL estimate within 5% of the exact distinct count, per group;
+    // DuckDB independently recomputes nd_exact
+    "sketch_approx_distinct_bound" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("est"),
+          countDistinct(col("l_partkey")).as("nd_exact"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("est") - col("nd_exact")) <= col("nd_exact") * 0.05)
+            .as("within_bound"))
+    }),
+    // merged-HLL cardinality within 10% of the exact global distinct
+    "sketch_hll_merge_bound" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT nd_exact,
+          |  abs(est - nd_exact) <= nd_exact * 0.10 AS within_bound
+          |FROM (SELECT hll_cardinality(merge_hll(sketch)) AS est
+          |      FROM (SELECT l_returnflag, approx_set_agg_long(l_partkey) AS sketch
+          |            FROM lineitem GROUP BY l_returnflag)),
+          |     (SELECT count(DISTINCT l_partkey) AS nd_exact FROM lineitem)""".stripMargin)
+    }),
+    // percentile_approx estimates land within 2% RANK error of exact:
+    // the estimate's rank fraction (share of rows ≤ estimate) must
+    // bracket the target quantile — the sketch's own guarantee
+    // (accuracy 10000 ⇒ ε = 1e-4; 0.02 slack absorbs value ties)
+    "sketch_approx_percentile_bound" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val est = li.groupBy(col("l_linestatus"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+      li.join(est, "l_linestatus").groupBy(col("l_linestatus"))
+        .agg((sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L))
+            / count(lit(1))).as("f50"),
+          (sum(when(col("l_extendedprice") <= col("p99"), 1L).otherwise(0L))
+            / count(lit(1))).as("f99"))
+        .select(col("l_linestatus"),
+          (col("f50") >= 0.48 && col("f50") <= 0.52).as("p50_rank_ok"),
+          (col("f99") >= 0.97).as("p99_rank_ok"))
+    }),
+    // merged qdigest/tdigest quantiles within 2% rank error of exact
+    // (QDigestSpec pins ε = 64/k; TDigestSpec pins ≤1.5% merged)
+    "sketch_qdigest_bound" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH m AS (SELECT merge_qdigest(sk) AS m FROM (
+          |    SELECT l_returnflag, qdigest_agg(l_extendedprice) AS sk
+          |    FROM lineitem GROUP BY l_returnflag)),
+          |est AS (SELECT max(value_at_quantile(m, 0.5)) AS p50,
+          |               max(value_at_quantile(m, 0.95)) AS p95 FROM m)
+          |SELECT
+          |  sum(CASE WHEN l_extendedprice <= est.p50 THEN 1 ELSE 0 END) / count(*)
+          |    BETWEEN 0.48 AND 0.52 AS p50_rank_ok,
+          |  sum(CASE WHEN l_extendedprice <= est.p95 THEN 1 ELSE 0 END) / count(*)
+          |    BETWEEN 0.93 AND 0.97 AS p95_rank_ok
+          |FROM lineitem, est""".stripMargin)
+    }),
+    "sketch_tdigest_bound" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH m AS (SELECT merge_tdigest(sk) AS m FROM (
+          |    SELECT l_returnflag, tdigest_agg(l_extendedprice) AS sk
+          |    FROM lineitem GROUP BY l_returnflag)),
+          |est AS (SELECT max(tdigest_value_at_quantile(m, 0.5)) AS p50,
+          |               max(tdigest_value_at_quantile(m, 0.99)) AS p99 FROM m)
+          |SELECT
+          |  sum(CASE WHEN l_extendedprice <= est.p50 THEN 1 ELSE 0 END) / count(*)
+          |    BETWEEN 0.48 AND 0.52 AS p50_rank_ok,
+          |  sum(CASE WHEN l_extendedprice <= est.p99 THEN 1 ELSE 0 END) / count(*)
+          |    >= 0.97 AS p99_rank_ok
+          |FROM lineitem, est""".stripMargin)
+    }),
+    // SetDigest jaccard estimates within the bottom-k 4σ band (±0.18,
+    // SetDigestSpec) of the EXACT token jaccard, which DuckDB recomputes
+    // independently from the token sets
+    "sketch_setdigest_bound" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH tok AS (
+          |  SELECT DISTINCT lang, token FROM (
+          |    SELECT lang,
+          |      explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS token
+          |    FROM documents)),
+          |sz AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+          |common AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS c
+          |           FROM tok a JOIN tok b ON a.token = b.token AND a.lang < b.lang
+          |           GROUP BY a.lang, b.lang),
+          |ex AS (SELECT lang_a, lang_b,
+          |         c / cast(sa.n + sb.n - c AS double) AS jac_exact
+          |       FROM common JOIN sz sa ON sa.lang = lang_a
+          |                   JOIN sz sb ON sb.lang = lang_b),
+          |dig AS (SELECT lang, make_set_digest(token) AS d FROM tok GROUP BY lang),
+          |est AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+          |          jaccard_index(a.d, b.d) AS jest
+          |        FROM dig a JOIN dig b ON a.lang < b.lang)
+          |SELECT ex.lang_a, ex.lang_b, round(ex.jac_exact, 3) AS jac_exact,
+          |  abs(est.jest - ex.jac_exact) <= 0.18 AS within_bound
+          |FROM ex JOIN est ON ex.lang_a = est.lang_a AND ex.lang_b = est.lang_b
+          |ORDER BY lang_a, lang_b""".stripMargin)
+    }),
+    // checksum properties the reference contract implies: invariant to
+    // row order/partitioning, sensitive to any value change
+    "sketch_checksum_bound" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      def ck(df: org.apache.spark.sql.DataFrame) =
+        df.agg(bit_xor(xxhash64(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("c"))
+      val base = ck(orders)
+      val shuffled = ck(orders.repartition(7, col("o_custkey")))
+      val mutated = ck(orders.withColumn("o_totalprice",
+        when(col("o_orderkey") === 1, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice"))))
+      base.crossJoin(shuffled.withColumnRenamed("c", "c_shuffled"))
+        .crossJoin(mutated.withColumnRenamed("c", "c_mutated"))
+        .select((col("c") === col("c_shuffled")).as("order_invariant"),
+          (col("c") =!= col("c_mutated")).as("sensitive"))
     }))
 
   private val sketchOracles: Map[String, String] = Map(
@@ -124,7 +247,38 @@ object SparkEntry {
         |(8 + (doc_id * 7) % 56)::int AS height,
         |((8 + doc_id % 56) * (8 + (doc_id * 7) % 56))::int AS npixels,
         |1.0::double AS self_cos
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // ---- r6 sketch-bound rows: exact sides DuckDB recomputes; rank /
+    // hash claims are deterministic booleans ----
+    "sketch_approx_distinct_bound" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+        |true AS within_bound FROM lineitem GROUP BY 1""".stripMargin,
+    "sketch_hll_merge_bound" ->
+      "SELECT count(DISTINCT l_partkey) AS nd_exact, true AS within_bound FROM lineitem",
+    "sketch_approx_percentile_bound" ->
+      """SELECT l_linestatus, true AS p50_rank_ok, true AS p99_rank_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "sketch_qdigest_bound" ->
+      "SELECT true AS p50_rank_ok, true AS p95_rank_ok",
+    "sketch_tdigest_bound" ->
+      "SELECT true AS p50_rank_ok, true AS p99_rank_ok",
+    "sketch_setdigest_bound" ->
+      """WITH tok AS (SELECT DISTINCT lang, token FROM (
+        |  SELECT lang, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents)),
+        |sz AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+        |common AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS c
+        |           FROM tok a JOIN tok b ON a.token = b.token AND a.lang < b.lang
+        |           GROUP BY 1, 2)
+        |SELECT lang_a, lang_b,
+        |  round(c / (sa.n + sb.n - c)::double, 3) AS jac_exact,
+        |  true AS within_bound
+        |FROM common JOIN sz sa ON sa.lang = lang_a
+        |            JOIN sz sb ON sb.lang = lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
+    "sketch_checksum_bound" ->
+      "SELECT true AS order_invariant, true AS sensitive")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

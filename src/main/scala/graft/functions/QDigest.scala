@@ -186,7 +186,39 @@ object QDigest {
   def upperOf(level: Int, prefix: Long): Long =
     if (level >= 64) -1L else ((prefix + 1L) << level) - 1L
 
-  /** Read-side quantile on the wire form. */
-  def valueAtQuantile(a: Array[Long], q: Double): Double =
-    deserialize(a).valueAtQuantile(q)
+  /** Read-side quantile DIRECTLY on the wire form — no deserialize (which
+    * rebuilds the node map) and no boxing: a projection can evaluate this
+    * per row over a joined sketch column, so the read path must cost one
+    * index sort over the triples, nothing more.
+    */
+  def valueAtQuantile(a: Array[Long], q: Double): Double = {
+    val n = a(1)
+    if (n == 0) return Double.NaN
+    val minS = a(2); val maxS = a(3); val m = a(4).toInt
+    val target = math.max(1L, math.min(n, math.ceil(q * n).toLong))
+    val uppers = new Array[Long](m)
+    var i = 0
+    while (i < m) { uppers(i) = upperOf(a(5 + 3 * i).toInt, a(6 + 3 * i)); i += 1 }
+    // ascending unsigned upper bound; ties → smaller range (level) first
+    val order = Array.range(0, m).sortWith { (x, y) =>
+      val c = java.lang.Long.compareUnsigned(uppers(x), uppers(y))
+      if (c != 0) c < 0 else a(5 + 3 * x) < a(5 + 3 * y)
+    }
+    var acc = 0L
+    i = 0
+    while (i < m) {
+      val j = order(i)
+      acc += a(7 + 3 * j)
+      if (acc >= target) {
+        val up = uppers(j)
+        val clamped =
+          if (java.lang.Long.compareUnsigned(up, maxS) > 0) maxS
+          else if (java.lang.Long.compareUnsigned(up, minS) < 0) minS
+          else up
+        return fromSortable(clamped)
+      }
+      i += 1
+    }
+    fromSortable(maxS)
+  }
 }

@@ -486,6 +486,21 @@ object ExtendedQueries {
       Tables.sql(s, dir, "SHOW COLUMNS FROM nation")),
     "stmt_show_stats" -> ((s, dir) =>
       Tables.sql(s, dir, "SHOW STATS FOR region")),
+    // r6: SHOW SCHEMAS / TABLES / FUNCTIONS as driver rows over their
+    // catalog-STABLE slices — the unfiltered listings vary with session
+    // history (managed tables other rows create) and Spark's builtin
+    // inventory, so the rows pin the fixture tables and graft-registered
+    // functions, which are constants of the engine
+    "stmt_show_schemas" -> ((s, dir) =>
+      Tables.sql(s, dir, "SHOW SCHEMAS")),
+    "stmt_show_tables" -> ((s, dir) =>
+      Tables.sql(s, dir, "SHOW TABLES LIKE '%ion'")),
+    "stmt_show_functions" -> ((s, dir) =>
+      Tables.sql(s, dir, "SHOW FUNCTIONS")
+        .filter(org.apache.spark.sql.functions.col("Function").isin(
+          "make_set_digest", "merge_tdigest", "tdigest_agg", "sorted_dot",
+          "sorted_intersect_count", "simhash64_native", "hamming_distance64",
+          "cosine_sim_native", "merge_hll"))),
     // CREATE TABLE AS / INSERT INTO over the managed parquet store
     // (SqlBase.g4 createTableAsSelect / insertInto): CTAS materializes a
     // query, INSERT appends through a staged swap, and the read-back is
@@ -540,6 +555,15 @@ object ExtendedQueries {
         |  ('n_nationkey', 'int', '', ''),
         |  ('n_name', 'string', '', ''),
         |  ('n_regionkey', 'int', '', '')) AS t("Column", "Type", "Extra", "Comment")""".stripMargin,
+    "stmt_show_schemas" ->
+      """SELECT * FROM (VALUES ('default'), ('information_schema')) AS t("Schema")""",
+    "stmt_show_tables" ->
+      """SELECT * FROM (VALUES ('nation'), ('region')) AS t("Table")""",
+    "stmt_show_functions" ->
+      """SELECT * FROM (VALUES ('cosine_sim_native'), ('hamming_distance64'),
+        |  ('make_set_digest'), ('merge_hll'), ('merge_tdigest'),
+        |  ('simhash64_native'), ('sorted_dot'), ('sorted_intersect_count'),
+        |  ('tdigest_agg')) AS t("Function")""".stripMargin,
     "stmt_show_stats" ->
       """SELECT 'r_regionkey' AS column_name,
         |  count(DISTINCT r_regionkey)::bigint AS distinct_values_count,

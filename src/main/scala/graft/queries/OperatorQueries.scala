@@ -348,6 +348,20 @@ object OperatorQueries {
     "sample_bernoulli" -> ((s, dir) => {
       t(s, dir, "lineitem").sample(withReplacement = false, 0.05, seed = 42)
         .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // Content-addressed Bernoulli sampling: u(row-key) < p with a Knuth
+    // multiplicative hash — the engine's DETERMINISTIC sampling path
+    // (reproducible across engines, retries, and partitionings, which a
+    // seeded rand() is not once partition boundaries move). The reference
+    // lowers TABLESAMPLE BERNOULLI to a rand() < p filter
+    // (core/trino-main/.../ImplementBernoulliSampleAsFilter.java:45); a
+    // pure hash filter is the faithful scan-stage analog, and DuckDB
+    // reproduces it exactly — full row/schema/hash oracle match.
+    "sample_bernoulli_hash" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(((col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L))
+          % lit(4294967296L)).cast("double") / lit(4294967296.0) < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"))
     }))
 
   // ------------------------------------------------------------ subqueries
@@ -585,6 +599,10 @@ object OperatorQueries {
         |SELECT o_custkey FROM orders
         |EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
         |GROUP BY o_custkey""".stripMargin,
+    "sample_bernoulli_hash" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296)
+        |      / 4294967296.0 < 0.05""".stripMargin,
     "subq_scalar" ->
       """SELECT o_orderkey, o_totalprice,
         |o_totalprice / (SELECT avg(o_totalprice) FROM orders) AS price_ratio

@@ -142,6 +142,98 @@ object PipelineQueries {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** PPJoin-style prefix-filtered exact jaccard ≥ 0.8 pairs (Xiao et al.
+    * WWW'08) — the body behind `dedup_jaccard_ppjoin`. `blockByLang`
+    * restricts pairs to same-lang (the production blocking); `false`
+    * computes the UNBLOCKED global truth set, used by the recall rows to
+    * pin banding variants that do not block on lang. The prefix theorem
+    * is blocking-free, so both variants are exact for their pair domain.
+    */
+  private def ppjoinPairs(blockByLang: Boolean): Q = (s, dir) => {
+    val base0 = t(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .withColumn("hsh", expr(shingleHashExpr))
+      .withColumn("n_sh", size(col("hsh")))
+    // a constant lang key turns the per-lang df order into one global one
+    val base = if (blockByLang) base0 else base0.withColumn("lang", lit("_"))
+    // exploded tokens stay SLIM (no shingle array): the df join and the
+    // per-doc rank shuffle move |tokens| scalar rows, not |tokens| copies
+    // of each document's full shingle array — the arrays are re-attached
+    // by one linear doc_id join only after the prefix (a few tokens per
+    // doc) has been selected
+    val toks = base.select(col("doc_id"), col("lang"),
+      col("n_sh"), explode(col("hsh")).as("tok"))
+    // global token order: (df, tok) — deterministic, computed per-lang
+    // corpus-wide; the join is a plain shuffled equi-join on tok (the
+    // vocabulary can be arbitrarily large, so no broadcast)
+    val dfreq = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val prefIds = toks.join(dfreq, Seq("lang", "tok"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <=
+        greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
+      .select(col("doc_id"), col("rk"), col("tok").as("ptok"))
+    val pref = prefIds.join(
+      base.select(col("doc_id"), col("lang"), col("hsh"), col("n_sh")),
+      Seq("doc_id"))
+    // Everything stays INSIDE the join condition — candidates are never
+    // materialized (a candidate-materialize + fetch-arrays variant OOMs
+    // at 100×: 7.9M candidates per 5k docs means ~786M slim rows to
+    // distinct). Filter order, cheap to expensive:
+    //  1. size-ratio prune (two int muls);
+    //  2. PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): for a
+    //     shared token at ranks (i, j) of the df order, total overlap
+    //     ≤ 1 + min(nₓ−i, n_y−j); jaccard ≥ 0.8 needs overlap ≥
+    //     4/9·(nₓ+n_y), so 9·(1+min(nₓ−rkₓ, n_y−rk_y)) < 4·(nₓ+n_y)
+    //     rejects with int math before any array work. Result-
+    //     preserving: a qualifying pair's FIRST shared prefix token has
+    //     the minimal ranks, where the bound is loosest and must hold
+    //     (every other shared token sits after it in both docs).
+    //     Measured 7.86M → 1.84M candidates at sf0.1 (4.3×) before the
+    //     intersect ever runs;
+    //  3. exact sorted-merge intersect, evaluated once.
+    pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
+        col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
+        (lit(1) + least(col("x.n_sh") - col("x.rk"), col("y.n_sh") - col("y.rk"))) * 9 >=
+          (col("x.n_sh") + col("y.n_sh")) * 4 &&
+        expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
+          "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** One-row recall of a simhash blocking variant against the EXHAUSTIVE
+    * hamming ≤ `maxHamming` truth over the same fingerprints. The truth
+    * side is a brute all-pairs nested-loop — a verification row over a
+    * bounded corpus slice, not a production path (the production path IS
+    * the blocked variant under test). Fingerprints are deterministic, so
+    * the row is constant booleans the oracle can state.
+    */
+  private def simhashRecall(variant: String, maxHamming: Int): Q = (s, dir) => {
+    val fp = t(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .withColumn("sh", expr("simhash64_native(norm)"))
+      .select(col("doc_id"), col("sh"))
+    val truth = fp.as("a").join(fp.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val found = queries(variant)(s, dir)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select((col("n_true") > 0).as("truth_nonempty"),
+        (col("n_hit") === col("n_true")).as("recall_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on normalized content ----
     "dedup_exact" -> ((s, dir) => {
@@ -239,62 +331,7 @@ object PipelineQueries {
     // buys bucket sizes that stay bounded as the corpus grows — the sf1
     // soak measures the difference. Conservative prefix length
     // (floor + 1 ≥ the ⌈⌉-form) never drops a qualifying pair. ----
-    "dedup_jaccard_ppjoin" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .withColumn("norm", normText(col("text")))
-        .withColumn("hsh", expr(shingleHashExpr))
-        .withColumn("n_sh", size(col("hsh")))
-      // exploded tokens stay SLIM (no shingle array): the df join and the
-      // per-doc rank shuffle move |tokens| scalar rows, not |tokens| copies
-      // of each document's full shingle array — the arrays are re-attached
-      // by one linear doc_id join only after the prefix (a few tokens per
-      // doc) has been selected
-      val toks = base.select(col("doc_id"), col("lang"),
-        col("n_sh"), explode(col("hsh")).as("tok"))
-      // global token order: (df, tok) — deterministic, computed per-lang
-      // corpus-wide; the join is a plain shuffled equi-join on tok (the
-      // vocabulary can be arbitrarily large, so no broadcast)
-      val dfreq = toks.groupBy(col("lang"), col("tok"))
-        .agg(count(lit(1)).as("df"))
-      val prefIds = toks.join(dfreq, Seq("lang", "tok"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id"))
-            .orderBy(col("df"), col("tok"))))
-        .filter(col("rk") <=
-          greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
-        .select(col("doc_id"), col("rk"), col("tok").as("ptok"))
-      val pref = prefIds.join(
-        base.select(col("doc_id"), col("lang"), col("hsh"), col("n_sh")),
-        Seq("doc_id"))
-      // Everything stays INSIDE the join condition — candidates are never
-      // materialized (a candidate-materialize + fetch-arrays variant OOMs
-      // at 100×: 7.9M candidates per 5k docs means ~786M slim rows to
-      // distinct). Filter order, cheap to expensive:
-      //  1. size-ratio prune (two int muls);
-      //  2. PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): for a
-      //     shared token at ranks (i, j) of the df order, total overlap
-      //     ≤ 1 + min(nₓ−i, n_y−j); jaccard ≥ 0.8 needs overlap ≥
-      //     4/9·(nₓ+n_y), so 9·(1+min(nₓ−rkₓ, n_y−rk_y)) < 4·(nₓ+n_y)
-      //     rejects with int math before any array work. Result-
-      //     preserving: a qualifying pair's FIRST shared prefix token has
-      //     the minimal ranks, where the bound is loosest and must hold
-      //     (every other shared token sits after it in both docs).
-      //     Measured 7.86M → 1.84M candidates at sf0.1 (4.3×) before the
-      //     intersect ever runs;
-      //  3. exact sorted-merge intersect, evaluated once.
-      pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
-          col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
-          (lit(1) + least(col("x.n_sh") - col("x.rk"), col("y.n_sh") - col("y.rk"))) * 9 >=
-            (col("x.n_sh") + col("y.n_sh")) * 4 &&
-          expr(jacGe08("x.hsh, y.hsh", "x.n_sh", "y.n_sh")))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
-            "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
-        .dropDuplicates("doc_a", "doc_b")
-    }),
+    "dedup_jaccard_ppjoin" -> ppjoinPairs(blockByLang = true),
 
     // ---- minhash + LSH banding (scale path for the above) ----
     // 16 hashes, 4 bands of 4: docs sharing any band bucket are candidates;
@@ -397,6 +434,102 @@ object PipelineQueries {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
         .dropDuplicates("doc_a", "doc_b")
+    }),
+
+    // ---- dedup recall pinned by the DRIVER (r6; the r5 sim_ann_*_recall
+    // pattern): each banding variant's pair set is measured against an
+    // oracle-checkable truth set as one deterministic boolean row. ----
+    // Minhash-LSH truth = UNBLOCKED exact jaccard ≥ 0.8 (ppjoin with a
+    // global token order — the LSH variant does not block on lang, so its
+    // recall must be judged against the cross-lang pair set; DuckDB
+    // recomputes that truth count independently).
+    "dedup_minhash_lsh_recall" -> ((s, dir) => {
+      val truth = ppjoinPairs(blockByLang = false)(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val found = queries("dedup_minhash_lsh")(s, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), (col("n_hit") === col("n_true")).as("recall_ok"))
+    }),
+    // 4×16 banding finds EVERY hamming ≤ 3 pair by pigeonhole (3 flipped
+    // bits leave at least one of 4 bands clean); Manku rotate-and-prefix
+    // recall at ≤ 3 is the paper's regime, measured 1.000 in
+    // SimhashMankuSpec — both now pinned as driver rows.
+    "dedup_simhash_recall" -> simhashRecall("dedup_simhash", 3),
+    "dedup_simhash_manku_recall" -> simhashRecall("dedup_simhash_manku", 3),
+
+    // ---- exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): pairs of documents
+    // sharing an exact run of ≥ 8 consecutive words. The paper builds
+    // one corpus-wide suffix array; the distributed analog is gram
+    // blocking — every 8-word gram is a candidate key, the join is an
+    // equi-join on the gram, and a pair's shared-gram count is its
+    // evidence mass. A gram's bucket is the set of docs containing that
+    // EXACT 8-word run, so bucket sizes are bounded by duplication
+    // itself (boilerplate clusters), not corpus size — the same
+    // linear-shape argument as minhash bands, but exact. ----
+    "dedup_substring" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("ws", split(normText(col("text")), " "))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(ws) - 8), " +
+            "i -> array_join(slice(ws, i + 1, 8), ' ')))")).as("gram"))
+      grams.hint("merge").as("x").join(grams.hint("merge").as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+    // ---- stratified (quota) sampling: exact n-per-source retention by
+    // content-addressed rank — the "balance the mixture to fixed
+    // quotas" stage of a pipeline. Rank = row_number over the Knuth-
+    // hash order within each source: deterministic, engine-independent,
+    // reproducible under any partitioning (a rand() reservoir is none
+    // of those). One window pass; the partition-by-source window is
+    // the same shuffle a groupBy(source) costs. ----
+    "pipeline_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy((col("doc_id") * lit(2654435761L) % lit(4294967296L)),
+              col("doc_id"))))
+        .withColumn("quota",
+          when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0,
+            10).otherwise(25))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= col("quota"), col("doc_id")).otherwise(lit(0L)))
+            .as("kept_id_sum"))
+    }),
+
+    // ---- incremental dedup: a new crawl slice (doc_id ≡ 4 mod 5)
+    // checked against the EXISTING corpus — the steady-state shape of a
+    // production pipeline: pair generation is increment×corpus, never
+    // corpus×corpus, so a daily increment costs |increment|·df instead
+    // of re-pairing 100 TB. Exact dups via fingerprint semi-join;
+    // near-dups by restricting the unblocked exact pair set to pairs
+    // that cross the increment boundary. ----
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fingerprint", md5(normText(col("text"))))
+      val newDocs = docs.filter(col("doc_id") % 5 === 4)
+      val oldFps = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("fingerprint")).distinct().withColumn("em", lit(1))
+      val crossPairs = ppjoinPairs(blockByLang = false)(s, dir)
+        .filter((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4))
+      val nearIds = crossPairs
+        .select(when(col("doc_a") % 5 === 4, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id")).distinct()
+        .withColumn("nm", lit(1))
+      newDocs.join(oldFps, Seq("fingerprint"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("em") === 1, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("nm") === 1, 1L).otherwise(0L)).as("n_near_dup"))
     }),
 
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
@@ -969,6 +1102,69 @@ object PipelineQueries {
     "dedup_jaccard" -> jaccardOracle,
     // prefix filtering is result-preserving → the SAME oracle pins it
     "dedup_jaccard_ppjoin" -> jaccardOracle,
+    // DuckDB independently recomputes the UNBLOCKED exact-jaccard truth
+    // count (no lang join — the LSH variant pairs across languages);
+    // recall_ok is the banding's claim, deterministic given the hashes
+    "dedup_minhash_lsh_recall" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t)
+        |SELECT count(*) AS n_true, true AS recall_ok
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |      greatest(len(a.shingles), len(b.shingles)) * 4
+        |WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin,
+    // simhash fingerprints are not DuckDB-computable (xxhash64 tokens);
+    // the truth side is Spark's exhaustive hamming scan, so the oracle
+    // states the deterministic booleans the row must reach
+    "dedup_simhash_recall" ->
+      "SELECT true AS truth_nonempty, true AS recall_ok",
+    "dedup_simhash_manku_recall" ->
+      "SELECT true AS truth_nonempty, true AS recall_ok",
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
+        |        FROM w WHERE len(ws) >= 8)))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "pipeline_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+        |  CASE WHEN regexp_extract(source, '\d+')::int % 2 = 0
+        |       THEN 10 ELSE 25 END AS quota
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |  sum(CASE WHEN rk <= quota THEN doc_id ELSE 0 END)::bigint AS kept_id_sum
+        |FROM r GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup""".stripMargin,
     // TF-IDF cosine restated term by term (same df-cap prune, natural
     // log); threshold sits in the similarity gap so last-ULP sum-order
     // differences cannot flip membership, and cos rounds to 6 dp

@@ -382,13 +382,28 @@ object TpchQueries {
 
     // Q18-style: large-volume orders — HAVING over grouped sum, then join
     // back to headers (semi-join on the aggregated key set).
+    //
+    // Exchange diet (r5 soak finding: q18 was the worst headline ratio at
+    // 100×): the HAVING passes ~20% of orders at this threshold, so in
+    // the post-broadcast regime the old plan shuffled orders, the join
+    // result AND customer. The top-100 is computed BEFORE the customer
+    // join: o_custkey → customer is a 1:1 FK lookup (TPC-H integrity), so
+    // it commutes with the limit, and TakeOrderedAndProject is
+    // exchange-free (per-partition top-K, driver merge). The customer
+    // side becomes a 100-row broadcast probe instead of a full shuffle —
+    // two scaling exchanges gone, identical result.
     "tpch_q18" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("big_orderkey"))
         .agg(sum("l_quantity").as("sum_qty"))
         .filter(col("sum_qty") > 150)
-      t(s, dir, "orders")
+      val top = t(s, dir, "orders")
         .join(big, col("o_orderkey") === col("big_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+      broadcast(top)
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))

@@ -47,6 +47,17 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("WindowGroupLimit"), s)
   }
 
+  test("tpch_q18 takes the top-100 before the customer join (broadcast probe, no customer shuffle)") {
+    val s = plan(q("tpch_q18")).toString
+    // the limit must sit BELOW the customer join: a TakeOrderedAndProject
+    // feeds the broadcast side, so the customer table is probed by ≤100
+    // rows instead of being shuffled (the r5 soak's scaling exchange)
+    val bcastIdx = s.indexOf("BroadcastExchange")
+    val topIdx = s.indexOf("TakeOrderedAndProject", bcastIdx)
+    assert(bcastIdx >= 0 && topIdx > bcastIdx,
+      s"expected TakeOrderedAndProject under the broadcast side:\n$s")
+  }
+
   test("dedup_minhash_lsh candidate join is an equi-join, not cartesian") {
     val s = plan(q("dedup_minhash_lsh")).toString
     assert(!s.contains("CartesianProduct"), s)
