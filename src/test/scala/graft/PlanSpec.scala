@@ -63,6 +63,11 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("dedup_substring gram join is an equi-join, not cartesian") {
+    val s = plan(q("dedup_substring")).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+  }
+
   test("dedup_jaccard blocks on language (no cartesian product)") {
     val s = plan(q("dedup_jaccard")).toString
     assert(!s.contains("CartesianProduct"), s)

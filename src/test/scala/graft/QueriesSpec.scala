@@ -57,6 +57,29 @@ class QueriesSpec extends GraftSuite {
     assert(p > 0.02 && p < 0.09, s"sample fraction $p")
   }
 
+  test("stratified sample is deterministic: hash rank selects the same docs under any partitioning") {
+    import org.apache.spark.sql.functions._
+    // the content-addressed rank must not depend on physical layout —
+    // recompute the kept-id sum from a deliberately re-partitioned scan
+    // and compare with the query's own answer
+    val expected = rows("pipeline_stratified_sample")
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        r.getLong(r.fieldIndex("kept_id_sum"))).toMap
+    val docs = graft.engine.Tables.load(spark, sfTiny, "documents")
+      .repartition(13, col("lang")) // different layout than the query's scan
+    val again = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("doc_id") * lit(2654435761L) % lit(4294967296L), col("doc_id"))))
+      .withColumn("quota",
+        when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0, 10)
+          .otherwise(25))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source")).agg(sum(col("doc_id")).as("kept_id_sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == expected && expected.nonEmpty)
+  }
+
   test("qdigest sketch quantiles within 1% relative error of exact") {
     val sk = rows("sketch_qdigest").head
     val exact = graft.engine.Tables.load(spark, sfTiny, "lineitem")
