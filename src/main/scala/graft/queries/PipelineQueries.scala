@@ -483,6 +483,38 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // ---- exact-substring REMOVAL (the actual dedup step of Lee et al.
+    // 2022, not just pair flagging): every word covered by an 8-word run
+    // that appears in MORE THAN ONE document is boilerplate and is
+    // stripped; the document keeps its unique content. Shape: gram
+    // df-aggregation + one gram equi-join + per-doc position set — all
+    // linear, no pair joins at any corpus size (the removal decision is
+    // per-gram, not per-pair, which is what makes the REMOVE op cheaper
+    // than the pair op at 100 TB). Output carries md5 of the cleaned
+    // text so the oracle pins the exact reconstruction. ----
+    "text_strip_boilerplate" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("ws", split(normText(col("text")), " "))
+        .select(col("doc_id"), col("ws"))
+      val grams = base.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 8), i -> array_join(slice(ws, i + 1, 8), ' '))"))
+          .as(Seq("i", "gram")))
+      val dup = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("gram"))
+      val covered = grams.join(dup, "gram")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("widx"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(collect_set(col("widx")).as("cov"))
+      base.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("ws")).as("n_words"),
+          coalesce(size(col("cov")), lit(0)).as("n_removed"),
+          md5(expr(
+            "array_join(filter(ws, (x, i) -> NOT array_contains(coalesce(cov, array()), i)), ' ')"))
+            .as("cleaned_fingerprint"))
+    }),
+
     // ---- stratified (quota) sampling: exact n-per-source retention by
     // content-addressed rank — the "balance the mixture to fixed
     // quotas" stage of a pipeline. Rank = row_number over the Knuth-
@@ -1135,6 +1167,28 @@ object PipelineQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_grams
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // DuckDB list indexing is 1-based where Spark's lambda index is
+    // 0-based — each side is internally consistent, and md5 of the
+    // reconstructed text pins cross-engine agreement exactly.
+    // array_to_string of an empty list is NULL in DuckDB (Spark's
+    // array_join gives ''), hence the coalesce.
+    "text_strip_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
+        |            FROM w WHERE len(ws) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, list(DISTINCT widx) AS cov FROM (
+        |  SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS widx
+        |  FROM g JOIN dup USING (gram)) GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::int AS n_words,
+        |  coalesce(len(cov.cov), 0)::int AS n_removed,
+        |  md5(coalesce(array_to_string(list_filter(w.ws,
+        |    (x, i) -> NOT coalesce(list_contains(cov.cov, i), false)), ' '), ''))
+        |    AS cleaned_fingerprint
+        |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id""".stripMargin,
     "pipeline_stratified_sample" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

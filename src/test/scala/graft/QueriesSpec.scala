@@ -144,6 +144,33 @@ class QueriesSpec extends GraftSuite {
     assert(recallPq >= 0.25, s"IVF-PQ recall $recallPq")
   }
 
+  test("boilerplate removal strips exactly the cross-doc duplicated runs") {
+    import org.apache.spark.sql.functions._
+    // two docs share one 8-word run; a third is fully unique. The shared
+    // run's 8 words (and only those) must be removed from both carriers;
+    // the unique doc must reconstruct verbatim.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    val docs = Seq(
+      (1L, s"one two three $shared four five six", "en", "s1"),
+      (2L, s"$shared seven eight nine ten eleven twelve", "en", "s2"),
+      (3L, "completely unique words that repeat in no other document here", "en", "s3"))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_strip_boilerplate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(out(1L).fieldIndex("n_removed")) == 8)
+    assert(out(2L).getInt(out(2L).fieldIndex("n_removed")) == 8)
+    assert(out(3L).getInt(out(3L).fieldIndex("n_removed")) == 0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getString(out(1L).fieldIndex("cleaned_fingerprint")) ==
+      md5hex("one two three four five six"))
+    assert(out(3L).getString(out(3L).fieldIndex("cleaned_fingerprint")) ==
+      md5hex("completely unique words that repeat in no other document here"))
+  }
+
   test("minhash-LSH recalls most exact-jaccard pairs (sf0.01)") {
     // exact query blocks by lang; LSH does not — compare on the common
     // (same-lang) pair space and require the standard LSH recall band
