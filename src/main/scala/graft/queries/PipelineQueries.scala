@@ -234,6 +234,66 @@ object PipelineQueries {
         (col("n_hit") === col("n_true")).as("recall_ok"))
   }
 
+  /** Deterministic Lloyd k-means over integer-quantized embeddings,
+    * shared by `cluster_kmeans` and `dedup_semantic` (SemDeDup blocking).
+    *
+    * Why quantized: a float k-means is not oracle-able — summation order
+    * flips assignments near ties. Quantizing each coordinate to
+    * `round(x*1000)` (a bigint) makes every distance comparison exact
+    * integer arithmetic: d(v, c_j) ∝ Σ_i (q_i·cnt_j − S_ij)² / cnt_j²
+    * where centroids are kept as exact rationals (coordinate-sum vector
+    * S, member count cnt). All intermediate values are integer-valued
+    * doubles, so addition is exact and order-independent — the same
+    * bits in Spark and DuckDB, and ties break on cluster id.
+    *
+    * Scale shape (the production pattern, same as MLlib's): centroids
+    * live on the driver between iterations — k·64 longs, a bounded
+    * collect — and are broadcast as a literal 8-row relation, so each
+    * iteration is one scan-stage assignment (crossJoin with a broadcast
+    * of k rows, argmin via a k-row window per vector) plus one
+    * (cid, dim)-keyed recompute aggregation with map-side partials.
+    * Iterations are independent jobs — nothing recursive in the plan.
+    *
+    * @return (final assignment (vec_id, cid, q), final centroids
+    *         (cid, cs: array<long> sums, cn: count))
+    */
+  private def kmeansQuantized(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))"))
+      .select(col("vec_id"), col("q"))
+    // seeds: the k lowest vec_ids (deterministic, data-independent)
+    var cents: Seq[(Int, Seq[Long], Long)] = e.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Long](r.fieldIndex("q")), 1L) }.toSeq
+    val dExpr = "aggregate(zip_with(q, cs, (qi, si) -> " +
+      "cast(qi * cn - si AS double) * cast(qi * cn - si AS double)), 0D, " +
+      "(a, x) -> a + x) / (cast(cn AS double) * cast(cn AS double))"
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("cid", "cs", "cn"))
+      assigned = e.crossJoin(cdf)
+        .withColumn("d", expr(dExpr))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("q"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim")).agg(sum(col("v")).as("sv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("cs"))
+        .join(assigned.groupBy(col("cid")).agg(count(lit(1)).as("cn")), "cid")
+        .collect().map(r => (r.getInt(r.fieldIndex("cid")),
+          r.getSeq[Long](r.fieldIndex("cs")), r.getLong(r.fieldIndex("cn"))))
+        .toSeq.sortBy(_._1)
+    }
+    (assigned, broadcast(cents.toDF("cid", "cs", "cn")))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on normalized content ----
     "dedup_exact" -> ((s, dir) => {
@@ -808,6 +868,46 @@ object PipelineQueries {
     "sim_ann_ivf_recall" -> annRecall("sim_ann_ivf", 0.30),
     "sim_ann_ivfpq_recall" -> annRecall("sim_ann_ivfpq", 0.25),
 
+    // ---- k-means document clustering (the curation workhorse behind
+    // semantic dedup, data mixing and topic balancing): k=8, 3 full
+    // Lloyd iterations over integer-quantized embeddings — exact-math
+    // deterministic, so the whole ITERATIVE algorithm sits under a
+    // hash-exact DuckDB oracle (unrolled CTEs), not a rows-only check.
+    // Output: per-cluster membership count, member-id checksum, and the
+    // exact centroid norm sqrt(Σ S_i²)/(cnt·1000). ----
+    "cluster_kmeans" -> ((s, dir) => {
+      val (assigned, cents) = kmeansQuantized(s, dir, k = 8, iters = 3)
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+        .join(cents.withColumn("cent_norm", round(
+          sqrt(expr("aggregate(cs, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))"))
+            / (col("cn").cast("double") * lit(1000.0)), 6))
+          .select(col("cid"), col("cent_norm")), "cid")
+        .select(col("cid"), col("n_members"), col("id_sum"), col("cent_norm"))
+    }),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic near-dup pairs found
+    // WITHIN k-means clusters — the clustering IS the blocking, so the
+    // quadratic pair join only runs inside a cluster. At corpus scale k
+    // grows with N (SemDeDup uses 50k clusters for 100M docs) keeping
+    // cluster sizes bounded; here the candidate join is an equi-join on
+    // cid. Cosine over the quantized vectors is exact integer math →
+    // the pair SET is bit-identical across engines and oracle-exact —
+    // unlike float cosines, where a last-ulp difference at the
+    // threshold boundary silently flips membership. ----
+    "dedup_semantic" -> ((s, dir) => {
+      val (assigned, _) = kmeansQuantized(s, dir, k = 8, iters = 3)
+      val cosExpr = "aggregate(zip_with(qa, qb, (x, y) -> cast(x * y AS double)), 0D, (a, v) -> a + v) / " +
+        "(sqrt(aggregate(qa, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))) * " +
+        "sqrt(aggregate(qb, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))))"
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("id_b"), col("q").as("qb"))
+      a.join(b, col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", round(expr(cosExpr), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("cid"), col("id_a"), col("id_b"), col("cos"))
+    }),
+
     // ---- text analysis: tokenization + quality scoring ----
     // ---- the whole training-data pipeline as ONE composed query:
     // quality filter (Gopher pass flag) ∘ near-dup cluster resolution
@@ -1016,6 +1116,59 @@ object PipelineQueries {
           first(col("rate")).as("rate"))
     }),
 
+    // ---- temperature-weighted mixture sampling (the α-scaled source
+    // re-balancing of multilingual/multi-source pretraining mixes, à la
+    // GPT-3 / LLaMA data recipes): target share of source s ∝ n_s^α with
+    // α = 0.5 — spelled sqrt(n_s), which is correctly rounded IEEE in
+    // both engines (pow(x, .5) is not). Per-doc keep is the same
+    // content-addressed Knuth-hash draw as pipeline_mixture_sample —
+    // RNG-free, reproducible under any partitioning. Rates are rounded
+    // to 9 dp so the one order-dependent reduction (Σ_s sqrt(n_s), 20
+    // terms, ≤1 ulp drift) cannot flip a keep decision at the
+    // hash-vs-rate boundary. Scale: two source-keyed aggregates (map-
+    // side partials) + a broadcast of |sources| rate rows onto the scan.
+    "pipeline_temperature_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val denom = perSrc.agg(
+        sum(sqrt(col("n_total").cast("double"))).as("z"),
+        sum(col("n_total")).cast("double").as("n"))
+      val rates = perSrc.crossJoin(broadcast(denom))
+        .withColumn("rate", least(lit(1.0), round(
+          sqrt(col("n_total").cast("double")) / col("z") * col("n") * lit(0.5)
+            / col("n_total").cast("double"), 9)))
+        .select(col("source"), col("n_total"), col("rate"))
+      docs.join(broadcast(rates), "source")
+        .withColumn("u",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L)).cast("double")
+            / lit(4294967296.0))
+        .groupBy(col("source"))
+        .agg(first(col("n_total")).as("n_total"), first(col("rate")).as("rate"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("u") < col("rate"), col("doc_id"))), lit(0L))
+            .as("kept_id_sum"))
+    }),
+
+    // ---- unigram cross-entropy quality score (the CCNet/KenLM
+    // perplexity-filter shape with the corpus itself as the LM): score =
+    // mean −ln p(w) under the corpus unigram distribution; prose full of
+    // rare words scores high, boilerplate full of stock words scores
+    // low. Shape at scale: one token explode, one token-keyed df
+    // aggregate (map-side partials), one token equi-join back (vocab ≪
+    // corpus → broadcast or AQE-skew-handled shuffle; heavy-hitter
+    // tokens are exactly the rows a broadcast join keeps shuffle-free),
+    // one doc-keyed aggregate. No pair joins, nothing quadratic. ----
+    "text_unigram_xent" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+      toks.join(vocab, "tok").crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("cnt").cast("double") / col("tot")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("xent"))
+    }),
+
     // ---- repetition filter: the other half of the Gopher/MassiveText
     // quality rules — a document dominated by one repeated word or
     // bigram is boilerplate, not prose. Share-of-most-common word and
@@ -1126,7 +1279,84 @@ object PipelineQueries {
       |WHERE len(list_intersect(a.shingles, b.shingles))::double /
       |      len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8""".stripMargin
 
+  /** Unrolled DuckDB replica of [[kmeansQuantized]] (k=8, 3 Lloyd
+    * iterations) — exact integer math end-to-end (see the helper's
+    * Scaladoc), so the iterative algorithm is hash-comparable: c0 =
+    * seed centroids from the 8 lowest vec_ids, aN = argmin assignment
+    * against c(N−1) with (distance, cid) tie-break, cN = per-cluster
+    * coordinate sums + member counts. Row-exploded (vec_id, dim, v)
+    * representation; DuckDB lists are 1-based. */
+  private val kmeansCtes: String = {
+    def assign(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT qd.vec_id, c.cid, row_number() OVER (PARTITION BY qd.vec_id
+         |    ORDER BY sum((qd.v * c.cn - c.sv) * (qd.v * c.cn - c.sv))::double
+         |      / (any_value(c.cn) * any_value(c.cn)), c.cid) AS rk
+         |  FROM qd JOIN $c c USING (dim) GROUP BY qd.vec_id, c.cid)
+         |  WHERE rk = 1)""".stripMargin
+    def recompute(c: String, m: String, a: String) =
+      s"""$m AS (SELECT cid, count(*)::bigint AS cn FROM $a GROUP BY cid),
+         |$c AS (SELECT $a.cid, qd.dim, sum(qd.v) AS sv, any_value($m.cn) AS cn
+         |  FROM $a JOIN qd USING (vec_id) JOIN $m ON $m.cid = $a.cid
+         |  GROUP BY $a.cid, qd.dim)""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS qv
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, i AS dim, qv[i] AS v
+       |  FROM q, (SELECT unnest(range(1, 65)) AS i)),
+       |n0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id
+       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT n0.cid, qd.dim, qd.v AS sv, 1::bigint AS cn
+       |  FROM n0 JOIN qd USING (vec_id)),
+       |${assign("a1", "c0")},
+       |${recompute("c1", "m1", "a1")},
+       |${assign("a2", "c1")},
+       |${recompute("c2", "m2", "a2")},
+       |${assign("a3", "c2")},
+       |${recompute("c3", "m3", "a3")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "cluster_kmeans" -> (kmeansCtes +
+      """,
+        |cn3 AS (SELECT cid, round(sqrt(sum(sv * sv)) / (any_value(cn) * 1000.0), 6) AS cent_norm
+        |  FROM c3 GROUP BY cid)
+        |SELECT a3.cid::int AS cid, count(*)::bigint AS n_members,
+        |  sum(a3.vec_id)::bigint AS id_sum, any_value(cn3.cent_norm) AS cent_norm
+        |FROM a3 JOIN cn3 USING (cid) GROUP BY a3.cid""".stripMargin),
+    "dedup_semantic" -> (kmeansCtes +
+      """,
+        |p AS (SELECT ax.cid, ax.vec_id AS id_a, ay.vec_id AS id_b
+        |  FROM a3 ax JOIN a3 ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id)
+        |SELECT * FROM (
+        |  SELECT p.cid::int AS cid, p.id_a, p.id_b,
+        |    round(sum(dx.v * dy.v)::double /
+        |      (sqrt(sum(dx.v * dx.v)) * sqrt(sum(dy.v * dy.v))), 6) AS cos
+        |  FROM p JOIN qd dx ON dx.vec_id = p.id_a
+        |    JOIN qd dy ON dy.vec_id = p.id_b AND dy.dim = dx.dim
+        |  GROUP BY p.cid, p.id_a, p.id_b)
+        |WHERE cos >= 0.35""".stripMargin),
+    "pipeline_temperature_mixture" ->
+      """WITH ps AS (SELECT source, count(*)::bigint AS n_total FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(n_total::double)) AS z, sum(n_total)::double AS n FROM ps),
+        |r AS (SELECT source, n_total,
+        |  least(1.0, round(sqrt(n_total::double) / z * n * 0.5 / n_total::double, 9)) AS rate
+        |  FROM ps CROSS JOIN z)
+        |SELECT d.source, any_value(r.n_total) AS n_total, any_value(r.rate) AS rate,
+        |  sum(CASE WHEN (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 < r.rate
+        |      THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |  coalesce(sum(CASE WHEN (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 < r.rate
+        |      THEN d.doc_id END), 0)::bigint AS kept_id_sum
+        |FROM documents d JOIN r USING (source) GROUP BY d.source""".stripMargin,
+    "text_unigram_xent" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*)::bigint AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(cnt)::double AS tot FROM v)
+        |SELECT doc_id, count(*)::bigint AS n_tokens,
+        |  round(avg(-ln(cnt::double / tot)), 6) AS xent
+        |FROM tok JOIN v USING (tok) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_copies

@@ -68,6 +68,22 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
   }
 
+  test("dedup_semantic pair join is an equi-join on the cluster id") {
+    val s = plan(q("dedup_semantic")).toString
+    assert(!s.contains("CartesianProduct"), s)
+    // the only nested-loop allowed is the 8-row broadcast centroid
+    // assignment; the PAIR join itself must hash/merge on cid
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), s)
+  }
+
+  test("text_unigram_xent is scan + aggregates, no pair joins") {
+    val s = plan(q("text_unigram_xent")).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop")
+      || s.contains("BroadcastNestedLoop"), s) // 1-row total crossJoin only
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("dedup_jaccard blocks on language (no cartesian product)") {
     val s = plan(q("dedup_jaccard")).toString
     assert(!s.contains("CartesianProduct"), s)

@@ -171,6 +171,54 @@ class QueriesSpec extends GraftSuite {
       md5hex("completely unique words that repeat in no other document here"))
   }
 
+  test("kmeans partitions the corpus into k nonempty clusters") {
+    val km = rows("cluster_kmeans")
+    val n = graft.engine.Tables.load(spark, sfTiny, "embeddings").count()
+    assert(km.map(r => r.getLong(r.fieldIndex("n_members"))).sum == n)
+    assert(km.length == 8)
+    assert(km.forall(r => r.getLong(r.fieldIndex("n_members")) > 0))
+  }
+
+  test("semantic dedup pairs lie within clusters, ordered, above threshold (sf0.01)") {
+    val pairs = SparkEntry.queries("dedup_semantic")(spark, "/root/testdata/sf0.01").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("cos")) >= 0.35)
+      assert(r.getLong(r.fieldIndex("id_a")) < r.getLong(r.fieldIndex("id_b")))
+    }
+  }
+
+  test("unigram xent scores rare-word prose above repeated-stock-word text") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("xent").toString
+    val docs = Seq(
+      (1L, "apple banana cherry dragon elder fig grape", "en", "s1"),
+      (2L, "the the the the the the the", "en", "s2"),
+      (3L, "the and of to in for with", "en", "s3"))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_unigram_xent")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(out(1L).fieldIndex("n_tokens")) == 7)
+    val x1 = out(1L).getDouble(out(1L).fieldIndex("xent"))
+    val x2 = out(2L).getDouble(out(2L).fieldIndex("xent"))
+    assert(x1 > x2, s"unique-word doc $x1 should outscore repeated-word doc $x2")
+  }
+
+  test("temperature mixture flattens: smaller sources keep at higher rates") {
+    val r = SparkEntry.queries("pipeline_temperature_mixture")(spark, "/root/testdata/sf0.01")
+      .collect().map(row => (row.getLong(row.fieldIndex("n_total")),
+        row.getDouble(row.fieldIndex("rate")), row.getLong(row.fieldIndex("n_kept"))))
+    assert(r.forall { case (_, rate, _) => rate > 0.0 && rate <= 1.0 })
+    assert(r.forall { case (n, _, kept) => kept <= n })
+    // rate = 0.5·N/(z·√n) is strictly decreasing in source size
+    val sorted = r.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((na, ra, _), (nb, rb, _)) =>
+      assert(na == nb || ra >= rb, s"rate not monotone: n=$na r=$ra vs n=$nb r=$rb")
+    }
+  }
+
   test("minhash-LSH recalls most exact-jaccard pairs (sf0.01)") {
     // exact query blocks by lang; LSH does not — compare on the common
     // (same-lang) pair space and require the standard LSH recall band
