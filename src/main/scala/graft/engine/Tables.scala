@@ -46,11 +46,22 @@ object Tables {
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      // `events.ts` has shipped as TIMESTAMP(NANOS) (unreadable except as
+      // raw nanos) and as TIMESTAMP(MICROS, ntz) in different fixture
+      // generations; accept either, normalizing to the engine's
+      // session-zoned microsecond timestamps (session tz is pinned UTC,
+      // so the ntz→ltz cast is the identity on the epoch value).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
