@@ -31,4 +31,23 @@ object SessionDefaults {
     // only when every partition ≤ 64 MB, keeping the small-scale hash
     // build win without the large-scale OOM.
     .config("spark.sql.adaptive.shuffleHashJoinLocalMapThreshold", "64m")
+    // AQE partition COALESCING is off; the rest of AQE (skew-join split,
+    // SMJ→SHJ local-map conversion, runtime replans) stays on. Two
+    // measured reasons (r7 ppjoin variance investigation, PpjoinProbe):
+    // 1. Coalescing is byte-based (advisory 64 MB / min 1 MB targets),
+    //    which starves CPU-DENSE, byte-light stages of parallelism: the
+    //    shingle-intersect self-join collapsed from 131 tasks to 45,
+    //    concentrating seconds of per-row kernel CPU onto 3-4 threads.
+    // 2. The coalesce specs vary run to run, so the post-coalesce stages
+    //    compile fresh generated classes each execution; hot call sites
+    //    go megamorphic and the JIT deoptimizes — identical data flipped
+    //    between 2 s (compiled) and 30 s (interpreted, 12× task CPU)
+    //    nondeterministically. With coalescing off: stable 2.0-2.5 s
+    //    over 16 consecutive runs, no storms.
+    // At cluster scale the engine's guidance is the same one Spark's own
+    // docs give when shuffle.partitions is sized to the cluster (we pin
+    // it to the core count): coalescing then only merges the partitions
+    // you deliberately provisioned. Skew handling — the half of AQE this
+    // workload actually needs at 100 TB — is unaffected.
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
 }

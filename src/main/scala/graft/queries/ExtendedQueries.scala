@@ -540,16 +540,16 @@ object ExtendedQueries {
     "stmt_transaction" ->
       "SELECT count(*) AS n FROM nation",
     // the physical plan of a single-key parquet group-by at local[32]
-    // under AQE: final agg over a coalesced shuffle read of the partial
-    // agg over the columnar scan — row counts are exact, not sampled
+    // under AQE with partition coalescing disabled (SessionDefaults, r7):
+    // final agg directly over the shuffle of the partial agg over the
+    // columnar scan — row counts are exact, not sampled
     "stmt_explain_analyze" ->
       """SELECT * FROM (VALUES
         |  (0, 'HashAggregate', 5::bigint),
-        |  (1, 'AQEShuffleRead', NULL::bigint),
-        |  (2, 'Exchange', NULL::bigint),
-        |  (3, 'HashAggregate', 5::bigint),
-        |  (4, 'ColumnarToRow', 25::bigint),
-        |  (5, 'Scan', 25::bigint)) AS t(step, operator, output_rows)""".stripMargin,
+        |  (1, 'Exchange', NULL::bigint),
+        |  (2, 'HashAggregate', 5::bigint),
+        |  (3, 'ColumnarToRow', 25::bigint),
+        |  (4, 'Scan', 25::bigint)) AS t(step, operator, output_rows)""".stripMargin,
     "stmt_show_columns" ->
       """SELECT * FROM (VALUES
         |  ('n_nationkey', 'int', '', ''),
