@@ -150,6 +150,20 @@ object PipelineQueries {
     * is blocking-free, so both variants are exact for their pair domain.
     */
   private def ppjoinPairs(blockByLang: Boolean): Q = (s, dir) => {
+    val pref = ppjoinPrefixes(s, dir, blockByLang)
+    ppjoinVerifiedPairs(pref, pref, selfJoin = true)
+  }
+
+  /** The PPJoin prefix stage: per-doc prefix rows (doc_id, lang, rk,
+    * ptok, hsh, n_sh) under the corpus-wide ascending-(df, tok) order.
+    * Shared by the self-join (`ppjoinPairs`) and the one-sided
+    * incremental variant (`dedup_incremental`), which restricts ONE side
+    * of the pair join to the increment's prefixes — the prefix theorem
+    * needs only a consistent global token order across both sides, so
+    * prefixes computed once over the full corpus serve both.
+    */
+  private def ppjoinPrefixes(s: SparkSession, dir: String,
+      blockByLang: Boolean): DataFrame = {
     val base0 = t(s, dir, "documents")
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
@@ -176,28 +190,44 @@ object PipelineQueries {
       .filter(col("rk") <=
         greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
       .select(col("doc_id"), col("rk"), col("tok").as("ptok"))
-    val pref = prefIds.join(
+    prefIds.join(
       base.select(col("doc_id"), col("lang"), col("hsh"), col("n_sh")),
       Seq("doc_id"))
-    // Everything stays INSIDE the join condition — candidates are never
-    // materialized (a candidate-materialize + fetch-arrays variant OOMs
-    // at 100×: 7.9M candidates per 5k docs means ~786M slim rows to
-    // distinct). Filter order, cheap to expensive:
-    //  1. size-ratio prune (two int muls);
-    //  2. PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): for a
-    //     shared token at ranks (i, j) of the df order, total overlap
-    //     ≤ 1 + min(nₓ−i, n_y−j); jaccard ≥ 0.8 needs overlap ≥
-    //     4/9·(nₓ+n_y), so 9·(1+min(nₓ−rkₓ, n_y−rk_y)) < 4·(nₓ+n_y)
-    //     rejects with int math before any array work. Result-
-    //     preserving: a qualifying pair's FIRST shared prefix token has
-    //     the minimal ranks, where the bound is loosest and must hold
-    //     (every other shared token sits after it in both docs).
-    //     Measured 7.86M → 1.84M candidates at sf0.1 (4.3×) before the
-    //     intersect ever runs;
-    //  3. exact sorted-merge intersect, evaluated once.
-    pref.hint("merge").as("x").join(pref.hint("merge").as("y"),
+  }
+
+  /** The PPJoin pair-verify stage over two prefix sets. `selfJoin = true`
+    * is the classic self-pairing (doc_a < doc_b dedups the symmetric
+    * pair); `false` pairs every px doc against every py doc — used when
+    * the two sides are DISJOINT partitions of the corpus (increment vs
+    * existing), where each cross pair appears exactly once per shared
+    * prefix token and doc order must not drop the (new, old) pairs with
+    * new.doc_id > old.doc_id.
+    *
+    * Everything stays INSIDE the join condition — candidates are never
+    * materialized (a candidate-materialize + fetch-arrays variant OOMs
+    * at 100×: 7.9M candidates per 5k docs means ~786M slim rows to
+    * distinct). Filter order, cheap to expensive:
+    *  1. size-ratio prune (two int muls);
+    *  2. PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): for a
+    *     shared token at ranks (i, j) of the df order, total overlap
+    *     ≤ 1 + min(nₓ−i, n_y−j); jaccard ≥ 0.8 needs overlap ≥
+    *     4/9·(nₓ+n_y), so 9·(1+min(nₓ−rkₓ, n_y−rk_y)) < 4·(nₓ+n_y)
+    *     rejects with int math before any array work. Result-
+    *     preserving: a qualifying pair's FIRST shared prefix token has
+    *     the minimal ranks, where the bound is loosest and must hold
+    *     (every other shared token sits after it in both docs).
+    *     Measured 7.86M → 1.84M candidates at sf0.1 (4.3×) before the
+    *     intersect ever runs;
+    *  3. exact sorted-merge intersect, evaluated once.
+    */
+  private def ppjoinVerifiedPairs(px: DataFrame, py: DataFrame,
+      selfJoin: Boolean): DataFrame = {
+    val pairDomain =
+      if (selfJoin) col("x.doc_id") < col("y.doc_id")
+      else col("x.doc_id") =!= col("y.doc_id")
+    px.hint("merge").as("x").join(py.hint("merge").as("y"),
         col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
-        col("x.doc_id") < col("y.doc_id") &&
+        pairDomain &&
         least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
         (lit(1) + least(col("x.n_sh") - col("x.rk"), col("y.n_sh") - col("y.rk"))) * 9 >=
           (col("x.n_sh") + col("y.n_sh")) * 4 &&
@@ -600,22 +630,28 @@ object PipelineQueries {
 
     // ---- incremental dedup: a new crawl slice (doc_id ≡ 4 mod 5)
     // checked against the EXISTING corpus — the steady-state shape of a
-    // production pipeline: pair generation is increment×corpus, never
-    // corpus×corpus, so a daily increment costs |increment|·df instead
-    // of re-pairing 100 TB. Exact dups via fingerprint semi-join;
-    // near-dups by restricting the unblocked exact pair set to pairs
-    // that cross the increment boundary. ----
+    // production pipeline. Exact dups via fingerprint semi-join.
+    // Near-dups are ONE-SIDED PPJoin: prefixes are computed once over
+    // the full corpus (a linear pass — the same cost a fingerprint
+    // refresh pays), then the pair join's x-side is RESTRICTED TO THE
+    // INCREMENT before pairing, so the join executed is
+    // increment×corpus — its output is bounded by the increment's
+    // prefix rows times their token buckets, never corpus². The prefix
+    // theorem only needs one consistent global (df, tok) order across
+    // both sides, so one-sided restriction preserves exactness; at
+    // steady state the corpus-side prefixes and df order are an
+    // incrementally-maintained index, not a recompute. ----
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("fingerprint", md5(normText(col("text"))))
-      val newDocs = docs.filter(col("doc_id") % 5 === 4)
-      val oldFps = docs.filter(col("doc_id") % 5 =!= 4)
+      val isNew = col("doc_id") % 5 === 4
+      val newDocs = docs.filter(isNew)
+      val oldFps = docs.filter(!isNew)
         .select(col("fingerprint")).distinct().withColumn("em", lit(1))
-      val crossPairs = ppjoinPairs(blockByLang = false)(s, dir)
-        .filter((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4))
-      val nearIds = crossPairs
-        .select(when(col("doc_a") % 5 === 4, col("doc_a"))
-          .otherwise(col("doc_b")).as("doc_id")).distinct()
+      val pref = ppjoinPrefixes(s, dir, blockByLang = false)
+      val crossPairs = ppjoinVerifiedPairs(
+        pref.filter(isNew), pref.filter(!isNew), selfJoin = false)
+      val nearIds = crossPairs.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("nm", lit(1))
       newDocs.join(oldFps, Seq("fingerprint"), "left")
         .join(nearIds, Seq("doc_id"), "left")

@@ -68,6 +68,22 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
   }
 
+  test("dedup_incremental restricts the increment side BELOW the pair join (increment×corpus, not corpus×corpus)") {
+    val s = plan(q("dedup_incremental")).toString
+    // the PPJoin pair join is the SortMergeJoin keyed on ptok; in the
+    // top-down plan print its subtree follows it, and both of its inputs
+    // must carry the increment-boundary filter (doc_id % 5) — i.e. the
+    // restriction happens BEFORE pairing, so the executed join is
+    // increment×corpus
+    val smj = s.linesIterator.indexWhere(l =>
+      l.contains("SortMergeJoin") && l.contains("ptok"))
+    assert(smj >= 0, s"no ptok pair join found:\n$s")
+    val below = s.linesIterator.drop(smj).mkString("\n")
+    assert(below.contains("% 5"),
+      s"increment filter not below the pair join:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+  }
+
   test("dedup_semantic pair join is an equi-join on the cluster id") {
     val s = plan(q("dedup_semantic")).toString
     assert(!s.contains("CartesianProduct"), s)
