@@ -561,14 +561,20 @@ object PipelineQueries {
     // itself (boilerplate clusters), not corpus size — the same
     // linear-shape argument as minhash bands, but exact. ----
     "dedup_substring" -> ((s, dir) => {
+      // grams join on xxhash64 of the 8-word window, not the ~50-byte
+      // string: the equi-join only needs equality, and an 8-byte shuffle
+      // key cuts the gram exchange's bytes 5-10× at 100 TB (r6 verdict
+      // #5). The 64-bit space makes a cross-doc collision vanishingly
+      // rare; the oracle (which joins on the full string) would surface
+      // one as a count mismatch.
       val grams = t(s, dir, "documents")
         .withColumn("ws", split(normText(col("text")), " "))
         .filter(size(col("ws")) >= 8)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(ws) - 8), " +
-            "i -> array_join(slice(ws, i + 1, 8), ' ')))")).as("gram"))
+            "i -> xxhash64(array_join(slice(ws, i + 1, 8), ' '))))")).as("gh"))
       grams.hint("merge").as("x").join(grams.hint("merge").as("y"),
-          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
@@ -586,14 +592,18 @@ object PipelineQueries {
       val base = t(s, dir, "documents")
         .withColumn("ws", split(normText(col("text")), " "))
         .select(col("doc_id"), col("ws"))
+      // the df aggregation and dup join move xxhash64(gram) — an 8-byte
+      // key — instead of the 8-word string (see dedup_substring); the
+      // md5-pinned reconstruction below is computed from ws, so the
+      // oracle still pins the exact cleaned text
       val grams = base.filter(size(col("ws")) >= 8)
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(ws) - 8), i -> array_join(slice(ws, i + 1, 8), ' '))"))
-          .as(Seq("i", "gram")))
-      val dup = grams.groupBy(col("gram"))
+          "transform(sequence(0, size(ws) - 8), i -> xxhash64(array_join(slice(ws, i + 1, 8), ' ')))"))
+          .as(Seq("i", "gh")))
+      val dup = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2).select(col("gram"))
-      val covered = grams.join(dup, "gram")
+        .filter(col("df") >= 2).select(col("gh"))
+      val covered = grams.join(dup, "gh")
         .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("widx"))
         .distinct()
         .groupBy(col("doc_id")).agg(collect_set(col("widx")).as("cov"))
