@@ -96,6 +96,54 @@ object OperatorQueries {
       val pts = t(s, dir, "lineitem").select(col("l_extendedprice"))
       graft.operators.RangeJoin.pointInInterval(pts, "l_extendedprice", ints, "lo", "hi", 500.0)
         .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_in_range"))
+    }),
+    // Dynamic partition pruning as a DRIVER ROW (reference
+    // DynamicFilterSourceOperator.java:55 / DynamicFilterService.java:102
+    // — the collected-values side of a join pruning the probe-side scan):
+    // a fact copy partitioned by o_orderstatus (repartitioned by the
+    // partition column first, so exactly one file per partition and
+    // files == partitions deterministically) is joined to a dim whose
+    // status values are only knowable at RUNTIME (read from a parquet it
+    // just wrote, behind a keep-flag filter) — static pruning can't fire,
+    // so the 1-of-3-partitions scan the metrics report is dynamic
+    // filtering at work. The row states the pruned scan's runtime metrics
+    // (partitions/files read) next to the static totals the oracle pins.
+    "join_dpp_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val factDir = java.nio.file.Files.createTempDirectory("graft_dpp_fact").toString
+      t(s, dir, "orders").repartition(col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(factDir)
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+      Seq(("F", 1), ("O", 0), ("P", 0)).toDF("st", "keep")
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val fact = s.read.parquet(factDir)
+      val dim = s.read.parquet(dimDir).filter(col("keep") === 1).select(col("st"))
+      val joined = fact.join(dim, col("o_orderstatus") === col("st"))
+        .groupBy(col("st").as("status")).agg(count(lit(1)).as("n_orders"))
+      val Array(row) = joined.collect() // execute → runtime metrics populate
+      // unwrap the AQE-final plan and read the pruned fact scan's metrics
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case w: WholeStageCodegenExec => walk(w.child)
+        case i: InputAdapter => walk(i.child)
+        case r: ReusedExchangeExec => walk(r.child)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val plan = joined.queryExecution.executedPlan
+      val factScan = walk(plan).collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(factDir)) => f
+      }.getOrElse(sys.error("fact scan not found in executed plan"))
+      val partsRead = factScan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      val filesRead = factScan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      val dppFired = factScan.toString.toLowerCase.contains("dynamicpruning")
+      Seq((row.getString(0), row.getLong(1), 3L, partsRead, filesRead, dppFired))
+        .toDF("status", "n_orders", "partitions_total", "partitions_read",
+          "files_read", "dpp_fired")
     }))
 
   // --------------------------------------------------------- aggregations
@@ -459,6 +507,15 @@ object OperatorQueries {
         |  ON l_extendedprice BETWEEN o_totalprice * 0.1 AND o_totalprice * 0.1 + 500
         |WHERE o_orderkey < 500
         |GROUP BY o_orderkey""".stripMargin,
+    // the static half (status, n_orders, totals) is recomputable; the
+    // runtime half (partitions/files read = 1 of 3, dpp_fired) is exactly
+    // what dynamic pruning guarantees for a 1-status dim over a 3-status
+    // partitioned fact with one file per partition
+    "join_dpp_pruned" ->
+      """SELECT 'F' AS status,
+        |(SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_orders,
+        |3::bigint AS partitions_total, 1::bigint AS partitions_read,
+        |1::bigint AS files_read, true AS dpp_fired""".stripMargin,
     "agg_global" ->
       """SELECT count(*) AS n, sum(l_quantity) AS total_qty,
         |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
