@@ -39,7 +39,16 @@ object Multimodal extends Serializable {
     * through `decodeImage` is the decode test — the decoded dimensions
     * match the generator arithmetic only if the codec actually parses.
     */
-  def makePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def makePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    makeImage(width, height, seed, "png")
+
+  /** Deterministic synthetic image through any JDK ImageIO writer
+    * (png/jpeg/gif). JPEG is lossy and GIF palette-quantizes, so only
+    * the DIMENSIONS are oracle-pinned for those — which is exactly what
+    * a header+raster decode must recover; pixel content checks stay on
+    * the lossless PNG path.
+    */
+  def makeImage(width: Int, height: Int, seed: Long, format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
@@ -51,7 +60,7 @@ object Multimodal extends Serializable {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
@@ -167,5 +176,36 @@ object Multimodal extends Serializable {
         }
       }
       .toDF("doc_id", "magic_hex", "decodable", "format", "width", "height")
+  }
+
+  /** Four-way mixed-format scan (r7): doc_id % 4 selects a PNG, JPEG or
+    * GIF payload (same generator raster, three real ImageIO codecs) or a
+    * CORRUPTED payload — a PNG truncated to 16 bytes, which still sniffs
+    * as png by magic but must fail the actual decode. The row carries
+    * both verdicts separately: `sniffed` (magic bytes) vs `decodable` +
+    * decoded dimensions (codec truth), so the oracle pins that sniffing
+    * and decoding disagree exactly on the corrupt slice.
+    */
+  def mixedFormats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 + (id % 56).toInt
+          val h = 8 + ((id * 7) % 56).toInt
+          val payload = (id % 4) match {
+            case 0 => makeImage(w, h, id, "png")
+            case 1 => makeImage(w, h, id, "jpeg")
+            case 2 => makeImage(w, h, id, "gif")
+            case _ => makeImage(w, h, id, "png").take(16)
+          }
+          val dec = decodeImage(payload)
+          (id, sniffFormat(payload), dec.isDefined,
+            dec.map(_._1).getOrElse("raw"),
+            dec.map(_._2).getOrElse(-1), dec.map(_._3).getOrElse(-1))
+        }
+      }
+      .toDF("doc_id", "sniffed", "decodable", "format", "width", "height")
   }
 }

@@ -287,11 +287,48 @@ object PipelineQueries {
     * @return (final assignment (vec_id, cid, q), final centroids
     *         (cid, cs: array<long> sums, cn: count))
     */
+  /** SemDeDup over an arbitrary embeddings frame: quantized k-means as
+    * blocking, within-cluster exact-integer cosine pair join. `k`
+    * defaults to the k ∝ N rule (`semdedupK`); the one count() it costs
+    * is a column-pruned scan, the same price a stats refresh pays.
+    */
+  private[graft] def semanticPairsOn(e0: DataFrame, k: Int = -1,
+      iters: Int = 3, threshold: Double = 0.35): DataFrame = {
+    val kk = if (k > 0) k else semdedupK(e0.count())
+    val (assigned, _) = kmeansQuantizedOn(e0, kk, iters)
+    val cosExpr = "aggregate(zip_with(qa, qb, (x, y) -> cast(x * y AS double)), 0D, (a, v) -> a + v) / " +
+      "(sqrt(aggregate(qa, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))) * " +
+      "sqrt(aggregate(qb, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))))"
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
+    val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("id_b"), col("q").as("qb"))
+    a.join(b, col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("cid"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** SemDeDup's cluster count for a corpus of n vectors: k ∝ N with the
+    * paper's constant (50k clusters at 100M docs ≈ N/2000), clamped to
+    * [8, 65536]. Keeping k ∝ N bounds EXPECTED cluster size (~2000) as
+    * the corpus grows, which is what keeps the within-cluster pair join
+    * linear overall; the fixture corpora all land on the floor k = 8.
+    */
+  def semdedupK(n: Long): Int =
+    math.max(8, math.min(65536, (n / 2000L).toInt))
+
   private def kmeansQuantized(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    kmeansQuantizedOn(t(s, dir, "embeddings"), k, iters)
+
+  /** DataFrame-parameterized k-means core, shared by the fixture queries
+    * and the scaled SemDeDup soak (which feeds a synthetic 100× corpus).
+    */
+  private[graft] def kmeansQuantizedOn(e0: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
+    val s = e0.sparkSession
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-    val e = t(s, dir, "embeddings")
+    val e = e0
       .withColumn("q", expr(
         "transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))"))
       .select(col("vec_id"), col("q"))
@@ -934,25 +971,16 @@ object PipelineQueries {
 
     // ---- SemDeDup (Abbas et al. 2023): semantic near-dup pairs found
     // WITHIN k-means clusters — the clustering IS the blocking, so the
-    // quadratic pair join only runs inside a cluster. At corpus scale k
-    // grows with N (SemDeDup uses 50k clusters for 100M docs) keeping
-    // cluster sizes bounded; here the candidate join is an equi-join on
-    // cid. Cosine over the quantized vectors is exact integer math →
-    // the pair SET is bit-identical across engines and oracle-exact —
-    // unlike float cosines, where a last-ulp difference at the
-    // threshold boundary silently flips membership. ----
-    "dedup_semantic" -> ((s, dir) => {
-      val (assigned, _) = kmeansQuantized(s, dir, k = 8, iters = 3)
-      val cosExpr = "aggregate(zip_with(qa, qb, (x, y) -> cast(x * y AS double)), 0D, (a, v) -> a + v) / " +
-        "(sqrt(aggregate(qa, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))) * " +
-        "sqrt(aggregate(qb, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))))"
-      val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("id_b"), col("q").as("qb"))
-      a.join(b, col("cid") === col("cid_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", round(expr(cosExpr), 6))
-        .filter(col("cos") >= 0.35)
-        .select(col("cid"), col("id_a"), col("id_b"), col("cos"))
-    }),
+    // quadratic pair join only runs inside a cluster. k follows the
+    // paper's k ∝ N rule (`semdedupK`: ~N/2000, SemDeDup's 50k clusters
+    // at 100M docs; fixture corpora land on the floor k = 8, so the
+    // oracle row pins the default path). Cosine over the quantized
+    // vectors is exact integer math → the pair SET is bit-identical
+    // across engines and oracle-exact — unlike float cosines, where a
+    // last-ulp difference at the threshold boundary silently flips
+    // membership. ----
+    "dedup_semantic" -> ((s, dir) =>
+      semanticPairsOn(t(s, dir, "embeddings"))),
 
     // ---- text analysis: tokenization + quality scoring ----
     // ---- the whole training-data pipeline as ONE composed query:
@@ -1281,6 +1309,13 @@ object PipelineQueries {
     // codec verdict and width/height are the decoded raster dimensions ----
     "mm_binary_meta" -> ((s, dir) =>
       graft.operators.Multimodal.binaryMeta(s, dir)),
+
+    // r7: the decode path across THREE real codecs (PNG/JPEG/GIF) plus a
+    // corrupted payload whose magic sniffs as png but whose decode must
+    // fail — `sniffed` and `decodable` disagree exactly on the corrupt
+    // slice, which a fake decode cannot reproduce
+    "mm_mixed_formats" -> ((s, dir) =>
+      graft.operators.Multimodal.mixedFormats(s, dir)),
 
     // ---- multimodal frame sampling: a video payload rides as one opaque
     // binary column; sampling takes every k-th fixed-size frame chunk as
@@ -1847,6 +1882,18 @@ object PipelineQueries {
         |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'raw' END AS format,
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 56 ELSE -1 END)::int AS width,
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 56 ELSE -1 END)::int AS height
+        |FROM documents""".stripMargin,
+    // mod-4 slices: png/jpeg/gif decode to the generator dimensions;
+    // the corrupt slice (truncated PNG) sniffs 'png' but must NOT decode
+    "mm_mixed_formats" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 4 = 2 THEN 'gif'
+        |     WHEN doc_id % 4 = 1 THEN 'jpeg' ELSE 'png' END AS sniffed,
+        |doc_id % 4 <> 3 AS decodable,
+        |CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |     WHEN 2 THEN 'gif' ELSE 'raw' END AS format,
+        |(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 8 + doc_id % 56 END)::int AS width,
+        |(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 8 + (doc_id * 7) % 56 END)::int AS height
         |FROM documents""".stripMargin,
     // DuckDB 1.0 has no BLOB substring; the fixture text is pure ASCII
     // (octet_length(text::blob) == length(text) for every row), so char

@@ -100,6 +100,24 @@ class QueriesSpec extends GraftSuite {
     }
   }
 
+  test("mixed-format decode: three real codecs round-trip, corrupt payload sniffs but fails decode") {
+    val r = rows("mm_mixed_formats")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(row.fieldIndex("doc_id"))
+      val sniffed = row.getString(row.fieldIndex("sniffed"))
+      val dec = row.getBoolean(row.fieldIndex("decodable"))
+      val w = row.getInt(row.fieldIndex("width"))
+      if (id % 4 == 3) {
+        // truncated PNG: magic bytes survive, decode must not
+        assert(sniffed == "png" && !dec && w == -1, s"corrupt row: $row")
+      } else {
+        val expected = Seq("png", "jpeg", "gif")((id % 4).toInt)
+        assert(sniffed == expected && dec && w == 8 + (id % 56).toInt, s"row: $row")
+      }
+    }
+  }
+
   test("sketch_checksum is deterministic across runs") {
     assert(rows("sketch_checksum").head.getLong(0) == rows("sketch_checksum").head.getLong(0))
   }
