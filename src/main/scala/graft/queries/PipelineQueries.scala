@@ -299,9 +299,22 @@ object PipelineQueries {
     val cosExpr = "aggregate(zip_with(qa, qb, (x, y) -> cast(x * y AS double)), 0D, (a, v) -> a + v) / " +
       "(sqrt(aggregate(qa, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))) * " +
       "sqrt(aggregate(qb, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double))))"
-    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"))
-    val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("id_b"), col("q").as("qb"))
-    a.join(b, col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+    // chunk spreading (same pattern as dedup_embedding): a cluster's
+    // quadratic pair set is spread over S² (ca, cb) tasks, so one
+    // oversize cluster — k ∝ N bounds the EXPECTED size, not the max —
+    // costs parallel tasks instead of one straggler; (cid, ca, cb)
+    // covers every within-cluster pair exactly once
+    val S = 4
+    val chunked = assigned
+      .withColumn("chunk", pmod(xxhash64(col("vec_id")), lit(S)).cast("int"))
+    val a = chunked.select(col("cid"), col("vec_id").as("id_a"), col("q").as("qa"),
+      col("chunk").as("ca"), explode(expr(s"sequence(0, ${S - 1})")).as("cb"))
+    val b = chunked.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("chunk").as("cb_b"),
+      explode(expr(s"sequence(0, ${S - 1})")).as("ca_b"))
+    a.join(b, col("cid") === col("cid_b") &&
+        col("ca") === col("ca_b") && col("cb") === col("cb_b") &&
+        col("id_a") < col("id_b"))
       .withColumn("cos", round(expr(cosExpr), 6))
       .filter(col("cos") >= threshold)
       .select(col("cid"), col("id_a"), col("id_b"), col("cos"))
@@ -332,8 +345,16 @@ object PipelineQueries {
       .withColumn("q", expr(
         "transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))"))
       .select(col("vec_id"), col("q"))
-    // seeds: the k lowest vec_ids (deterministic, data-independent)
-    var cents: Seq[(Int, Seq[Long], Long)] = e.orderBy(col("vec_id")).limit(k)
+    // seeds: k vectors in Knuth-multiplicative-hash order of vec_id — a
+    // deterministic pseudo-random SAMPLE of the corpus (same recipe as
+    // the content-addressed sampling rows, restatable in DuckDB). First-k
+    // seeding put every seed in whatever region owns the lowest ids; on
+    // a corpus with many modes that leaves far modes splitting off slowly
+    // (the r7 100× soak hung on exactly this), while hash-order seeds
+    // land ∝ mass across modes
+    var cents: Seq[(Int, Seq[Long], Long)] = e
+      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)), col("vec_id"))
+      .limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](r.fieldIndex("q")), 1L) }.toSeq
     val dExpr = "aggregate(zip_with(q, cs, (qi, si) -> " +
@@ -1310,6 +1331,14 @@ object PipelineQueries {
     "mm_binary_meta" -> ((s, dir) =>
       graft.operators.Multimodal.binaryMeta(s, dir)),
 
+    // r7: the streaming near-dup path surfaced as a driver row — the
+    // fixture corpus through DedupStream (watermarked LSH bucket state,
+    // in-bucket exact-Jaccard verify) must produce EXACTLY the batch
+    // dedup_minhash_lsh pair set; reduces to constant booleans like the
+    // recall rows
+    "stream_near_dedup" -> ((s, dir) =>
+      graft.streaming.DedupStream.batchEquivalenceRow(s, dir)),
+
     // r7: the decode path across THREE real codecs (PNG/JPEG/GIF) plus a
     // corrupted payload whose magic sniffs as png but whose decode must
     // fail — `sniffed` and `decodable` disagree exactly on the corrupt
@@ -1385,8 +1414,10 @@ object PipelineQueries {
        |  FROM embeddings),
        |qd AS (SELECT vec_id, i AS dim, qv[i] AS v
        |  FROM q, (SELECT unnest(range(1, 65)) AS i)),
-       |n0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id
-       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+       |n0 AS (SELECT row_number() OVER (
+       |    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cid, vec_id
+       |  FROM (SELECT vec_id FROM q
+       |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8)),
        |c0 AS (SELECT n0.cid, qd.dim, qd.v AS sv, 1::bigint AS cn
        |  FROM n0 JOIN qd USING (vec_id)),
        |${assign("a1", "c0")},
@@ -1883,6 +1914,11 @@ object PipelineQueries {
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 56 ELSE -1 END)::int AS width,
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 56 ELSE -1 END)::int AS height
         |FROM documents""".stripMargin,
+    // the streaming path's verified pair set equals the batch LSH row's
+    // on any corpus (both verify with exact Jaccard); the booleans are
+    // the driver-checkable reduction
+    "stream_near_dedup" ->
+      "SELECT true AS pairs_nonempty, true AS stream_eq_batch",
     // mod-4 slices: png/jpeg/gif decode to the generator dimensions;
     // the corrupt slice (truncated PNG) sniffs 'png' but must NOT decode
     "mm_mixed_formats" ->

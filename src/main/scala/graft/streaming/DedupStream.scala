@@ -119,4 +119,41 @@ object DedupStream {
           }
       }
   }
+
+  /** Driver row (r7): the StreamingDedupSpec batch-equality property as
+    * an oracle-checkable query — the fixture corpus is fed through the
+    * streaming path in one MemoryStream batch and its verified pair set
+    * compared (both directions) to the batch `dedup_minhash_lsh` pair
+    * set. Band hash functions differ between the two paths (hash vs
+    * xxhash64), but both verify candidates with exact Jaccard, so the
+    * VERIFIED sets must be equal — the row reduces to two booleans the
+    * oracle states as constants, the same contract as the recall rows.
+    */
+  def batchEquivalenceRow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchPairs = graft.queries.PipelineQueries.queries("dedup_minhash_lsh")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), t0, r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    val q = nearDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("graft_stream_nd_row")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamPairs = spark.table("graft_stream_nd_row")
+      .select(col("doc_a"), col("doc_b"))
+    val onlyStream = streamPairs.exceptAll(batchPairs).count()
+    val onlyBatch = batchPairs.exceptAll(streamPairs).count()
+    val nBatch = batchPairs.count()
+    Seq((nBatch > 0, onlyStream == 0 && onlyBatch == 0))
+      .toDF("pairs_nonempty", "stream_eq_batch")
+  }
 }

@@ -21,12 +21,14 @@ object SemDedupSoak {
     def corpus(mult: Int): DataFrame = {
       val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       (0 until mult).map { c =>
-        // per-copy deterministic rotation-ish perturbation: dimension d of
-        // copy c shifts by ((c*31 + d) % 7 - 3) * 0.005 — keeps copies
-        // near their source cluster but not identical
+        // per-copy deterministic perturbation: dimension d of copy c
+        // shifts by ((c*31 + d) % 7 - 3) * 0.08 — LARGE relative to the
+        // fixture's cluster spread, so the 100 copies form ~100 genuine
+        // modes (the scenario k ∝ N is sized for) rather than 8 denser
+        // ones
         e.select(
           (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
-          expr(s"transform(embedding, (x, d) -> cast(x + (($c * 31 + d) % 7 - 3) * 0.005 AS float))")
+          expr(s"transform(embedding, (x, d) -> cast(x + (($c * 31 + d) % 7 - 3) * 0.08 AS float))")
             .as("embedding"))
       }.reduce(_.unionAll(_))
     }
