@@ -20,9 +20,12 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   /** Read one table; metadata-only until an action runs.
-    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects; read it as raw nanos and truncate to the engine's
-    * microsecond timestamps (same truncation DuckDB applies on read).
+    * `events.ts` has shipped as TIMESTAMP(NANOS) (which Spark's reader
+    * rejects — read as raw nanos, truncate to micros, the same
+    * truncation DuckDB applies) and as TIMESTAMP(MICROS, ntz) in
+    * different fixture generations; `doLoad` dispatches on the actual
+    * parquet schema and normalizes both to session-zoned microsecond
+    * timestamps.
     */
   // Per-session caches. spark.read.parquet costs ~0.1 s of driver-side
   // schema inference per call even when warm; a query rebuilt per bench run
@@ -49,8 +52,11 @@ object Tables {
       // `events.ts` has shipped as TIMESTAMP(NANOS) (unreadable except as
       // raw nanos) and as TIMESTAMP(MICROS, ntz) in different fixture
       // generations; accept either, normalizing to the engine's
-      // session-zoned microsecond timestamps (session tz is pinned UTC,
-      // so the ntz→ltz cast is the identity on the epoch value).
+      // session-zoned microsecond timestamps. The ntz→ltz cast is only
+      // epoch-preserving under a UTC session tz — SessionDefaults pins
+      // it, and it is re-pinned here so a session built WITHOUT
+      // SessionDefaults cannot silently shift ts values (r6 advice).
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {

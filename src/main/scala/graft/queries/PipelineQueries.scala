@@ -340,7 +340,6 @@ object PipelineQueries {
       iters: Int): (DataFrame, DataFrame) = {
     val s = e0.sparkSession
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
     val e = e0
       .withColumn("q", expr(
         "transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))"))
@@ -357,17 +356,31 @@ object PipelineQueries {
       .limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](r.fieldIndex("q")), 1L) }.toSeq
-    val dExpr = "aggregate(zip_with(q, cs, (qi, si) -> " +
-      "cast(qi * cn - si AS double) * cast(qi * cn - si AS double)), 0D, " +
-      "(a, x) -> a + x) / (cast(cn AS double) * cast(cn AS double))"
+    // Assignment is a ZERO-SHUFFLE scan-stage argmin: the k centroids ride
+    // into the plan as one literal array<struct<cid, cs, cn>> and each
+    // vector folds over it — no crossJoin row explosion, no per-vector
+    // window sort. (The r7 100× soak exposed the old crossJoin(k) +
+    // row_number shape: at n=200k, k=100 it pushed 20M array-carrying
+    // rows through a shuffle-and-sort PER ITERATION; the fold does the
+    // same exact-integer distance math in the scan.) Ties break to the
+    // LOWEST cid exactly as the window's (d, cid) order did: the fold
+    // scans cid-ascending with a strict <, so the oracle's assignment is
+    // reproduced bit-for-bit.
+    def distTo(c: String) =
+      s"aggregate(zip_with(q, $c.cs, (qi, si) -> " +
+        s"cast(qi * $c.cn - si AS double) * cast(qi * $c.cn - si AS double)), 0D, " +
+        s"(a, x) -> a + x) / (cast($c.cn AS double) * cast($c.cn AS double))"
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val cdf = broadcast(cents.toDF("cid", "cs", "cn"))
-      assigned = e.crossJoin(cdf)
-        .withColumn("d", expr(dExpr))
-        .withColumn("rk", row_number().over(
-          w.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
-        .filter(col("rk") === 1)
+      val centArr = array(cents.map { case (cid, cs, cn) =>
+        struct(lit(cid).as("cid"),
+          array(cs.map(lit(_)): _*).as("cs"), lit(cn).as("cn"))
+      }: _*)
+      assigned = e.withColumn("cents", centArr)
+        .withColumn("cid", expr(
+          "aggregate(cents, named_struct('bc', -1, 'bd', cast('Infinity' AS double)), " +
+            s"(acc, c) -> CASE WHEN ${distTo("c")} < acc.bd " +
+            s"THEN named_struct('bc', c.cid, 'bd', ${distTo("c")}) ELSE acc END).bc"))
         .select(col("vec_id"), col("cid"), col("q"))
       cents = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
