@@ -357,15 +357,15 @@ object PipelineQueries {
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](r.fieldIndex("q")), 1L) }.toSeq
     // Assignment is a ZERO-SHUFFLE scan-stage argmin: the k centroids ride
-    // into the plan as one literal array<struct<cid, cs, cn>> and each
-    // vector folds over it — no crossJoin row explosion, no per-vector
-    // window sort. (The r7 100× soak exposed the old crossJoin(k) +
-    // row_number shape: at n=200k, k=100 it pushed 20M array-carrying
-    // rows through a shuffle-and-sort PER ITERATION; the fold does the
-    // same exact-integer distance math in the scan.) Ties break to the
-    // LOWEST cid exactly as the window's (d, cid) order did: the fold
-    // scans cid-ascending with a strict <, so the oracle's assignment is
-    // reproduced bit-for-bit.
+    // into the plan as one constant-folded literal array<struct<cid, cs,
+    // cn>> and each vector takes array_min over (distance, cid) structs —
+    // no crossJoin row explosion, no per-vector window sort. (The r7 100×
+    // soak exposed the old crossJoin(k) + row_number shape: at n=200k,
+    // k=100 it pushed 20M array-carrying rows through a shuffle-and-sort
+    // PER ITERATION; the transform evaluates each exact-integer distance
+    // exactly once in the scan.) array_min's lexicographic struct order
+    // (d, then cid) reproduces the window's (d, cid) tie-break — the
+    // LOWEST cid wins ties — so the oracle's assignment is bit-identical.
     def distTo(c: String) =
       s"aggregate(zip_with(q, $c.cs, (qi, si) -> " +
         s"cast(qi * $c.cn - si AS double) * cast(qi * $c.cn - si AS double)), 0D, " +
@@ -378,9 +378,7 @@ object PipelineQueries {
       }: _*)
       assigned = e.withColumn("cents", centArr)
         .withColumn("cid", expr(
-          "aggregate(cents, named_struct('bc', -1, 'bd', cast('Infinity' AS double)), " +
-            s"(acc, c) -> CASE WHEN ${distTo("c")} < acc.bd " +
-            s"THEN named_struct('bc', c.cid, 'bd', ${distTo("c")}) ELSE acc END).bc"))
+          s"array_min(transform(cents, c -> struct(${distTo("c")} AS d, c.cid AS cid))).cid"))
         .select(col("vec_id"), col("cid"), col("q"))
       cents = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
@@ -477,6 +475,56 @@ object PipelineQueries {
       graft.operators.ConnectedComponents.resolve(pairs, verts)
         .select(col("id").as("doc_id"), col("component").as("component_id"),
           (col("id") === col("component")).as("keep"))
+    }),
+
+    // ---- representative SELECTION policy (r7): real pipelines keep the
+    // BEST doc of each near-dup cluster, not the lowest id — longest /
+    // highest-quality wins (RefinedWeb, FineWeb keep-longest). One window
+    // over the components output: rank per component by (n_chars desc,
+    // doc_id), keep rank 1. Composes the already-verified components
+    // stage with a policy stage; the shuffle key is component_id, so
+    // skew is bounded by the largest duplicate cluster. ----
+    "dedup_keep_best" -> ((s, dir) => {
+      val comp = queries("dedup_components")(s, dir)
+        .select(col("doc_id"), col("component_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      comp.join(docs, "doc_id")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component_id"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc_id"),
+          max(when(col("rk") === 1, col("n_chars"))).as("kept_n_chars"))
+    }),
+
+    // ---- training sequence packing (r7): the concat-and-chunk step an
+    // LLM data loader runs — documents are concatenated in a
+    // deterministic content-addressed order (Knuth-hash of doc_id, the
+    // engine's standard draw) and the token stream is split into
+    // fixed-size sequences of B tokens. Each doc's chunk span falls out
+    // of ONE window cumsum per source (its token offset), so packing
+    // 100 TB is a single partitioned window pass — no sequential fold,
+    // no driver loop. The row reports per-source packing stats
+    // (sequences produced, boundary-spanning docs, the max span). ----
+    "pipeline_seq_pack" -> ((s, dir) => {
+      val B = 256
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("doc_id") * lit(2654435761L) % lit(4294967296L), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("off", coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("start_chunk", floor(col("off") / B))
+        .withColumn("end_chunk", floor((col("off") + col("n_tokens") - 1) / B))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("end_chunk")) + 1).as("n_sequences"),
+          sum(when(col("end_chunk") > col("start_chunk"), 1L).otherwise(0L))
+            .as("n_boundary_docs"),
+          max(col("end_chunk") - col("start_chunk") + 1).as("max_chunks_spanned"))
     }),
 
     // ---- PPJoin-style prefix filtering: same result set as
@@ -1642,6 +1690,52 @@ object PipelineQueries {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS doc_id, min(r) AS component_id, (id = min(r)) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+    // same recursive-CTE components, then the keep-best policy: rank per
+    // component by (n_chars desc, doc_id), rank 1 is the representative
+    "dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, lang,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |        greatest(len(a.shingles), len(b.shingles)) * 4
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT comp.component_id, comp.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY comp.component_id
+        |      ORDER BY d.n_chars DESC, comp.doc_id) AS rk
+        |  FROM comp JOIN documents d USING (doc_id))
+        |SELECT component_id, count(*) AS n_members,
+        |  max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+        |  max(CASE WHEN rk = 1 THEN n_chars END) AS kept_n_chars
+        |FROM ranked GROUP BY component_id""".stripMargin,
+    "pipeline_seq_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::bigint AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs, sum(n_tokens)::bigint AS total_tokens,
+        |  (max((off + n_tokens - 1) // 256) + 1)::bigint AS n_sequences,
+        |  sum(CASE WHEN (off + n_tokens - 1) // 256 > off // 256 THEN 1 ELSE 0 END)::bigint AS n_boundary_docs,
+        |  max((off + n_tokens - 1) // 256 - off // 256 + 1)::bigint AS max_chunks_spanned
+        |FROM o GROUP BY source""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> x::double) AS emb FROM embeddings)

@@ -84,6 +84,15 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
   }
 
+  test("pipeline_seq_pack is one partitioned window pass — no joins, no driver fold") {
+    val s = plan(q("pipeline_seq_pack")).toString
+    assert(!s.contains("Join"), s"packing must not join:\n$s")
+    assert(s.contains("Window"), s)
+    // exactly one window (the offset cumsum); the agg above it reuses the
+    // source partitioning
+    assert(s.sliding("Window [".length).count(_ == "Window [") == 1, s)
+  }
+
   test("dedup_semantic pair join is an equi-join on the cluster id") {
     val s = plan(q("dedup_semantic")).toString
     assert(!s.contains("CartesianProduct"), s)
