@@ -50,4 +50,16 @@ object SessionDefaults {
     // you deliberately provisioned. Skew handling — the half of AQE this
     // workload actually needs at 100 TB — is unaffected.
     .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Always use the serialized sort shuffle writer (one data file +
+    // index per map task), never the bypass writer (one file PER REDUCE
+    // PARTITION per map task). With shuffle.partitions = cores = 32 the
+    // bypass path triggered on every SQL exchange (≤ 200 partitions, no
+    // map-side combine) and its file churn dominated multi-exchange
+    // queries: stack-sampling tpch_q21 showed FileOutputStream.open0 /
+    // map/unmap/delete as the top active frames, ~190 ms of syscalls per
+    // task — q21 measured 1.5 s → 0.74 s wall (task CPU 18 s → 1.5 s)
+    // from this one setting. The serialized path is also the only shape
+    // that survives at cluster scale, where reducer counts are in the
+    // thousands and bypass would open thousands of files per map task.
+    .config("spark.shuffle.sort.bypassMergeThreshold", "0")
 }

@@ -46,6 +46,26 @@ object PpjoinProbe {
       }
     })
 
+    // optional in-process stack sampler (PROBE_SAMPLE=true): histograms
+    // the top frames of executor task threads every 10 ms — crude
+    // attach-free profiling for the per-task fixed-cost investigation
+    val sampleTop = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    if (sys.env.get("PROBE_SAMPLE").contains("true")) {
+      val t = new Thread(() => {
+        while (true) {
+          val all = Thread.getAllStackTraces
+          all.forEach { (th, frames) =>
+            if (th.getName.startsWith("Executor task launch") && frames.nonEmpty) {
+              val sig = frames.take(3).map(f => f.getClassName + "." + f.getMethodName).mkString(" <- ")
+              sampleTop.merge(sig, 1L, (a, b) => a + b)
+            }
+          }
+          Thread.sleep(10)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+
     for (i <- 1 to n) {
       spill.reset(); gc.reset(); tasks.reset(); maxTask.set(0)
       cpuNs.reset(); runNs.reset()
@@ -59,6 +79,13 @@ object PpjoinProbe {
         f"spill=${spill.sum / 1048576}%6dMB gc=${gc.sum / 1000.0}%6.2fs " +
         f"taskRun=${runNs.sum / 1e9}%8.2fs taskCpu=${cpuNs.sum / 1e9}%8.2fs " +
         f"maxTask=${maxTask.get / 1000.0}%7.2fs")
+    }
+    if (!sampleTop.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      println("=== stack sample histogram (top frames of executor threads)")
+      sampleTop.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
+        println(f"$v%6d  $k")
+      }
     }
     spark.stop()
   }
