@@ -178,6 +178,64 @@ object Multimodal extends Serializable {
       .toDF("doc_id", "magic_hex", "decodable", "format", "width", "height")
   }
 
+  /** 64-bit average-hash (aHash) over a decoded raster: the image is
+    * divided into an 8×8 grid (pixel (x, y) falls in cell (y*8/h,
+    * x*8/w)), and bit ci*8+cj is set when the cell's mean luminance
+    * exceeds the image mean. All comparisons are exact integer math
+    * (cross-multiplied sums), so the hash is bit-identical to a
+    * closed-form recomputation from the synthetic generator's pixel
+    * arithmetic — which is what the `mm_dedup_ahash` oracle does.
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cs = Array.ofDim[Long](8, 8)
+    val cn = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        cs(y * 8 / h)(x * 8 / w) += luma
+        cn(y * 8 / h)(x * 8 / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val ts = cs.map(_.sum).sum
+    val np = w.toLong * h
+    var hash = 0L
+    var ci = 0
+    while (ci < 8) {
+      var cj = 0
+      while (cj < 8) {
+        // cell_mean > image_mean without division: cs/cn > ts/np
+        if (cs(ci)(cj) * np > ts * cn(ci)(cj)) hash |= 1L << (ci * 8 + cj)
+        cj += 1
+      }
+      ci += 1
+    }
+    hash
+  }
+
+  /** Per-doc perceptual hash of the synthetic PNG payloads, computed from
+    * the REAL decoded raster (doc_id keys the generator, as in
+    * `pipeline`). Returns (doc_id, ahash). */
+  def aHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val png = makePng(8 + (id % 56).toInt, 8 + ((id * 7) % 56).toInt, id)
+          val img = ImageIO.read(new ByteArrayInputStream(png))
+          (id, aHash64(img))
+        }
+      }
+      .toDF("doc_id", "ah")
+  }
+
   /** Four-way mixed-format scan (r7): doc_id % 4 selects a PNG, JPEG or
     * GIF payload (same generator raster, three real ImageIO codecs) or a
     * CORRUPTED payload — a PNG truncated to 16 bytes, which still sniffs

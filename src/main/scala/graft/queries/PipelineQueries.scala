@@ -1400,6 +1400,29 @@ object PipelineQueries {
     "stream_near_dedup" -> ((s, dir) =>
       graft.streaming.DedupStream.batchEquivalenceRow(s, dir)),
 
+    // r7: multimodal NEAR-DUP — perceptual average-hash (aHash) over the
+    // REAL decoded raster, hamming ≤ 3 pairs via 4×16 banding (pigeonhole-
+    // complete at this radius, same theorem as dedup_simhash). The oracle
+    // recomputes every aHash closed-form from the generator's pixel
+    // arithmetic — integer-exact grid means — so the row is green only if
+    // the codec truly decodes the pixels the generator wrote. Scale: the
+    // pair join is an equi-join on (band, 16-bit value); hash computation
+    // is embarrassingly parallel in the decode pass. ----
+    "mm_dedup_ahash" -> ((s, dir) => {
+      val ah = graft.operators.Multimodal.aHashes(s, dir)
+      val banded = ah.select(col("doc_id"), col("ah"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (ah >> (b * 16)) & 65535)"))
+          .as(Seq("band", "bv")))
+      banded.hint("merge").as("x").join(banded.hint("merge").as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.ah").bitwiseXOR(col("y.ah"))) <= 3)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.ah").bitwiseXOR(col("y.ah"))).cast("int").as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+    }),
+
     // r7: the decode path across THREE real codecs (PNG/JPEG/GIF) plus a
     // corrupted payload whose magic sniffs as png but whose decode must
     // fail — `sniffed` and `decodable` disagree exactly on the corrupt
@@ -2021,6 +2044,37 @@ object PipelineQueries {
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 56 ELSE -1 END)::int AS width,
         |(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 56 ELSE -1 END)::int AS height
         |FROM documents""".stripMargin,
+    // closed-form aHash from the generator arithmetic: pixel (x,y) of doc
+    // id has rgb = (x*31 + y*17 + id) & 0xffffff, luma = integer
+    // (299r + 587g + 114b)/1000, grid cell = (y*8/h, x*8/w); bit set
+    // when cell_sum * npixels > total_sum * cell_count (exact ints);
+    // pairs = brute hamming <= 3 over the 64-bit hashes
+    "mm_dedup_ahash" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 56)::bigint AS w,
+        |    (8 + (doc_id * 7) % 56)::bigint AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lum AS (SELECT doc_id, w, h,
+        |    (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |    ((((( (x * 31 + y * 17 + doc_id) & 16777215) >> 16) & 255) * 299 +
+        |      ((((x * 31 + y * 17 + doc_id) & 16777215) >> 8) & 255) * 587 +
+        |      (((x * 31 + y * 17 + doc_id) & 16777215) & 255) * 114) // 1000) AS luma
+        |  FROM px),
+        |cells AS (SELECT doc_id, ci, cj, sum(luma)::bigint AS cs,
+        |    count(*)::bigint AS cn, any_value(w * h) AS np
+        |  FROM lum GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(cs)::bigint AS ts FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id,
+        |    bit_or(CASE WHEN c.cs * c.np > t.ts * c.cn AND c.ci * 8 + c.cj < 32
+        |           THEN (1::bigint << (c.ci * 8 + c.cj)) ELSE 0 END) AS ah_lo,
+        |    bit_or(CASE WHEN c.cs * c.np > t.ts * c.cn AND c.ci * 8 + c.cj >= 32
+        |           THEN (1::bigint << (c.ci * 8 + c.cj - 32)) ELSE 0 END) AS ah_hi
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (bit_count(xor(a.ah_lo, b.ah_lo)) + bit_count(xor(a.ah_hi, b.ah_hi)))::int AS hamming
+        |FROM bits a JOIN bits b
+        |  ON a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.ah_lo, b.ah_lo)) + bit_count(xor(a.ah_hi, b.ah_hi)) <= 3""".stripMargin,
     // the streaming path's verified pair set equals the batch LSH row's
     // on any corpus (both verify with exact Jaccard); the booleans are
     // the driver-checkable reduction
