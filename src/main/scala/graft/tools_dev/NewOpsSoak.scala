@@ -14,6 +14,9 @@ object NewOpsSoak {
     }
     run("dedup_incremental", "/root/testdata/sf0.1"); run("dedup_incremental", "/tmp/sfdocs100")
     run("pipeline_stratified_sample", "/root/testdata/sf0.1"); run("pipeline_stratified_sample", "/tmp/sftpch100")
+    run("pipeline_seq_pack", "/root/testdata/sf0.1"); run("pipeline_seq_pack", "/tmp/sfdocs100")
+    run("dedup_keep_best", "/root/testdata/sf0.1")
+    run("mm_dedup_ahash", "/root/testdata/sf0.1")
     spark.stop()
   }
 }

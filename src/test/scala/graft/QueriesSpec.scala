@@ -118,6 +118,21 @@ class QueriesSpec extends GraftSuite {
     }
   }
 
+  test("aHash: uniform raster hashes to 0, banding finds only hamming<=3 pairs") {
+    // a constant-color image has every cell mean == the global mean, so
+    // no bit is set (strict > comparison)
+    val img = new java.awt.image.BufferedImage(24, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 24) img.setRGB(x, y, 0x808080)
+    assert(graft.operators.Multimodal.aHash64(img) == 0L)
+    val r = rows("mm_dedup_ahash")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getInt(row.fieldIndex("hamming")) <= 3, row.toString)
+      assert(row.getLong(row.fieldIndex("id_a")) < row.getLong(row.fieldIndex("id_b")))
+    }
+  }
+
   test("sketch_checksum is deterministic across runs") {
     assert(rows("sketch_checksum").head.getLong(0) == rows("sketch_checksum").head.getLong(0))
   }
