@@ -1456,6 +1456,102 @@ object PipelineQueries {
           // strip the breaks to match the canonical unchunked form
           regexp_replace(base64(col("frame")), "\r\n", "").as("frame_b64"),
           length(col("frame")).as("frame_bytes"))
+    }),
+
+    // ---- DSIR data selection (Xie et al., NeurIPS 2023 — "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // candidate docs by the importance log-ratio between a TARGET and a
+    // RAW bag-of-hashed-unigram model, then Gumbel-top-k resample.
+    // Hashing the features makes each model a fixed B-row table
+    // (collisions are part of the method, paper §2.2), so both models
+    // together broadcast everywhere regardless of corpus size. Scale
+    // shape: one token explode + one B-key groupBy (map-side partials)
+    // builds the models; scoring is the same explode + a broadcast
+    // equi-join + a doc-keyed agg — linear, no pair joins; the final
+    // top-k is TakeOrdered, never a global sort. Determinism across
+    // engines: per-bucket log-ratios are quantized to integer
+    // micro-nats (integer sums are order-independent and exact — the
+    // cluster_kmeans trick), and the Gumbel noise is content-addressed
+    // from the Knuth hash of doc_id, not an RNG. ----
+    "pipeline_dsir" -> ((s, dir) => {
+      val B = 512
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(normText(col("text")), " ")).as("w"))
+        // SQL-expressible word hash (ascii/length arithmetic) so DuckDB
+        // recomputes bit-identical buckets; collisions are fine — DSIR
+        // only needs SOME fixed hash into B buckets
+        .withColumn("b", pmod(
+          ascii(col("w")) * lit(31L)
+            + ascii(substring(col("w"), 2, 1)) * lit(7L)
+            + length(col("w")).cast("long") * lit(13L), lit(B.toLong)))
+      val isTgt = col("source").isin("src0", "src1")
+      val model = toks.groupBy(col("b"))
+        .agg(sum(when(isTgt, 1L).otherwise(0L)).as("tc"),
+          sum(when(isTgt, 0L).otherwise(1L)).as("rc"))
+      val totals = model.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+      val lr = model.crossJoin(broadcast(totals))
+        .select(col("b"),
+          round((log((col("tc") + 1).cast("double") / (col("tt") + B).cast("double"))
+            - log((col("rc") + 1).cast("double") / (col("rt") + B).cast("double"))) * 1e6)
+            .cast("long").as("lr"))
+      toks.filter(!isTgt)
+        .join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("source")).as("source"), count(lit(1)).as("n_tokens"),
+          sum(col("lr")).as("score_micro"))
+        .withColumn("key_micro", col("score_micro")
+          + round(-log(-log(
+            ((col("doc_id") * lit(2654435761L) % lit(4294967296L)).cast("double") + 0.5)
+              / lit(4294967296.0))) * 1e6).cast("long"))
+        .orderBy(desc("key_micro"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    // ---- BPE tokenizer training (Sennrich et al., ACL 2016), the
+    // vocabulary-construction stage of a data pipeline: R merge rounds,
+    // each picking the corpus-weighted most frequent adjacent symbol
+    // pair and fusing it everywhere. Fully declarative — NO driver
+    // collect: each round is one pair-count groupBy (map-side
+    // partials over the DISTINCT-word table, the standard trainer
+    // trick — vocab ≪ corpus), a 1-row TakeOrdered argmax, and a
+    // broadcast crossJoin feeding a string `replace`. Symbol sequences
+    // ride as \x01\x01-delimited packed strings; the merge pattern
+    // `\x01·pa·\x01\x01·pb·\x01` keeps adjacent matches from sharing
+    // characters, so one linear left-to-right replace() IS the
+    // leftmost non-overlapping BPE merge in both engines. Determinism:
+    // integer counts, lexicographic (pa, pb) tie-break. ----
+    "pipeline_bpe_train" -> ((s, dir) => {
+      val D = "\u0001"
+      val DD = D + D
+      val words0 = t(s, dir, "documents")
+        .select(explode(split(normText(col("text")), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit(DD),
+          concat_ws(DD, expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          lit(DD)).as("packed"), col("cnt"))
+      val rounds = 4
+      var words = words0
+      var merges: DataFrame = null
+      for (r <- 1 to rounds) {
+        val pairs = words
+          .select(col("cnt"), split(col("packed"), DD).as("arr"))
+          .select(col("cnt"), expr("slice(arr, 2, size(arr) - 2)").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum(col("cnt")).as("pair_cnt"))
+        val best = pairs.orderBy(desc("pair_cnt"), asc("pa"), asc("pb")).limit(1)
+        val roundRow = best.select(lit(r).as("bpe_round"), col("pa"), col("pb"),
+          concat(col("pa"), col("pb")).as("merged"), col("pair_cnt"))
+        merges = if (merges == null) roundRow else merges.unionAll(roundRow)
+        words = words.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+          .select(expr("replace(packed, concat(char(1), pa, char(1), char(1), pb, char(1)), " +
+            "concat(char(1), pa, pb, char(1)))").as("packed"), col("cnt"))
+      }
+      merges
     }))
 
   private val jaccardOracle =
@@ -2103,5 +2199,70 @@ object PipelineQueries {
         |SELECT media_id, frame_idx,
         |  to_base64(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_b64,
         |  octet_length(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_bytes
-        |FROM f WHERE frame_idx % 4 = 0""".stripMargin)
+        |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
+    // DSIR: the oracle recomputes the hashed-unigram models, the
+    // integer micro-nat log-ratios, and the content-addressed Gumbel
+    // keys from scratch; sums are bigint (HUGEINT cast per the r2
+    // lesson), log-ratio quantization matches Spark's round-to-long
+    "pipeline_dsir" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |    (ascii(w) * 31 + ascii(substr(w, 2, 1)) * 7 + length(w) * 13) % 512 AS b
+        |  FROM tok),
+        |model AS (SELECT b,
+        |    sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END)::bigint AS tc,
+        |    sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END)::bigint AS rc
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT sum(tc)::bigint AS tt, sum(rc)::bigint AS rt FROM model),
+        |lr AS (SELECT b,
+        |    round((ln((tc + 1)::double / (tt + 512)::double)
+        |         - ln((rc + 1)::double / (rt + 512)::double)) * 1e6)::bigint AS lr
+        |  FROM model CROSS JOIN tot),
+        |sc AS (SELECT doc_id, max(source) AS source, count(*)::bigint AS n_tokens,
+        |    sum(lr)::bigint AS score_micro
+        |  FROM tb JOIN lr USING (b)
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id)
+        |SELECT doc_id, source, n_tokens, score_micro,
+        |  (score_micro + round(-ln(-ln(
+        |     ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)) * 1e6)::bigint)
+        |    AS key_micro
+        |FROM sc ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
+    // BPE: 4 unrolled merge rounds; packed \x01\x01-delimited symbol
+    // strings, leftmost non-overlapping merge via plain replace() —
+    // same single-scan semantics in both engines
+    "pipeline_bpe_train" -> {
+      def pairsCte(w: String, p: String) =
+        s"""$p AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, sum(cnt)::bigint AS pair_cnt
+           |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+           |        FROM (SELECT cnt,
+           |                list_slice(string_split(packed, chr(1) || chr(1)), 2,
+           |                  len(string_split(packed, chr(1) || chr(1))) - 1) AS syms
+           |              FROM $w) s0) s1
+           |  GROUP BY 1, 2)""".stripMargin
+      def bestCte(p: String, b: String) =
+        s"$b AS (SELECT pa, pb, pair_cnt FROM $p ORDER BY pair_cnt DESC, pa, pb LIMIT 1)"
+      def mergeCte(w: String, b: String, w2: String) =
+        s"""$w2 AS (SELECT replace(packed,
+           |    chr(1) || pa || chr(1) || chr(1) || pb || chr(1),
+           |    chr(1) || pa || pb || chr(1)) AS packed, cnt
+           |  FROM $w CROSS JOIN $b)""".stripMargin
+      val rounds = (1 to 4).map { r =>
+        val prev = s"w${r - 1}"
+        Seq(pairsCte(prev, s"p$r"), bestCte(s"p$r", s"b$r")) ++
+          (if (r < 4) Seq(mergeCte(prev, s"b$r", s"w$r")) else Nil)
+      }.flatten
+      val selects = (1 to 4).map(r =>
+        s"SELECT $r AS bpe_round, pa, pb, pa || pb AS merged, pair_cnt FROM b$r")
+      s"""WITH w0 AS (SELECT
+         |    chr(1) || chr(1) ||
+         |      array_to_string([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
+         |        chr(1) || chr(1)) || chr(1) || chr(1) AS packed,
+         |    count(*)::bigint AS cnt
+         |  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+         |        FROM documents) tw GROUP BY 1),
+         |${rounds.mkString(",\n")}
+         |${selects.mkString(" UNION ALL ")}""".stripMargin
+    })
 }

@@ -160,4 +160,24 @@ class PlanSpec extends GraftSuite {
     val exchanges = s.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"expected only the aggregate exchange (+AQE read):\n$s")
   }
+
+  test("pipeline_dsir scores via a broadcast model join and a TakeOrdered top-k") {
+    val df = q("pipeline_dsir"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the B-row log-ratio table must broadcast to the token stream —
+    // the corpus side stays scan-shaped at any scale
+    assert(s.contains("BroadcastHashJoin"), s"model join must broadcast:\n$s")
+    // top-k is TakeOrderedAndProject, never a global sort of all docs
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("pipeline_bpe_train rounds are groupBy + 1-row TakeOrdered argmax, no collect") {
+    val df = q("pipeline_bpe_train"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // each round's argmax is TakeOrderedAndProject(limit=1) feeding a
+    // broadcast — the merge stays fully declarative (no driver loop)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }

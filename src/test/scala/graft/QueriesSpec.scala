@@ -264,4 +264,39 @@ class QueriesSpec extends GraftSuite {
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall $recall over ${exact.size} exact pairs")
   }
+
+  test("pipeline_bpe_train matches an independent array-based BPE trainer") {
+    // The query rides packed \x01\x01-delimited strings + replace();
+    // the DuckDB oracle uses the SAME trick, so a shared misreading of
+    // replace() semantics would pass both. This reference trainer merges
+    // leftmost-non-overlapping over symbol ARRAYS — an independent
+    // mechanism — and must produce the identical merge table.
+    import org.apache.spark.sql.functions.{col, explode, lower, split, trim, regexp_replace}
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    graft.engine.Tables.load(spark, sfTiny, "documents")
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("w"))
+      .collect().foreach { r =>
+        val syms = r.getString(0).toList.map(_.toString)
+        if (syms.nonEmpty) words(syms) = words.getOrElse(syms, 0L) + 1L
+      }
+    def mergeOne(syms: List[String], pa: String, pb: String): List[String] = syms match {
+      case a :: b :: rest if a == pa && b == pb => (pa + pb) :: mergeOne(rest, pa, pb)
+      case a :: rest => a :: mergeOne(rest, pa, pb)
+      case Nil => Nil
+    }
+    var vocab = words.toMap
+    val expected = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + cnt)
+      }
+      val ((pa, pb), c) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      vocab = vocab.groupMapReduce { case (syms, _) => mergeOne(syms, pa, pb) }(_._2)(_ + _)
+      (r, pa, pb, pa + pb, c)
+    }
+    val got = rows("pipeline_bpe_train")
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }
