@@ -21,6 +21,12 @@ object EventQueries {
     Tables.load(s, dir, name)
 
   val queries: Map[String, Q] = Map(
+    // r7: the streaming aggregation path as a driver row — the events
+    // fixture through a REAL file-source readStream (AvailableNow
+    // trigger, Complete-mode memory sink) must hash-match the batch
+    // hourly aggregate; see EventStream.windowedAggRow
+    "stream_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedAggRow(s, dir)),
     // tumbling-window counts (batch analog of streaming windowed agg)
     "evt_time_buckets" -> ((s, dir) => {
       t(s, dir, "events")
@@ -226,6 +232,12 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the streamed Complete-mode aggregate equals the batch aggregate —
+    // window('1 hour') epoch-aligns to date_trunc('hour') buckets
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |count(*) AS n, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "evt_time_buckets" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |count(*) AS n, sum(value) AS total_value

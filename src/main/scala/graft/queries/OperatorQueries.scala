@@ -165,6 +165,20 @@ object OperatorQueries {
         countDistinct(col("l_suppkey")).as("nd_supp"),
         count(lit(1)).as("n"))
     }),
+    // StreamingAggregationOperator analog (reference streams groups of a
+    // pre-sorted input, `StreamingAggregationOperator.java`): Spark's
+    // SortAggregate — chosen here because the agg buffer holds an array
+    // (min over array<string> is declarative but not hash-agg eligible),
+    // so the plan sorts by the group key and streams group-at-a-time
+    // exactly like the reference operator. Values oracle-checked; the
+    // SortAggregate plan shape is asserted in PlanSpec.
+    "agg_sort_streaming" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(min(split(col("text"), " ")).as("arr"), count(lit(1)).as("n"))
+        .select(col("lang"), array_join(col("arr"), " ").as("min_tokens"),
+          col("n"))
+    }),
     // count_if / bool_and / bool_or (reference CountIfAggregation.java,
     // BooleanAndAggregation.java)
     "agg_conditional" -> ((s, dir) => {
@@ -524,6 +538,12 @@ object OperatorQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // DuckDB list comparison is lexicographic with shorter-prefix-first,
+    // the same total order Spark uses for array<string> — verified on the
+    // fixture and in the inline probe (['a','z'] < ['a','z','z'])
+    "agg_sort_streaming" ->
+      """SELECT lang, array_to_string(min(string_split(text, ' ')), ' ') AS min_tokens,
+        |count(*) AS n FROM documents GROUP BY lang""".stripMargin,
     "agg_conditional" ->
       """SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
         |bool_and(o_totalprice > 0.0) AS all_pos,

@@ -134,6 +134,46 @@ object EventStream {
         col("click_id"), col("i_ts"), col("c_ts"))
   }
 
+  /** Driver row for the streaming aggregation path: the events fixture
+    * streamed through `windowedCounts` (real file-source `readStream`,
+    * AvailableNow trigger, Complete-mode memory sink) must produce
+    * EXACTLY the batch hourly aggregate — the oracle is the plain batch
+    * SQL, hash-matched, so the streaming agg operator is value-verified
+    * end-to-end, not just spec-asserted. Complete mode keeps every
+    * window in the sink table (append mode would hold back windows the
+    * watermark hasn't closed), and `window(ts, '1 hour')` aligns to the
+    * epoch — the same buckets as `date_trunc('hour', ts)` on both
+    * engines.
+    *
+    * Scale: the memory sink is the harness, not the op — production
+    * writes append-mode parquet/kafka via `run()`; the agg state is
+    * keyed by (window, event_type) and watermark-evicted.
+    */
+  def windowedAggRow(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // dispatch on the fixture's actual ts encoding exactly like
+    // engine.Tables.doLoad (nanos-as-long vs micros-ntz generations)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    // the file source wants a directory to watch; the fixture is one file
+    // inside the sf dir — watch the dir, glob-filter to the events table
+    val stream0 = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream0.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = windowedCounts(events).writeStream
+      .format("memory").queryName("graft_stream_agg_row")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table("graft_stream_agg_row")
+  }
+
   /** End-to-end wiring: file/kafka-shaped source → transform → sink.
     * (`readStream` over a directory of parquet drops mirrors how the
     * reference's kafka connector exposes a topic as an append-only table.)

@@ -129,6 +129,14 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("WholeStageCodegen") || s.contains("*("), s)
   }
 
+  test("agg_sort_streaming plans SortAggregate (group-at-a-time over sorted input)") {
+    // the reference's StreamingAggregationOperator consumes pre-sorted
+    // input group-at-a-time; Spark's equivalent physical operator is
+    // SortAggregate, forced here by the array-typed agg buffer
+    val s = plan(q("agg_sort_streaming")).toString
+    assert(s.contains("SortAggregate"), s)
+  }
+
   test("agg_global plans partial + final aggregation (map-side combine)") {
     val s = plan(q("agg_global")).toString
     val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))
