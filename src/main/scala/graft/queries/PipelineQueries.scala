@@ -734,6 +734,66 @@ object PipelineQueries {
             .as("cleaned_fingerprint"))
     }),
 
+    // ---- context-window chunking with overlap: the LM-pretraining doc
+    // splitter — documents longer than the training context (50 tokens
+    // here) become overlapping chunks (stride 40, overlap 10) so no
+    // cross-boundary context is lost; short docs pass through as one
+    // chunk (the complement, packing SHORT docs together, is
+    // pipeline_seq_pack). Pure scan-stage transform + posexplode —
+    // ZERO exchanges at any corpus size (asserted in PlanSpec); chunk
+    // count per doc is ceil((n-50)/40)+1 = (n-11) div 40 + 1 for n>50.
+    // md5 per chunk pins the exact token spans cross-engine. ----
+    "pipeline_chunk_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", split(normText(col("text")), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, if(size(ws) <= 50, 0, (size(ws) - 11) div 40)), " +
+            "j -> slice(ws, j * 40 + 1, 50))")).as(Seq("chunk_idx", "cws")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("cws")).as("n_tokens"),
+          md5(array_join(col("cws"), " ")).as("chunk_fingerprint"))
+    }),
+
+    // ---- line-level dedup (CCNet, Wenzek et al. 2020: paragraph-hash
+    // dedup before LM filtering; RefinedWeb applies the same at line
+    // granularity): a LINE whose normalized content repeats across ≥ 2
+    // distinct documents is boilerplate (nav bars, cookie banners,
+    // licence headers) and is removed from every document; a document
+    // that loses too much (< 30% of words kept) is dropped entirely.
+    // The fixture corpus has no newlines, so "lines" are synthesized as
+    // the non-overlapping 10-token segments of each doc — the op's
+    // shape is identical for real newline-split lines. Shape: segment
+    // df-aggregation on an 8-byte xxhash64 line key (CCNet's actual
+    // design: 64-bit hashes of normalized paragraphs) + one equi-join
+    // back — linear at any corpus size, cheaper than gram-level
+    // strip_boilerplate (N/10 segment rows vs N gram rows), and the
+    // removal decision is per-line, never per-pair. md5 of the
+    // reconstruction pins the exact cleaned text cross-engine. ----
+    "text_line_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("ws", split(normText(col("text")), " "))
+        .select(col("doc_id"), col("ws"))
+      val lines = base.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(ws) - 1) div 10), " +
+          "j -> xxhash64(array_join(slice(ws, j * 10 + 1, 10), ' ')))"))
+        .as(Seq("j", "lh")))
+      val dup = lines.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("lh"))
+      val removed = lines.join(dup, "lh")
+        .groupBy(col("doc_id")).agg(collect_set(col("j")).as("rem"))
+      base.join(removed, Seq("doc_id"), "left")
+        .withColumn("kept_ws", expr(
+          "filter(ws, (x, i) -> NOT array_contains(coalesce(rem, array()), i div 10))"))
+        .select(col("doc_id"),
+          expr("(size(ws) - 1) div 10 + 1").cast("int").as("n_lines"),
+          coalesce(size(col("rem")), lit(0)).as("n_removed"),
+          size(col("kept_ws")).as("n_words_kept"),
+          // CCNet's document drop: keep only docs retaining ≥ 30% of words
+          (size(col("kept_ws")) * 10 >= size(col("ws")) * 3).as("doc_kept"),
+          md5(array_join(col("kept_ws"), " ")).as("cleaned_fingerprint"))
+    }),
+
     // ---- stratified (quota) sampling: exact n-per-source retention by
     // content-addressed rank — the "balance the mixture to fixed
     // quotas" stage of a pipeline. Rank = row_number over the Knuth-
@@ -1205,6 +1265,41 @@ object PipelineQueries {
     // stays scan-shaped (explode → broadcast semi-ish join) and the only
     // shuffle carries HIT rows, which are rare. Grams are matched as
     // exact strings, so the DuckDB oracle mirrors the op verbatim. ----
+    // ---- FUZZY decontamination: exact 5-gram hits (text_decontaminate)
+    // miss paraphrased / lightly-edited benchmark leakage; the fuzzy
+    // variant flags a training doc when its 3-word-shingle Jaccard
+    // against ANY benchmark doc reaches 0.5 (the n-gram-overlap
+    // decontamination of GPT-3 appx C / Llama, strengthened to a set
+    // similarity). Scale shape: the benchmark side is an eval set —
+    // thousands of docs, broadcast; candidates come from a shared-
+    // shingle equi-join (a doc pairs only with benchmarks it shares a
+    // shingle with), intersection counts accumulate in one aggregate,
+    // and the threshold is the integer test 2·inter ≥ union (no float
+    // boundary flakiness cross-engine). Linear in corpus size. ----
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .withColumn("ws", split(normText(col("text")), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("sh", expr(
+          "array_distinct(transform(sequence(1, size(ws) - 2), " +
+            "i -> concat_ws(' ', slice(ws, i, 3))))"))
+        .select(col("doc_id"), col("source"), col("sh"),
+          size(col("sh")).as("n"))
+      val train = w.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("n").as("n_a"), explode(col("sh")).as("g"))
+      val bench = w.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), col("n").as("n_b"),
+          explode(col("sh")).as("g"))
+      train.join(broadcast(bench), "g")
+        .groupBy(col("doc_id"), col("bench_id"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter"))).as("max_jaccard"))
+    }),
+
     "text_decontaminate" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
         .withColumn("words", split(normText(col("text")), " "))
@@ -1711,6 +1806,41 @@ object PipelineQueries {
         |    (x, i) -> NOT coalesce(list_contains(cov.cov, i), false)), ' '), ''))
         |    AS cleaned_fingerprint
         |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id""".stripMargin,
+    "pipeline_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, j, ws[j*40+1:j*40+50] AS cws
+        |      FROM (SELECT doc_id, ws, unnest(range(0,
+        |              CASE WHEN len(ws) <= 50 THEN 1
+        |                   ELSE (len(ws)-11)//40 + 1 END)) AS j
+        |            FROM w))
+        |SELECT doc_id, j::int AS chunk_idx, len(cws)::int AS n_tokens,
+        |  md5(array_to_string(cws, ' ')) AS chunk_fingerprint
+        |FROM c""".stripMargin,
+    // DuckDB's list_filter lambda index is 1-based (Spark's is 0-based):
+    // segment of word i is (i-1)//10 there, i div 10 here; md5 of the
+    // reconstruction pins cross-engine agreement exactly.
+    "text_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |l AS (SELECT doc_id, j, array_to_string(ws[j*10+1:j*10+10], ' ') AS line
+        |      FROM (SELECT doc_id, ws, unnest(range(0, (len(ws)-1)//10 + 1)) AS j
+        |            FROM w)),
+        |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |rem AS (SELECT doc_id, list(DISTINCT j) AS rem
+        |        FROM l JOIN dup USING (line) GROUP BY doc_id),
+        |k AS (SELECT w.doc_id, w.ws, rem.rem,
+        |        list_filter(w.ws, (x, i) ->
+        |          NOT coalesce(list_contains(rem.rem, (i-1)//10), false)) AS kept_ws
+        |      FROM w LEFT JOIN rem ON w.doc_id = rem.doc_id)
+        |SELECT doc_id, ((len(ws)-1)//10 + 1)::int AS n_lines,
+        |  coalesce(len(rem), 0)::int AS n_removed,
+        |  len(kept_ws)::int AS n_words_kept,
+        |  (len(kept_ws) * 10 >= len(ws) * 3) AS doc_kept,
+        |  md5(coalesce(array_to_string(kept_ws, ' '), '')) AS cleaned_fingerprint
+        |FROM k""".stripMargin,
     "pipeline_stratified_sample" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source
@@ -2111,6 +2241,26 @@ object PipelineQueries {
         |len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::int AS n_ips,
         |len(regexp_extract_all(text, '\b\d{3}[- .]\d{3,4}[- .]\d{4}\b'))::int AS n_phones
         |FROM documents""".stripMargin,
+    // max_jaccard is a ratio of the SAME small integers on both engines
+    // — bit-identical doubles; the keep/flag threshold itself is the
+    // integer test, so no float boundary can flip a row
+    "text_decontaminate_fuzzy" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                   FOR i IN range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, source, string_split(
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |        FROM documents)
+        |  WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, len(sh) AS n_a, unnest(sh) AS g
+        |      FROM w WHERE source <> 'src0'),
+        |b AS (SELECT doc_id AS bench_id, len(sh) AS n_b, unnest(sh) AS g
+        |      FROM w WHERE source = 'src0'),
+        |p AS (SELECT t.doc_id, b.bench_id, t.n_a, b.n_b, count(*) AS inter
+        |      FROM t JOIN b USING (g) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, count(*) AS n_bench_hits,
+        |  max(inter::double / (n_a + n_b - inter)) AS max_jaccard
+        |FROM p WHERE 2*inter >= n_a + n_b - inter GROUP BY 1""".stripMargin,
     "text_decontaminate" ->
       """WITH d AS (SELECT doc_id, source,
         |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words

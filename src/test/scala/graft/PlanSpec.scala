@@ -149,6 +149,17 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("Exchange"), s"redaction must not shuffle:\n$s")
   }
 
+  test("pipeline_chunk_overlap is a pure scan -> explode plan (zero exchanges)") {
+    val df = q("pipeline_chunk_overlap"); df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("text_decontaminate_fuzzy broadcasts the benchmark shingle side") {
+    val s = plan(q("text_decontaminate_fuzzy")).toString
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("text_decontaminate broadcasts the benchmark gram set") {
     val df = q("text_decontaminate"); df.collect()
     val s = df.queryExecution.executedPlan.toString
