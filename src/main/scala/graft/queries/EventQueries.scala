@@ -27,6 +27,11 @@ object EventQueries {
     // hourly aggregate; see EventStream.windowedAggRow
     "stream_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAggRow(s, dir)),
+    // r7: stream-stream interval join (view→click attribution) over two
+    // independent file-source readStreams, drained append-mode — must
+    // hash-match the batch self-join; see EventStream.intervalJoinRow
+    "stream_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinRow(s, dir)),
     // tumbling-window counts (batch analog of streaming windowed agg)
     "evt_time_buckets" -> ((s, dir) => {
       t(s, dir, "events")
@@ -238,6 +243,12 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |count(*) AS n, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT c.user_id, i.event_id AS impression_id, c.event_id AS click_id,
+        |i.ts AS i_ts, c.ts AS c_ts
+        |FROM events c JOIN events i ON c.user_id = i.user_id
+        |WHERE c.event_type = 'click' AND i.event_type = 'view'
+        |AND i.ts <= c.ts AND i.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin,
     "evt_time_buckets" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |count(*) AS n, sum(value) AS total_value

@@ -149,29 +149,51 @@ object EventStream {
     * writes append-mode parquet/kafka via `run()`; the agg state is
     * keyed by (window, event_type) and watermark-evicted.
     */
-  def windowedAggRow(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // dispatch on the fixture's actual ts encoding exactly like
-    // engine.Tables.doLoad (nanos-as-long vs micros-ntz generations)
+  /** A real file-source readStream over the events fixture, normalizing
+    * the ts encoding exactly like engine.Tables.doLoad (nanos-as-long vs
+    * micros-ntz fixture generations). Each call is an independent source.
+    * The file source wants a directory to watch; the fixture is one file
+    * inside the sf dir — watch the dir, glob-filter to the events table.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path)
-    // the file source wants a directory to watch; the fixture is one file
-    // inside the sf dir — watch the dir, glob-filter to the events table
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     val stream0 = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => stream0.withColumn("ts", col("ts").cast("timestamp"))
     }
-    val q = windowedCounts(events).writeStream
-      .format("memory").queryName("graft_stream_agg_row")
-      .outputMode(OutputMode.Complete)
+  }
+
+  /** Drain one streaming query into a memory-sink table and return it. */
+  private def drainToTable(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table("graft_stream_agg_row")
+    spark.table(name)
+  }
+
+  def windowedAggRow(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, windowedCounts(eventsStream(spark, dir)),
+      "graft_stream_agg_row", OutputMode.Complete)
+
+  /** Driver row for the stream-stream INTERVAL join: view→click
+    * attribution over TWO independent file-source streams of the events
+    * fixture. Inner stream-stream joins emit a row as soon as both sides
+    * match (the watermark only bounds state retention), so an
+    * AvailableNow drain through an append-mode memory sink yields the
+    * complete join — hash-matched against the batch self-join oracle.
+    */
+  def intervalJoinRow(spark: SparkSession, dir: String): DataFrame = {
+    val imp = eventsStream(spark, dir).filter(col("event_type") === "view")
+    val clk = eventsStream(spark, dir).filter(col("event_type") === "click")
+    drainToTable(spark, intervalJoin(imp, clk),
+      "graft_stream_ij_row", OutputMode.Append)
   }
 
   /** End-to-end wiring: file/kafka-shaped source → transform → sink.
