@@ -1605,6 +1605,124 @@ object PipelineQueries {
 
     // ---- BPE tokenizer training (Sennrich et al., ACL 2016), the
     // vocabulary-construction stage of a data pipeline: R merge rounds,
+    // ---- BM25 ranked retrieval (Robertson/Okapi, k1=1.2 b=0.75): the
+    // lexical half of retrieval — embedding ANN covers the dense half.
+    // Query-by-example: each query is the first 5 distinct tokens of
+    // docs 0–4; scoring joins the query terms against the postings.
+    // Scale shape: postings + doc lengths are ONE corpus-linear pass
+    // (tf via groupBy, dl via a window over the same doc_id
+    // partitioning — no second explode); query terms, df table (vocab-
+    // sized) and corpus stats are all broadcast, so the only shuffles
+    // are the postings groupBy and the (query, doc) score agg, which is
+    // bounded by matched postings, not corpus². Ranking rounds to 6 dp
+    // before ordering so cross-engine double ulps cannot flip ranks. ----
+    "sim_bm25_topk" -> ((s, dir) => {
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(normText(col("text")), " ")).as(Seq("pos", "tok")))
+      val postings = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum(col("tf")).over(byDoc))
+      val dfTbl = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val stats = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      // first-position order makes the 5-term query set deterministic
+      // (positions are unique within a doc, so no tie-break needed)
+      val qterms = toks.filter(col("doc_id") < 5)
+        .groupBy(col("doc_id").as("query_id"), col("tok"))
+        .agg(min(col("pos")).as("first_pos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("first_pos"))))
+        .filter(col("rk") <= 5).select(col("query_id"), col("tok"))
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfNorm = col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      postings.join(broadcast(qterms), "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfTbl), "tok")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(idf * tfNorm), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+    }),
+
+    // ---- inverted-index build: the index-construction sink a search/
+    // retrieval stack runs over the corpus — one row per term carrying
+    // df, total tf and an md5 of the canonical "doc:tf" posting string
+    // (sorted by doc_id), so the driver row stays bounded while pinning
+    // every posting exactly. Scale shape: tf groupBy then term groupBy,
+    // both map-side combinable; posting-list size is bounded by df, so
+    // the skew risk is stop-word terms — production shards those by
+    // df-cap (the abscap TF-IDF parameterization) or posting-list
+    // chunking; the md5 render is what keeps 100 TB posting lists out
+    // of the driver. ----
+    "pipeline_inverted_index" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
+            "x -> concat(cast(x.doc_id AS string), ':', cast(x.tf AS string))), ','))")
+            .as("postings_md5"))
+    }),
+
+    // ---- UniMax mixture allocation (Chung et al. 2023, "UniMax:
+    // Fairer and More Effective Language Sampling"): distribute a token
+    // budget B uniformly across sources, capping each source at E
+    // epochs of its own data; leftover budget from capped (small)
+    // sources is re-spread over the rest. The greedy walks sources in
+    // ascending size; because sizes are sorted, the capped set is a
+    // prefix, so the whole loop collapses to closed-form window
+    // arithmetic: source j is capped iff E·n_j·(k−j+1) ≤ B − E·Σ_{i<j}
+    // n_i AND every smaller source was capped (a running AND — the raw
+    // inequality alone could spuriously re-trigger after the split).
+    // Scale shape: one corpus-linear agg to per-source token counts,
+    // then windows over the k-row source frame (k is dozens even at
+    // 100 TB — mixture design is per-source by construction). ----
+    "pipeline_unimax_mixture" -> ((s, dir) => {
+      val E = 2.0
+      val per = t(s, dir, "documents")
+        .select(col("source"),
+          size(split(normText(col("text")), " ")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      val asc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_tokens").asc, col("source").asc)
+      val ascPrev = asc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ascRun = asc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val totals = per.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("k"))
+        .withColumn("budget", round(col("total") * lit(1.8)).cast("long"))
+      val flagged = per.crossJoin(broadcast(totals))
+        .withColumn("j", row_number().over(asc))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_tokens")).over(ascPrev), lit(0L)))
+        .withColumn("cond",
+          lit(E) * col("n_tokens") * (col("k") - col("j") + 1) <=
+            col("budget") - lit(E) * col("cum_prev"))
+        .withColumn("capped",
+          sum(when(col("cond"), 0).otherwise(1)).over(ascRun) === 0)
+      val cappedAgg = flagged.agg(
+        sum(when(col("capped"), col("n_tokens")).otherwise(0L)).as("capped_tokens"),
+        sum(when(col("capped"), 1L).otherwise(0L)).as("m"))
+      flagged.crossJoin(broadcast(cappedAgg))
+        .withColumn("uniform",
+          coalesce((col("budget") - lit(E) * col("capped_tokens")) /
+            nullif(col("k") - col("m"), lit(0L)), lit(0.0)))
+        .withColumn("alloc",
+          when(col("capped"), lit(E) * col("n_tokens")).otherwise(col("uniform")))
+        .select(col("source"), col("n_tokens"), col("capped"),
+          round(col("alloc"), 4).as("alloc_tokens"),
+          round(col("alloc") / col("n_tokens"), 6).as("epochs"))
+    }),
+
     // each picking the corpus-weighted most frequent adjacent symbol
     // pair and fusing it everywhere. Fully declarative — NO driver
     // collect: each round is one pair-count groupBy (map-side
@@ -2379,6 +2497,72 @@ object PipelineQueries {
         |     ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)) * 1e6)::bigint)
         |    AS key_micro
         |FROM sc ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
+    // BM25: identical Okapi arithmetic (k1=1.2, b=0.75) over the same
+    // tokenization; scores rounded to 6 dp BEFORE ranking in both
+    // engines so double ulps cannot flip ranks
+    "sim_bm25_topk" ->
+      """WITH raw AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM raw),
+        |tok2 AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok),
+        |postings AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok2 GROUP BY 1),
+        |stats AS (SELECT avg(dl)::double AS avgdl, count(*)::bigint AS n_docs FROM dl),
+        |dft AS (SELECT tok, count(*)::bigint AS df FROM postings GROUP BY 1),
+        |qterms AS (SELECT query_id, tok FROM (
+        |    SELECT doc_id AS query_id, tok,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) AS rk
+        |    FROM tok2 WHERE doc_id < 5 GROUP BY doc_id, tok) q
+        |  WHERE rk <= 5),
+        |scored AS (SELECT q.query_id, p.doc_id,
+        |    round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        |      p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |  FROM postings p JOIN qterms q USING (tok) JOIN dft f USING (tok)
+        |    JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN stats s
+        |  WHERE p.doc_id <> q.query_id GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::int AS rank
+        |  FROM scored) r WHERE rank <= 3""".stripMargin,
+    "pipeline_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM tok GROUP BY 1, 2)
+        |SELECT tok, count(*)::bigint AS df, sum(tf)::bigint AS total_tf,
+        |  md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_md5
+        |FROM tf GROUP BY tok""".stripMargin,
+    // UniMax: same closed-form greedy (running-AND capped prefix over
+    // ascending sizes), E=2 epochs, B=round(1.8*total)
+    "pipeline_unimax_mixture" ->
+      """WITH per AS (SELECT source,
+        |    sum(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))::bigint
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::bigint AS total, count(*)::bigint AS k,
+        |    cast(round(sum(n_tokens) * 1.8) AS bigint) AS budget FROM per),
+        |flg AS (SELECT source, n_tokens, k, budget,
+        |    row_number() OVER w AS j,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM per CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY n_tokens, source)),
+        |cnd AS (SELECT *,
+        |    (2.0 * n_tokens * (k - j + 1) <= budget - 2.0 * cum_prev) AS cond FROM flg),
+        |cap AS (SELECT *,
+        |    (sum(CASE WHEN cond THEN 0 ELSE 1 END) OVER (ORDER BY n_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0) AS capped FROM cnd),
+        |agg AS (SELECT sum(CASE WHEN capped THEN n_tokens ELSE 0 END)::bigint AS capped_tokens,
+        |    sum(CASE WHEN capped THEN 1 ELSE 0 END)::bigint AS m FROM cap)
+        |SELECT source, n_tokens, capped,
+        |  round(CASE WHEN capped THEN 2.0 * n_tokens
+        |    ELSE coalesce((budget - 2.0 * capped_tokens) / nullif(k - m, 0), 0.0) END, 4)
+        |    AS alloc_tokens,
+        |  round(CASE WHEN capped THEN 2.0 * n_tokens
+        |    ELSE coalesce((budget - 2.0 * capped_tokens) / nullif(k - m, 0), 0.0) END
+        |    / n_tokens, 6) AS epochs
+        |FROM cap CROSS JOIN agg""".stripMargin,
     // BPE: 4 unrolled merge rounds; packed \x01\x01-delimited symbol
     // strings, leftmost non-overlapping merge via plain replace() —
     // same single-scan semantics in both engines

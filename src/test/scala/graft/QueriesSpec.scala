@@ -156,6 +156,52 @@ class QueriesSpec extends GraftSuite {
     }
   }
 
+  test("sim_bm25_topk: contiguous ranks, non-increasing scores, no self-hit") {
+    val byQuery = rows("sim_bm25_topk").groupBy(r => r.getLong(r.fieldIndex("query_id")))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, rs) =>
+      val ranked = rs.sortBy(r => r.getInt(r.fieldIndex("rank")))
+      assert(ranked.map(_.getInt(ranked.head.fieldIndex("rank"))).toSeq ==
+        (1 to ranked.length), s"query $qid ranks not contiguous")
+      assert(ranked.length <= 3)
+      val scores = ranked.map(r => r.getDouble(r.fieldIndex("score")))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, scores.toSeq)
+      assert(!ranked.exists(r => r.getLong(r.fieldIndex("doc_id")) == qid),
+        s"query $qid retrieved itself")
+    }
+  }
+
+  test("pipeline_inverted_index: df totals reconcile with the postings") {
+    val idx = rows("pipeline_inverted_index")
+    val sumDf = idx.map(r => r.getLong(r.fieldIndex("df"))).sum
+    val docTok = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .selectExpr("doc_id", "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS tok")
+      .distinct().count()
+    assert(sumDf == docTok, s"sum(df)=$sumDf != distinct (doc,tok)=$docTok")
+    idx.foreach { r =>
+      assert(r.getLong(r.fieldIndex("total_tf")) >= r.getLong(r.fieldIndex("df")))
+      assert(r.getString(r.fieldIndex("postings_md5")).length == 32)
+    }
+  }
+
+  test("pipeline_unimax_mixture: allocations exhaust the budget, caps honored") {
+    val r = rows("pipeline_unimax_mixture")
+    val total = r.map(row => row.getLong(row.fieldIndex("n_tokens"))).sum
+    val budget = math.round(total * 1.8).toDouble
+    val alloc = r.map(row => row.getDouble(row.fieldIndex("alloc_tokens")))
+    r.foreach { row =>
+      val n = row.getLong(row.fieldIndex("n_tokens"))
+      val a = row.getDouble(row.fieldIndex("alloc_tokens"))
+      val capped = row.getBoolean(row.fieldIndex("capped"))
+      assert(a <= 2.0 * n + 1e-6, s"${row.getString(0)} exceeds the 2-epoch cap")
+      if (capped)
+        assert(math.abs(row.getDouble(row.fieldIndex("epochs")) - 2.0) < 1e-6)
+    }
+    // budget is fully spent unless EVERY source hit its cap
+    if (!r.forall(_.getBoolean(r.head.fieldIndex("capped"))))
+      assert(math.abs(alloc.sum - budget) < 0.5, s"sum=${alloc.sum} budget=$budget")
+  }
+
   test("ANN variants recall brute-force top-5 neighbors (sf0.01)") {
     // the fixture's neighbors are weak (cos 0.3-0.47, near-orthogonal) —
     // hostile geometry for both hyperplane LSH and a 16-list IVF, so the
