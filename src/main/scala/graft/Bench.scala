@@ -30,7 +30,8 @@ object Bench {
   // Headline set: one representative per heavy operator family —
   // wide agg, join+topk, star join, pushdown scan, having+join, profit
   // rollup (q9), EXISTS/NOT EXISTS decorrelation (q21), window topN,
-  // sessionization, LSH dedup, ANN, explode+agg, distinct agg,
+  // sessionization, LSH dedup, ANN, BM25 lexical retrieval, explode+agg,
+  // distinct agg,
   // abscap TF-IDF pair join, df-ordered PPJoin exact dedup (the scale
   // path for exact near-dup). Every slot is a scale-path plan: the
   // measured-quadratic variants (size-band dedup_jaccard, relative-cap
@@ -41,7 +42,7 @@ object Bench {
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
     "tpch_q21", "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
     "dedup_minhash_lsh", "dedup_jaccard_ppjoin",
-    "sim_topk_brute",
+    "sim_topk_brute", "sim_bm25_topk",
     "text_token_stats", "mr_funnel", "sketch_hll_merge",
     "sim_tfidf_pairs_abscap")
 

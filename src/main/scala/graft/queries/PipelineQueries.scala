@@ -1734,38 +1734,87 @@ object PipelineQueries {
     // characters, so one linear left-to-right replace() IS the
     // leftmost non-overlapping BPE merge in both engines. Determinism:
     // integer counts, lexicographic (pa, pb) tie-break. ----
-    "pipeline_bpe_train" -> ((s, dir) => {
-      val D = "\u0001"
-      val DD = D + D
-      val words0 = t(s, dir, "documents")
-        .select(explode(split(normText(col("text")), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .select(concat(lit(DD),
-          concat_ws(DD, expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-          lit(DD)).as("packed"), col("cnt"))
-      val rounds = 4
-      var words = words0
-      var merges: DataFrame = null
-      for (r <- 1 to rounds) {
-        val pairs = words
-          .select(col("cnt"), split(col("packed"), DD).as("arr"))
-          .select(col("cnt"), expr("slice(arr, 2, size(arr) - 2)").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(sum(col("cnt")).as("pair_cnt"))
-        val best = pairs.orderBy(desc("pair_cnt"), asc("pa"), asc("pb")).limit(1)
-        val roundRow = best.select(lit(r).as("bpe_round"), col("pa"), col("pb"),
-          concat(col("pa"), col("pb")).as("merged"), col("pair_cnt"))
-        merges = if (merges == null) roundRow else merges.unionAll(roundRow)
-        words = words.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
-          .select(expr("replace(packed, concat(char(1), pa, char(1), char(1), pb, char(1)), " +
-            "concat(char(1), pa, pb, char(1)))").as("packed"), col("cnt"))
-      }
-      merges
+    "pipeline_bpe_train" -> ((s, dir) => bpeRun(s, dir, rounds = 4)._2),
+
+    // ---- BPE tokenizer APPLICATION: segment the corpus with the
+    // merges the trainer just learned and emit the resulting symbol
+    // histogram (symbol, corpus occurrences, distinct word forms) —
+    // the tokenize-and-count stage that follows vocabulary training.
+    // Scale shape: the merge chain rides the DISTINCT-word table
+    // (vocab ≪ corpus, the same trainer trick), so the apply cost is
+    // vocab-sized; the histogram is one map-side-combinable groupBy.
+    // A full-corpus materialization would be a linear join of
+    // documents against the segmented vocab — deliberately NOT done
+    // here: the histogram pins the segmentation exactly without
+    // shipping a corpus-sized result to the driver. ----
+    "pipeline_bpe_apply" -> ((s, dir) => {
+      val DD = "\u0001\u0001"
+      bpeRun(s, dir, rounds = 4)._1
+        .select(col("cnt"), split(col("packed"), DD).as("arr"))
+        .select(col("cnt"), expr("slice(arr, 2, size(arr) - 2)").as("syms"))
+        .select(col("cnt"), explode(col("syms")).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("cnt")).as("n_occurrences"),
+          count(lit(1)).as("n_word_forms"))
+    }),
+
+    // ---- corpus data card: the per-(source, lang) summary a pipeline
+    // publishes with a released dataset — doc/token/char counts, mean
+    // doc length, and the exact-dup rate (1 − distinct fingerprints /
+    // docs, the same md5(norm) fingerprint dedup_exact keys on). One
+    // corpus-linear pass; the only two-phase agg is the DISTINCT
+    // fingerprint count (partial sets per partition, merged per
+    // group), everything else map-side combinable. ----
+    "pipeline_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .withColumn("n_toks", size(split(col("norm"), " ")).cast("long"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          countDistinct(md5(col("norm"))).as("n_unique"),
+          round(avg(col("n_toks")), 6).as("mean_doc_tokens"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
     }))
+
+  /** The shared BPE loop (Sennrich et al., ACL 2016): R merge rounds
+    * over the distinct-word table, returning (final segmented words,
+    * merge table). See `pipeline_bpe_train`'s map comment for the
+    * packed-string representation and the determinism argument.
+    */
+  private def bpeRun(s: SparkSession, dir: String, rounds: Int): (DataFrame, DataFrame) = {
+    val D = "\u0001"
+    val DD = D + D
+    val words0 = t(s, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(DD),
+        concat_ws(DD, expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(DD)).as("packed"), col("cnt"))
+    var words = words0
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("cnt"), split(col("packed"), DD).as("arr"))
+        .select(col("cnt"), expr("slice(arr, 2, size(arr) - 2)").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+      val best = pairs.orderBy(desc("pair_cnt"), asc("pa"), asc("pb")).limit(1)
+      val roundRow = best.select(lit(r).as("bpe_round"), col("pa"), col("pb"),
+        concat(col("pa"), col("pb")).as("merged"), col("pair_cnt"))
+      merges = if (merges == null) roundRow else merges.unionAll(roundRow)
+      words = words.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+        .select(expr("replace(packed, concat(char(1), pa, char(1), char(1), pb, char(1)), " +
+          "concat(char(1), pa, pb, char(1)))").as("packed"), col("cnt"))
+    }
+    (words, merges)
+  }
 
   private val jaccardOracle =
     """WITH sh AS (
@@ -2567,36 +2616,69 @@ object PipelineQueries {
     // strings, leftmost non-overlapping merge via plain replace() —
     // same single-scan semantics in both engines
     "pipeline_bpe_train" -> {
-      def pairsCte(w: String, p: String) =
-        s"""$p AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, sum(cnt)::bigint AS pair_cnt
-           |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
-           |        FROM (SELECT cnt,
-           |                list_slice(string_split(packed, chr(1) || chr(1)), 2,
-           |                  len(string_split(packed, chr(1) || chr(1))) - 1) AS syms
-           |              FROM $w) s0) s1
-           |  GROUP BY 1, 2)""".stripMargin
-      def bestCte(p: String, b: String) =
-        s"$b AS (SELECT pa, pb, pair_cnt FROM $p ORDER BY pair_cnt DESC, pa, pb LIMIT 1)"
-      def mergeCte(w: String, b: String, w2: String) =
-        s"""$w2 AS (SELECT replace(packed,
-           |    chr(1) || pa || chr(1) || chr(1) || pb || chr(1),
-           |    chr(1) || pa || pb || chr(1)) AS packed, cnt
-           |  FROM $w CROSS JOIN $b)""".stripMargin
-      val rounds = (1 to 4).map { r =>
-        val prev = s"w${r - 1}"
-        Seq(pairsCte(prev, s"p$r"), bestCte(s"p$r", s"b$r")) ++
-          (if (r < 4) Seq(mergeCte(prev, s"b$r", s"w$r")) else Nil)
-      }.flatten
       val selects = (1 to 4).map(r =>
         s"SELECT $r AS bpe_round, pa, pb, pa || pb AS merged, pair_cnt FROM b$r")
-      s"""WITH w0 AS (SELECT
-         |    chr(1) || chr(1) ||
-         |      array_to_string([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
-         |        chr(1) || chr(1)) || chr(1) || chr(1) AS packed,
-         |    count(*)::bigint AS cnt
-         |  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
-         |        FROM documents) tw GROUP BY 1),
-         |${rounds.mkString(",\n")}
-         |${selects.mkString(" UNION ALL ")}""".stripMargin
-    })
+      s"$bpeOracleCtes\n${selects.mkString(" UNION ALL ")}"
+    },
+    // BPE apply: the same unrolled merge CTEs carried through w4 (the
+    // fully-merged vocab), then the symbol histogram over it
+    "pipeline_bpe_apply" ->
+      s"""$bpeOracleCtes
+         |SELECT sym AS symbol, sum(cnt)::bigint AS n_occurrences,
+         |  count(*)::bigint AS n_word_forms
+         |FROM (SELECT cnt, unnest(
+         |    list_slice(string_split(packed, chr(1) || chr(1)), 2,
+         |      len(string_split(packed, chr(1) || chr(1))) - 1)) AS sym
+         |  FROM w4) s
+         |GROUP BY 1""".stripMargin,
+    "pipeline_corpus_stats" ->
+      """WITH d AS (SELECT source, lang, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |g AS (SELECT source, lang, count(*)::bigint AS n_docs,
+        |    sum(len(string_split(norm, ' ')))::bigint AS n_tokens,
+        |    sum(length(text))::bigint AS n_chars,
+        |    count(DISTINCT md5(norm))::bigint AS n_unique,
+        |    round(avg(len(string_split(norm, ' '))), 6) AS mean_doc_tokens
+        |  FROM d GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens, n_chars, n_unique, mean_doc_tokens,
+        |  round(1.0 - n_unique::double / n_docs, 6) AS dup_rate
+        |FROM g""".stripMargin)
+
+  /** Shared CTE prefix of the BPE oracles: the packed distinct-word
+    * table w0 and four unrolled (pairs → best → merge) rounds, carried
+    * through the fully-merged w4 so both the merge-table select
+    * (train) and the symbol histogram (apply) can build on it.
+    */
+  // lazy: referenced by the `oracles` map initializer above its definition
+  private lazy val bpeOracleCtes: String = {
+    def pairsCte(w: String, p: String) =
+      s"""$p AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, sum(cnt)::bigint AS pair_cnt
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT cnt,
+         |                list_slice(string_split(packed, chr(1) || chr(1)), 2,
+         |                  len(string_split(packed, chr(1) || chr(1))) - 1) AS syms
+         |              FROM $w) s0) s1
+         |  GROUP BY 1, 2)""".stripMargin
+    def bestCte(p: String, b: String) =
+      s"$b AS (SELECT pa, pb, pair_cnt FROM $p ORDER BY pair_cnt DESC, pa, pb LIMIT 1)"
+    def mergeCte(w: String, b: String, w2: String) =
+      s"""$w2 AS (SELECT replace(packed,
+         |    chr(1) || pa || chr(1) || chr(1) || pb || chr(1),
+         |    chr(1) || pa || pb || chr(1)) AS packed, cnt
+         |  FROM $w CROSS JOIN $b)""".stripMargin
+    val rounds = (1 to 4).flatMap { r =>
+      val prev = s"w${r - 1}"
+      Seq(pairsCte(prev, s"p$r"), bestCte(s"p$r", s"b$r"),
+        mergeCte(prev, s"b$r", s"w$r"))
+    }
+    s"""WITH w0 AS (SELECT
+       |    chr(1) || chr(1) ||
+       |      array_to_string([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
+       |        chr(1) || chr(1)) || chr(1) || chr(1) AS packed,
+       |    count(*)::bigint AS cnt
+       |  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+       |        FROM documents) tw GROUP BY 1),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 }

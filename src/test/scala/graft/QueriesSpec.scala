@@ -202,6 +202,32 @@ class QueriesSpec extends GraftSuite {
       assert(math.abs(alloc.sum - budget) < 0.5, s"sum=${alloc.sum} budget=$budget")
   }
 
+  test("pipeline_bpe_apply: merges preserve characters exactly") {
+    // every BPE merge concatenates symbols — the weighted character mass
+    // of the segmented corpus must equal the raw token character mass
+    val segChars = rows("pipeline_bpe_apply").map { r =>
+      r.getString(r.fieldIndex("symbol")).length * r.getLong(r.fieldIndex("n_occurrences"))
+    }.sum
+    val rawChars = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .selectExpr("explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS w")
+      .selectExpr("sum(length(w)) AS c").collect().head.getLong(0)
+    assert(segChars == rawChars, s"segmented chars $segChars != raw chars $rawChars")
+  }
+
+  test("pipeline_corpus_stats: doc counts reconcile, dup rate bounded") {
+    val r = rows("pipeline_corpus_stats")
+    val totalDocs = r.map(row => row.getLong(row.fieldIndex("n_docs"))).sum
+    val expected = spark.read.parquet(s"$sfTiny/documents.parquet").count()
+    assert(totalDocs == expected)
+    r.foreach { row =>
+      val nDocs = row.getLong(row.fieldIndex("n_docs"))
+      val nUnique = row.getLong(row.fieldIndex("n_unique"))
+      val dup = row.getDouble(row.fieldIndex("dup_rate"))
+      assert(nUnique >= 1 && nUnique <= nDocs)
+      assert(dup >= 0.0 && dup <= 1.0)
+    }
+  }
+
   test("ANN variants recall brute-force top-5 neighbors (sf0.01)") {
     // the fixture's neighbors are weak (cos 0.3-0.47, near-orthogonal) —
     // hostile geometry for both hyperplane LSH and a 16-list IVF, so the
