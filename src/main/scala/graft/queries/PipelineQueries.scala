@@ -1609,24 +1609,25 @@ object PipelineQueries {
     // lexical half of retrieval — embedding ANN covers the dense half.
     // Query-by-example: each query is the first 5 distinct tokens of
     // docs 0–4; scoring joins the query terms against the postings.
-    // Scale shape: postings + doc lengths are ONE corpus-linear pass
-    // (tf via groupBy, dl via a window over the same doc_id
-    // partitioning — no second explode); query terms, df table (vocab-
-    // sized) and corpus stats are all broadcast, so the only shuffles
-    // are the postings groupBy and the (query, doc) score agg, which is
-    // bounded by matched postings, not corpus². Ranking rounds to 6 dp
-    // before ordering so cross-engine double ulps cannot flip ranks. ----
+    // Scale shape: doc length is a SCAN-STAGE column (size of the token
+    // array, carried through the explode), so tf+dl need exactly one
+    // shuffle — the postings groupBy; corpus stats aggregate the scan
+    // directly (zero-shuffle partial agg), and query terms + df table
+    // (vocab-sized) are broadcast, so the only other shuffle is the
+    // (query, doc) score agg, bounded by matched postings, not corpus².
+    // Ranking rounds to 6 dp before ordering so cross-engine double
+    // ulps cannot flip ranks. ----
     "sim_bm25_topk" -> ((s, dir) => {
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(normText(col("text")), " ")).as(Seq("pos", "tok")))
+      val docs = t(s, dir, "documents")
+        .withColumn("words", split(normText(col("text")), " "))
+        .withColumn("dl", size(col("words")).cast("long"))
+      val toks = docs
+        .select(col("doc_id"), col("dl"),
+          posexplode(col("words")).as(Seq("pos", "tok")))
       val postings = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("dl", sum(col("tf")).over(byDoc))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       val dfTbl = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val stats = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-        .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val stats = docs.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
       // first-position order makes the 5-term query set deterministic
       // (positions are unique within a doc, so no tie-break needed)
       val qterms = toks.filter(col("doc_id") < 5)
@@ -1683,24 +1684,27 @@ object PipelineQueries {
     // arithmetic: source j is capped iff E·n_j·(k−j+1) ≤ B − E·Σ_{i<j}
     // n_i AND every smaller source was capped (a running AND — the raw
     // inequality alone could spuriously re-trigger after the split).
-    // Scale shape: one corpus-linear agg to per-source token counts,
-    // then windows over the k-row source frame (k is dozens even at
-    // 100 TB — mixture design is per-source by construction). ----
+    // Scale shape: ONE corpus-linear agg to per-source token counts,
+    // then every global quantity (total, k, capped mass) is a window
+    // over the k-row source frame — no crossJoin'd aggregate subtrees,
+    // so the corpus is scanned exactly once (PlanSpec-asserted); the
+    // single-partition windows are correct BECAUSE the frame is k rows
+    // (k is dozens even at 100 TB — mixture design is per-source by
+    // construction). ----
     "pipeline_unimax_mixture" -> ((s, dir) => {
       val E = 2.0
-      val per = t(s, dir, "documents")
+      val W = org.apache.spark.sql.expressions.Window
+      val all = W.partitionBy()
+      val asc = W.orderBy(col("n_tokens").asc, col("source").asc)
+      val ascPrev = asc.rowsBetween(W.unboundedPreceding, -1)
+      val ascRun = asc.rowsBetween(W.unboundedPreceding, 0)
+      t(s, dir, "documents")
         .select(col("source"),
           size(split(normText(col("text")), " ")).cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
-      val asc = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_tokens").asc, col("source").asc)
-      val ascPrev = asc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val ascRun = asc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val totals = per.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("k"))
-        .withColumn("budget", round(col("total") * lit(1.8)).cast("long"))
-      val flagged = per.crossJoin(broadcast(totals))
+        .withColumn("budget",
+          round(sum(col("n_tokens")).over(all) * lit(1.8)).cast("long"))
+        .withColumn("k", count(lit(1)).over(all))
         .withColumn("j", row_number().over(asc))
         .withColumn("cum_prev",
           coalesce(sum(col("n_tokens")).over(ascPrev), lit(0L)))
@@ -1709,10 +1713,9 @@ object PipelineQueries {
             col("budget") - lit(E) * col("cum_prev"))
         .withColumn("capped",
           sum(when(col("cond"), 0).otherwise(1)).over(ascRun) === 0)
-      val cappedAgg = flagged.agg(
-        sum(when(col("capped"), col("n_tokens")).otherwise(0L)).as("capped_tokens"),
-        sum(when(col("capped"), 1L).otherwise(0L)).as("m"))
-      flagged.crossJoin(broadcast(cappedAgg))
+        .withColumn("capped_tokens",
+          sum(when(col("capped"), col("n_tokens")).otherwise(0L)).over(all))
+        .withColumn("m", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
         .withColumn("uniform",
           coalesce((col("budget") - lit(E) * col("capped_tokens")) /
             nullif(col("k") - col("m"), lit(0L)), lit(0.0)))

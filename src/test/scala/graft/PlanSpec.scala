@@ -109,6 +109,31 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("sim_bm25_topk broadcasts query terms and df — postings never shuffle for a join") {
+    val s = plan(q("sim_bm25_topk")).toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the only sort-merge-shuffle joins allowed would be corpus-sized;
+    // every join in this plan must ride a broadcast
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("pipeline_inverted_index is two map-side-combinable aggregates, no joins") {
+    val s = plan(q("pipeline_inverted_index")).toString
+    assert(!s.contains("Join"), s)
+    assert(s.contains("HashAggregate") || s.contains("ObjectHashAggregate") ||
+      s.contains("SortAggregate"), s)
+  }
+
+  test("pipeline_unimax_mixture windows ride the k-row source frame (single corpus pass)") {
+    val df = q("pipeline_unimax_mixture")
+    val s = plan(df).toString
+    assert(!s.contains("CartesianProduct"), s)
+    // exactly one scan of documents: the corpus-linear token-count agg
+    val scans = "FileScan|BatchScan".r.findAllIn(s).length
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n$s")
+  }
+
   test("dedup_jaccard blocks on language (no cartesian product)") {
     val s = plan(q("dedup_jaccard")).toString
     assert(!s.contains("CartesianProduct"), s)
