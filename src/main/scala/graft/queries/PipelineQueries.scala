@@ -1761,6 +1761,47 @@ object PipelineQueries {
           count(lit(1)).as("n_word_forms"))
     }),
 
+    // ---- PageRank centrality over the near-dup graph (Page et al.
+    // 1999): which documents sit at the CENTER of duplication clusters
+    // — a reweighting/representative signal downstream of pair
+    // generation. An ITERATIVE algorithm under a hash-exact oracle,
+    // the k-means trick applied to a graph: all arithmetic is bigint —
+    // scores scaled by 10^12, per-edge contribution `score div degree`
+    // (truncating division, order-independent), update `teleport +
+    // (85·Σcontrib) div 100` — so three unrolled iterations are
+    // bit-identical in both engines with no float summation order to
+    // disagree on. Scale shape: each iteration is one equi-join of the
+    // score table against the (edge, degree) table plus a groupBy sum —
+    // the textbook distributed PageRank step; the undirected pair graph
+    // guarantees every vertex has in-edges, so no dangling-mass
+    // correction is needed. The pair subtree appears once per
+    // iteration; byte-identical sides make them ReusedExchange
+    // candidates, and a production run would checkpoint the edge list
+    // once (it is the expensive input, not the iteration). ----
+    "graph_pagerank" -> ((s, dir) => {
+      val S = 1000000000000L
+      val pairs = queries("dedup_jaccard_ppjoin")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("degree"))
+      val nv = deg.agg(count(lit(1)).as("n"))
+      val edgesD = edges.join(deg, "doc_a")
+      var scores = deg.crossJoin(broadcast(nv))
+        .select(col("doc_a").as("doc_id"), expr(s"${S}L div n").as("score"))
+      for (_ <- 1 to 3) {
+        scores = edgesD
+          .join(scores, edgesD("doc_a") === scores("doc_id"))
+          .select(col("doc_b"), expr("score div degree").as("contrib"))
+          .groupBy(col("doc_b")).agg(sum(col("contrib")).as("in_sum"))
+          .crossJoin(broadcast(nv))
+          .select(col("doc_b").as("doc_id"),
+            expr(s"(${S}L * 15) div (100 * n) + (85 * in_sum) div 100").as("score"))
+      }
+      scores.join(deg, scores("doc_id") === deg("doc_a"))
+        .select(col("doc_id"), col("degree"), col("score").as("rank_scaled"))
+    }),
+
     // ---- corpus data card: the per-(source, lang) summary a pipeline
     // publishes with a released dataset — doc/token/char counts, mean
     // doc length, and the exact-dup rate (1 − distinct fingerprints /
@@ -2634,6 +2675,34 @@ object PipelineQueries {
          |      len(string_split(packed, chr(1) || chr(1))) - 1)) AS sym
          |  FROM w4) s
          |GROUP BY 1""".stripMargin,
+    // PageRank: the same 3 unrolled bigint iterations. DuckDB's //
+    // yields DOUBLE, so every division is floor()+cast back to bigint —
+    // exact because all intermediates stay below 2^53 (max 85·10^12)
+    // and floor-of-positive equals Spark's truncating div
+    "graph_pagerank" -> {
+      def idiv(a: String, b: String) = s"cast(floor(($a) / ($b)) AS bigint)"
+      def iter(prev: String, next: String) =
+        s"""$next AS (SELECT e.doc_b AS doc_id,
+           |    ${idiv("1000000000000 * 15", "100 * any_value(nv.n)")} +
+           |      ${idiv("85 * sum(" + idiv("s.score", "e.degree") + ")", "100")} AS score
+           |  FROM edges e JOIN $prev s ON s.doc_id = e.doc_a CROSS JOIN nv
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH jp AS (SELECT doc_a, doc_b FROM ($jaccardOracle) j),
+         |edges0 AS (SELECT doc_a, doc_b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |deg AS (SELECT doc_a, count(*)::bigint AS degree FROM edges0 GROUP BY 1),
+         |edges AS (SELECT e.doc_a, e.doc_b, d.degree FROM edges0 e
+         |  JOIN deg d USING (doc_a)),
+         |nv AS (SELECT count(*)::bigint AS n FROM deg),
+         |s0 AS (SELECT doc_a AS doc_id,
+         |    ${idiv("1000000000000", "any_value(nv.n)")} AS score
+         |  FROM deg CROSS JOIN nv GROUP BY 1),
+         |${iter("s0", "s1")},
+         |${iter("s1", "s2")},
+         |${iter("s2", "s3")}
+         |SELECT s3.doc_id, deg.degree, s3.score AS rank_scaled
+         |FROM s3 JOIN deg ON deg.doc_a = s3.doc_id""".stripMargin
+    },
     "pipeline_corpus_stats" ->
       """WITH d AS (SELECT source, lang, text,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

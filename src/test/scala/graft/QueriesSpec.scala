@@ -14,7 +14,8 @@ class QueriesSpec extends GraftSuite {
   // sf0.01 by the oracle diff
   private val emptyOkAtTinySf =
     Set("agg_having", "sim_ann_lsh",
-      "tpch_q7") ++ // needs NATION_6↔NATION_7 trade pairs; none among sf0.001's 100 suppliers
+      "tpch_q7", // needs NATION_6↔NATION_7 trade pairs; none among sf0.001's 100 suppliers
+      "graph_pagerank") ++ // vertex set = near-dup pair endpoints; none at sf0.001
       SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
 
   test("every registered query runs and is non-degenerate at sf0.001") {
@@ -226,6 +227,21 @@ class QueriesSpec extends GraftSuite {
       assert(nUnique >= 1 && nUnique <= nDocs)
       assert(dup >= 0.0 && dup <= 1.0)
     }
+  }
+
+  test("graph_pagerank: mass bounded, teleport floor holds (sf0.01)") {
+    val r = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty, "no near-dup graph at sf0.01?")
+    val n = r.length.toLong
+    val S = 1000000000000L
+    val teleportFloor = (S * 15) / (100 * n)
+    val total = r.map(row => row.getLong(row.fieldIndex("rank_scaled"))).sum
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("rank_scaled")) >= teleportFloor)
+      assert(row.getLong(row.fieldIndex("degree")) >= 1)
+    }
+    // damping conserves mass up to truncation loss: Σrank ∈ (0.9·S, S]
+    assert(total <= S && total > S * 9 / 10, s"total mass $total vs S=$S")
   }
 
   test("ANN variants recall brute-force top-5 neighbors (sf0.01)") {
