@@ -134,6 +134,15 @@ class PlanSpec extends GraftSuite {
     assert(scans == 1, s"expected 1 documents scan, saw $scans:\n$s")
   }
 
+  test("graph_pagerank materializes the pair set once (edge-list checkpoint)") {
+    val s = plan(q("graph_pagerank")).toString
+    // the near-dup pair subtree must be behind a cache scan: without it
+    // Catalyst prunes each graph reference differently and re-executes
+    // the pair join per iteration
+    assert(s.contains("InMemoryTableScan") || s.contains("InMemoryRelation"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("dedup_jaccard blocks on language (no cartesian product)") {
     val s = plan(q("dedup_jaccard")).toString
     assert(!s.contains("CartesianProduct"), s)
