@@ -1518,6 +1518,34 @@ object PipelineQueries {
         .dropDuplicates("id_a", "id_b")
     }),
 
+    // ---- video-style near-dup via shared frame fingerprints: two
+    // media are near-dups when their SAMPLED frames collide on ≥2
+    // distinct fingerprints — the standard frame-hash video dedup
+    // shape. The fingerprint equi-join IS the blocking (pairs only
+    // form inside a fingerprint bucket, bounded by how often that
+    // exact frame recurs); production drops ubiquitous frames (blank/
+    // intro cards) by fingerprint df, the stop-gram rule. Unlike
+    // mm_frame_sample's every-4th preview sampling, dedup fingerprints
+    // EVERY frame (the keyframe set) — the fixture's media are 2–3
+    // frames long, and a preview stride would leave nothing to match. ----
+    "mm_frame_dedup" -> ((s, dir) => {
+      val frameBytes = 256
+      val fp = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id").as("media_id"), col("payload"),
+          explode(expr(
+            s"sequence(0, cast(floor((greatest(length(payload), 1) - 1) / $frameBytes) AS int))"))
+            .as("frame_idx"))
+        .select(col("media_id"),
+          md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")).as("fp"))
+        .distinct()
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.media_id") < col("y.media_id"))
+        .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .filter(col("n_shared_frames") >= 2)
+    }),
+
     // r7: the decode path across THREE real codecs (PNG/JPEG/GIF) plus a
     // corrupted payload whose magic sniffs as png but whose decode must
     // fail — `sniffed` and `decodable` disagree exactly on the corrupt
@@ -1759,6 +1787,30 @@ object PipelineQueries {
         .groupBy(col("symbol"))
         .agg(sum(col("cnt")).as("n_occurrences"),
           count(lit(1)).as("n_word_forms"))
+    }),
+
+    // ---- sharded training-data export: the FINAL write of a pipeline.
+    // Docs are assigned to K shards by content-addressed hash (the
+    // zero-coordination balance production shard writers use — no
+    // global cumsum, no sequential pass; the law of large numbers keeps
+    // shard token mass within a few % at real corpus sizes), written
+    // PARTITIONED BY shard, and read back through partition discovery.
+    // The roundtrip aggregate (docs, token mass, id checksum per shard)
+    // would be wrong if any shard directory were lost, duplicated, or
+    // mis-keyed. Scale shape: the write is one hash-partitioned pass;
+    // K is a parameter — at 100 TB you raise K, not the plan. ----
+    "pipeline_shard_write" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-shard").toString
+      val K = 8
+      t(s, dir, "documents")
+        .withColumn("shard",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L) % K).cast("int"))
+        .withColumn("n_toks", size(split(normText(col("text")), " ")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out).groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("doc_id")).as("id_sum"))
     }),
 
     // ---- PageRank centrality over the near-dup graph (Page et al.
@@ -2566,6 +2618,19 @@ object PipelineQueries {
         |  to_base64(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_b64,
         |  octet_length(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_bytes
         |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
+    // frame dedup: md5 over the varchar frame slice equals Spark's md5
+    // over the UTF-8 payload slice (ASCII fixture text)
+    "mm_frame_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS payload FROM documents),
+        |f AS (SELECT media_id, payload,
+        |        unnest(range(0, ((greatest(length(payload), 1) - 1) // 256)::int + 1)) AS frame_idx
+        |      FROM m),
+        |fp AS (SELECT DISTINCT media_id,
+        |    md5(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)) AS fp
+        |  FROM f)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b, count(*)::bigint AS n_shared_frames
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // DSIR: the oracle recomputes the hashed-unigram models, the
     // integer micro-nat log-ratios, and the content-addressed Gumbel
     // keys from scratch; sums are bigint (HUGEINT cast per the r2
@@ -2680,6 +2745,13 @@ object PipelineQueries {
          |      len(string_split(packed, chr(1) || chr(1))) - 1)) AS sym
          |  FROM w4) s
          |GROUP BY 1""".stripMargin,
+    "pipeline_shard_write" ->
+      """SELECT cast((doc_id * 2654435761) % 4294967296 % 8 AS int) AS shard,
+        |  count(*)::bigint AS n_docs,
+        |  sum(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))::bigint
+        |    AS n_tokens,
+        |  sum(doc_id)::bigint AS id_sum
+        |FROM documents GROUP BY 1""".stripMargin,
     // PageRank: the same 3 unrolled bigint iterations. DuckDB's //
     // yields DOUBLE, so every division is floor()+cast back to bigint —
     // exact because all intermediates stay below 2^53 (max 85·10^12)

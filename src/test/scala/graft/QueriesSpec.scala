@@ -15,7 +15,8 @@ class QueriesSpec extends GraftSuite {
   private val emptyOkAtTinySf =
     Set("agg_having", "sim_ann_lsh",
       "tpch_q7", // needs NATION_6↔NATION_7 trade pairs; none among sf0.001's 100 suppliers
-      "graph_pagerank") ++ // vertex set = near-dup pair endpoints; none at sf0.001
+      "graph_pagerank", // vertex set = near-dup pair endpoints; none at sf0.001
+      "mm_frame_dedup") ++ // needs docs sharing >=2 exact frames; none at sf0.001
       SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
 
   test("every registered query runs and is non-degenerate at sf0.001") {
@@ -226,6 +227,36 @@ class QueriesSpec extends GraftSuite {
       val dup = row.getDouble(row.fieldIndex("dup_rate"))
       assert(nUnique >= 1 && nUnique <= nDocs)
       assert(dup >= 0.0 && dup <= 1.0)
+    }
+  }
+
+  test("pipeline_shard_write: every shard present, counts reconcile (sf0.01)") {
+    val r = SparkEntry.queries("pipeline_shard_write")(spark, "/root/testdata/sf0.01").collect()
+    assert(r.length == 8, s"expected 8 shards, got ${r.length}")
+    val totalDocs = r.map(row => row.getLong(row.fieldIndex("n_docs"))).sum
+    assert(totalDocs == 500L)
+    val masses = r.map(row => row.getLong(row.fieldIndex("n_tokens")))
+    // content-addressed assignment balances statistically: no shard
+    // should carry more than 3x the mean at 500 docs
+    assert(masses.max <= 3 * (masses.sum / masses.length), masses.toSeq)
+  }
+
+  test("mm_frame_dedup: reported pairs genuinely share >=2 aligned frames (sf0.01)") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("mm_frame_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def frames(t: String): Set[String] =
+      t.getBytes("UTF-8").grouped(256).map(new String(_, "UTF-8")).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))
+      assert(a < b)
+      val shared = frames(texts(a)) intersect frames(texts(b))
+      assert(shared.size >= 2, s"pair ($a,$b) claims ${r.getLong(2)} shared frames, " +
+        s"recomputed ${shared.size}")
+      assert(shared.size == r.getLong(r.fieldIndex("n_shared_frames")))
     }
   }
 
