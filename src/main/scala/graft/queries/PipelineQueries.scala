@@ -1420,6 +1420,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("xent"))
     }),
 
+    // ---- character-entropy quality signal: Shannon entropy of the
+    // per-doc character distribution — near-zero flags degenerate/
+    // repeated-char garbage, unusually high flags binary-ish noise;
+    // the standard cheap pre-filter before tokenization. Identity
+    // H = ln(n) − Σc·ln(c)/n over the char histogram keeps the float
+    // work to one 6-dp-rounded expression per doc; two (doc[,char])-
+    // keyed aggs, map-side combinable, no pair joins. ----
+    "text_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", normText(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(norm)), i -> substring(norm, i, 1))")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars_norm"),
+          round(log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double"), 6).as("char_entropy"))
+    }),
+
     // ---- repetition filter: the other half of the Gopher/MassiveText
     // quality rules — a document dominated by one repeated word or
     // bigram is boilerplate, not prose. Share-of-most-common word and
@@ -2745,6 +2765,16 @@ object PipelineQueries {
          |      len(string_split(packed, chr(1) || chr(1))) - 1)) AS sym
          |  FROM w4) s
          |GROUP BY 1""".stripMargin,
+    "text_char_entropy" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |ch AS (SELECT doc_id, unnest([substr(norm, i, 1)
+        |    FOR i IN range(1, length(norm) + 1)]) AS ch FROM n),
+        |h AS (SELECT doc_id, ch, count(*)::bigint AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::bigint AS n_chars_norm,
+        |  round(ln(sum(c)::double) - sum(c::double * ln(c::double)) / sum(c)::double, 6)
+        |    AS char_entropy
+        |FROM h GROUP BY doc_id""".stripMargin,
     "pipeline_shard_write" ->
       """SELECT cast((doc_id * 2654435761) % 4294967296 % 8 AS int) AS shard,
         |  count(*)::bigint AS n_docs,
