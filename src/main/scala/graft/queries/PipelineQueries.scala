@@ -1833,6 +1833,29 @@ object PipelineQueries {
           sum(col("doc_id")).as("id_sum"))
     }),
 
+    // ---- composed dedup → export: the pipeline's final two stages in
+    // one run — keep-best representatives (the verified components +
+    // policy stage) sharded by content-addressed hash, written
+    // PARTITIONED BY shard, and read back. Demonstrates that the
+    // export path composes with the dedup surface in a single Catalyst
+    // plan per action; the oracle nests the full recursive-CTE
+    // keep-best SQL as its kept-set source. ----
+    "pipeline_e2e_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+      val kept = queries("dedup_keep_best")(s, dir)
+        .select(col("kept_doc_id").as("doc_id"))
+      t(s, dir, "documents")
+        .join(kept, "doc_id")
+        .withColumn("shard",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L) % 4).cast("int"))
+        .withColumn("n_toks", size(split(normText(col("text")), " ")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out).groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // ---- PageRank centrality over the near-dup graph (Page et al.
     // 1999): which documents sit at the CENTER of duplication clusters
     // — a reweighting/representative signal downstream of pair
@@ -2229,36 +2252,18 @@ object PipelineQueries {
         |FROM reach GROUP BY id""".stripMargin,
     // same recursive-CTE components, then the keep-best policy: rank per
     // component by (n_chars desc, doc_id), rank 1 is the representative
-    "dedup_keep_best" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
-        |  FROM (SELECT doc_id, lang,
-        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
-        |        greatest(len(a.shingles), len(b.shingles)) * 4
-        |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
-        |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
-        |ranked AS (
-        |  SELECT comp.component_id, comp.doc_id, d.n_chars,
-        |    row_number() OVER (PARTITION BY comp.component_id
-        |      ORDER BY d.n_chars DESC, comp.doc_id) AS rk
-        |  FROM comp JOIN documents d USING (doc_id))
-        |SELECT component_id, count(*) AS n_members,
-        |  max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
-        |  max(CASE WHEN rk = 1 THEN n_chars END) AS kept_n_chars
-        |FROM ranked GROUP BY component_id""".stripMargin,
+    "dedup_keep_best" -> keepBestOracle,
+    // composed export: keep-best winners sharded and written; the
+    // oracle nests the full recursive-CTE keep-best query as the
+    // kept-set source and re-derives the shard arithmetic
+    "pipeline_e2e_export" ->
+      s"""WITH kb AS (SELECT kept_doc_id AS doc_id FROM ($keepBestOracle) k)
+         |SELECT cast((doc_id * 2654435761) % 4294967296 % 4 AS int) AS shard,
+         |  count(*)::bigint AS n_docs,
+         |  sum(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))::bigint
+         |    AS n_tokens,
+         |  sum(doc_id)::bigint AS id_sum
+         |FROM documents JOIN kb USING (doc_id) GROUP BY 1""".stripMargin,
     "pipeline_seq_pack" ->
       """WITH d AS (SELECT doc_id, source,
         |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::bigint AS n_tokens
@@ -2829,6 +2834,42 @@ object PipelineQueries {
     * through the fully-merged w4 so both the merge-table select
     * (train) and the symbol histogram (apply) can build on it.
     */
+  /** Keep-best representative selection as DuckDB SQL (recursive-CTE
+    * components + n_chars ranking) — the oracle for `dedup_keep_best`
+    * and the kept-set source nested by `pipeline_e2e_export`. Lazy:
+    * referenced by the `oracles` map initializer above its definition.
+    */
+  private lazy val keepBestOracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+      |  FROM (SELECT doc_id, lang,
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND least(len(a.shingles), len(b.shingles)) * 5 >=
+      |        greatest(len(a.shingles), len(b.shingles)) * 4
+      |  WHERE len(list_intersect(a.shingles, b.shingles))::double /
+      |        len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+      |ranked AS (
+      |  SELECT comp.component_id, comp.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY comp.component_id
+      |      ORDER BY d.n_chars DESC, comp.doc_id) AS rk
+      |  FROM comp JOIN documents d USING (doc_id))
+      |SELECT component_id, count(*) AS n_members,
+      |  max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+      |  max(CASE WHEN rk = 1 THEN n_chars END) AS kept_n_chars
+      |FROM ranked GROUP BY component_id""".stripMargin
+
   // lazy: referenced by the `oracles` map initializer above its definition
   private lazy val bpeOracleCtes: String = {
     def pairsCte(w: String, p: String) =
