@@ -60,6 +60,15 @@ object Writer {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // a fresh session has an empty in-memory catalog but the warehouse
+    // directory persists on disk — Overwrite then fails with
+    // LOCATION_ALREADY_EXISTS; drop both the entry and the stale dir
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, bucketCol)

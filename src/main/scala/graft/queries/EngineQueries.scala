@@ -76,6 +76,71 @@ object EngineQueries {
           col("n_regionkey").cast("int").as("n_regionkey"))
         .withColumn("n_touched", lit(touched))
     }),
+    // aggregate pushdown INTO the parquet scan (reference: connector
+    // applyAggregation — a count/min/max answered from footer
+    // statistics without reading data pages). Spark's V2 parquet path
+    // does this under spark.sql.parquet.aggregatePushdown; the row
+    // executes eagerly under that conf (restored after), and carries a
+    // plan-derived agg_pushed flag the oracle pins TRUE — at 100 TB
+    // this answers metadata queries from ~KB of footers instead of a
+    // full corpus scan.
+    "scan_agg_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val pdKey = "spark.sql.parquet.aggregatePushdown"
+      val oldV1 = s.conf.get(v1Key)
+      val oldPd = s.conf.get(pdKey, "false")
+      try {
+        s.conf.set(v1Key, "")
+        s.conf.set(pdKey, "true")
+        val df = s.read.parquet(s"$dir/orders.parquet")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        val row = df.collect().head // execute while the confs hold
+        val pushed = df.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)")
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2), pushed))
+          .toDF("n_orders", "min_key", "max_key", "agg_pushed")
+      } finally {
+        s.conf.set(v1Key, oldV1)
+        s.conf.set(pdKey, oldPd)
+      }
+    }),
+
+    // bucketed CO-LOCATED join (the reference's fixed bucket-partition-
+    // function): both sides bucketed on the join key at WRITE time, so
+    // the join reads co-located buckets and plans with ZERO
+    // hash-partitioned exchanges on the join key — at 100 TB this is
+    // the difference between shuffling both fact tables and shuffling
+    // nothing. The row carries the plan-derived join-exchange count
+    // (oracle pins 0) next to the join's own aggregate; the merge hints
+    // keep the tiny test tables off the broadcast path so the property
+    // being asserted is bucketing, not broadcast.
+    "sink_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      Writer.writeBucketed(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "bkt_orders", "o_orderkey", 8)
+      Writer.writeBucketed(Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty")),
+        "bkt_litem", "l_orderkey", 8)
+      val joined = s.table("bkt_orders").hint("merge")
+        .join(s.table("bkt_litem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("total_qty"))
+      val rows = joined.collect()
+      // only the priority re-agg may shuffle; a hash exchange keyed on
+      // the join key means bucketing failed to co-locate
+      val planStr = joined.queryExecution.executedPlan.toString
+      val joinKeyExchanges =
+        "hashpartitioning\\((?:o_orderkey|l_orderkey)".r.findAllIn(planStr).length
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          joinKeyExchanges.toLong))
+        .toDF("o_orderpriority", "n_orders", "total_qty", "join_key_exchanges")
+    }),
+
     // layout-controlled sink: partitioned write (bounded files per
     // partition) read back through partition discovery; the aggregate
     // would be wrong if any partition were lost, duplicated, or mis-keyed
@@ -119,5 +184,16 @@ object EngineQueries {
         |FROM nation""".stripMargin,
     "sink_partitioned_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "scan_agg_pushdown" ->
+      """SELECT count(*)::bigint AS n_orders, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, true AS agg_pushed
+        |FROM orders""".stripMargin,
+    "sink_bucketed_join" ->
+      """WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*)::bigint AS n_orders,
+        |  sum(qty) AS total_qty, 0::bigint AS join_key_exchanges
+        |FROM orders JOIN li ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }
