@@ -1809,6 +1809,29 @@ object PipelineQueries {
           count(lit(1)).as("n_word_forms"))
     }),
 
+    // ---- edit-distance VERIFICATION of near-dup candidates: the
+    // expensive-metric stage of the standard block → candidate →
+    // verify cascade. Levenshtein is O(len²) per pair — never run it
+    // corpus×corpus; here it annotates the already-blocked ppjoin pair
+    // set, so the cost is linear in CANDIDATES (at 100 TB that is the
+    // pair count the cheap metric admits, not N²). Both engines
+    // implement the same integer Levenshtein, so the row is exact. ----
+    "dedup_edit_verify" -> ((s, dir) => {
+      val pairs = queries("dedup_jaccard_ppjoin")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val norms = t(s, dir, "documents")
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+      pairs
+        .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("na"), col("nb")).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          round(lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("na")), length(col("nb"))), 6).as("edit_sim"),
+          (col("edit_dist").cast("double") <=
+            lit(0.2) * greatest(length(col("na")), length(col("nb")))).as("accept"))
+    }),
+
     // ---- sharded training-data export: the FINAL write of a pipeline.
     // Docs are assigned to K shards by content-addressed hash (the
     // zero-coordination balance production shard writers use — no
@@ -2770,6 +2793,17 @@ object PipelineQueries {
          |      len(string_split(packed, chr(1) || chr(1))) - 1)) AS sym
          |  FROM w4) s
          |GROUP BY 1""".stripMargin,
+    // edit verify: DuckDB's levenshtein is the same integer metric
+    "dedup_edit_verify" ->
+      s"""WITH jp AS (SELECT doc_a, doc_b FROM ($jaccardOracle) j),
+         |nm AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+         |SELECT doc_a, doc_b, levenshtein(a.norm, b.norm)::bigint AS edit_dist,
+         |  round(1.0 - levenshtein(a.norm, b.norm)::double /
+         |    greatest(length(a.norm), length(b.norm)), 6) AS edit_sim,
+         |  (levenshtein(a.norm, b.norm)::double <=
+         |    0.2 * greatest(length(a.norm), length(b.norm))) AS accept
+         |FROM jp JOIN nm a ON a.doc_id = jp.doc_a JOIN nm b ON b.doc_id = jp.doc_b""".stripMargin,
     "text_char_entropy" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
