@@ -73,10 +73,15 @@ object Bench {
         s"[bench] WARNING: 1-min load ${loadStart._1} > $maxLoad at start — " +
           "artifact flagged load_warning; medians are NOT trustworthy as a gate")
 
+    // shuffle partitions default to the core count (right for the sf0.1
+    // gate); scale soaks size them to the DATA via the env override —
+    // at the 100× corpus 256 partitions alone recovered q5 12.8→3.7 s
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = graft.engine.SessionDefaults(
       SparkSession.builder().withExtensions(new graft.engine.GraftExtensions)
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffleParts)
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()

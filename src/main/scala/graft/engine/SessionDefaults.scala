@@ -50,16 +50,23 @@ object SessionDefaults {
     // you deliberately provisioned. Skew handling — the half of AQE this
     // workload actually needs at 100 TB — is unaffected.
     .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    // Always use the serialized sort shuffle writer (one data file +
-    // index per map task), never the bypass writer (one file PER REDUCE
-    // PARTITION per map task). With shuffle.partitions = cores = 32 the
-    // bypass path triggered on every SQL exchange (≤ 200 partitions, no
-    // map-side combine) and its file churn dominated multi-exchange
-    // queries: stack-sampling tpch_q21 showed FileOutputStream.open0 /
-    // map/unmap/delete as the top active frames, ~190 ms of syscalls per
-    // task — q21 measured 1.5 s → 0.74 s wall (task CPU 18 s → 1.5 s)
-    // from this one setting. The serialized path is also the only shape
-    // that survives at cluster scale, where reducer counts are in the
-    // thousands and bypass would open thousands of files per map task.
-    .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+  // NOTE (r7 100× re-soak): an earlier r7 session forced the serialized
+  // sort shuffle writer engine-wide (bypassMergeThreshold=0) after
+  // stack-sampling showed the bypass writer's file churn dominating
+  // sf0.1 multi-exchange queries (q21 1.5 s → 0.74 s). Re-soaking the
+  // relational headline at 100× (60M-row lineitem) showed the trade
+  // INVERTS at scale: with large partitions the serialized path pays a
+  // record sort per map task while bypass streams 32 sequential files —
+  // measured same-session A/B at 100×: q5 56 s → 11 s, q3 14.5 s →
+  // 4.8 s just from restoring the default threshold (sf0.1 cost: q21
+  // 0.80 → 1.09 s, well inside the gate). The default (200) now stands:
+  // bypass for few-reducer local runs, serialized automatically above
+  // 200 reducers — which is also the cluster regime. The other lever at
+  // scale is sizing shuffle.partitions to the DATA, not the core count:
+  // 32 (the sf0.1 gate profile) at 100× under-provisions partitions
+  // ~8×; the 100× soak runs 256 (SPARK_GRAFT_SHUFFLE_PARTITIONS), which
+  // alone recovers q5 12.8 s → 3.7 s. AQE partition coalescing stays
+  // off (the JIT-storm finding above is a small-scale pathology, and
+  // with partitions sized correctly coalescing adds nothing at 100×:
+  // 3.71 s vs 3.68 s best-of).
 }
