@@ -66,12 +66,28 @@ object Bench {
     val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREWARMS", "3").toInt
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
 
-    val loadStart = loadAvg()
+    // Quiet-window retry (r7 verdict): a gate artifact that flags itself
+    // dirty should be the exception — when the box is loaded at start,
+    // wait for a quiet window (bounded: up to 5 × 60 s) before measuring
+    // instead of measuring anyway. Attempts are recorded in the artifact;
+    // load_warning remains true only if every retry found the box busy.
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "5").toInt
+    var loadStart = loadAvg()
+    var loadWaits = 0
+    while (loadStart._1 > maxLoad && loadWaits < maxWaits) {
+      System.err.println(
+        s"[bench] 1-min load ${loadStart._1} > $maxLoad — waiting 60 s for a " +
+          s"quiet window (attempt ${loadWaits + 1}/$maxWaits)")
+      Thread.sleep(60000)
+      loadWaits += 1
+      loadStart = loadAvg()
+    }
     val loadWarning = loadStart._1 > maxLoad
     if (loadWarning)
       System.err.println(
-        s"[bench] WARNING: 1-min load ${loadStart._1} > $maxLoad at start — " +
-          "artifact flagged load_warning; medians are NOT trustworthy as a gate")
+        s"[bench] WARNING: 1-min load ${loadStart._1} > $maxLoad after " +
+          s"$loadWaits waits — artifact flagged load_warning; medians are " +
+          "NOT trustworthy as a gate")
 
     // shuffle partitions default to the core count (right for the sf0.1
     // gate); scale soaks size them to the DATA via the env override —
@@ -89,8 +105,11 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // release plans the query body persisted (pagerank edge list) so a
+      // cached entry can't occupy executor memory across the whole bench
+      finally graft.engine.CachedPlans.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -133,7 +152,8 @@ object Bench {
       s""""runs":$runsJson,"min_prewarms":$nWarm,""" +
       s""""load_start":[${loadStart._1},${loadStart._2},${loadStart._3}],""" +
       s""""load_end":[${loadEnd._1},${loadEnd._2},${loadEnd._3}],""" +
-      s""""load_warning":$loadWarning,"heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
+      s""""load_warning":$loadWarning,"load_wait_attempts":$loadWaits,""" +
+      s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,6 +23,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop any plan the query body persisted (e.g. pagerank's edge
+      // list) so the shared session doesn't accumulate cache entries
+      finally graft.engine.CachedPlans.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -61,14 +61,22 @@ object Writer {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, sortCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    // a fresh session has an empty in-memory catalog but the warehouse
-    // directory persists on disk — Overwrite then fails with
-    // LOCATION_ALREADY_EXISTS; drop both the entry and the stale dir
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (spark.catalog.tableExists(table)) {
+      // a registered table knows its own location: DROP removes the
+      // managed data wherever it actually lives — never guess a path
+      spark.sql(s"DROP TABLE `$table`")
+    } else {
+      // no catalog entry, but a fresh session's empty in-memory catalog
+      // can shadow a stale default-layout directory left by a dead
+      // session — Overwrite would then fail LOCATION_ALREADY_EXISTS.
+      // ONLY this orphaned case deletes a path by convention (r7 advice:
+      // the old unconditional delete could remove an unrelated external
+      // table's warehouse-named directory while its entry still existed).
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, bucketCol)

@@ -86,26 +86,23 @@ object EngineQueries {
     // full corpus scan.
     "scan_agg_pushdown" -> ((s, dir) => {
       import s.implicits._
-      val v1Key = "spark.sql.sources.useV1SourceList"
-      val pdKey = "spark.sql.parquet.aggregatePushdown"
-      val oldV1 = s.conf.get(v1Key)
-      val oldPd = s.conf.get(pdKey, "false")
-      try {
-        s.conf.set(v1Key, "")
-        s.conf.set(pdKey, "true")
-        val df = s.read.parquet(s"$dir/orders.parquet")
-          .agg(count(lit(1)).as("n_orders"),
-            min(col("o_orderkey")).as("min_key"),
-            max(col("o_orderkey")).as("max_key"))
-        val row = df.collect().head // execute while the confs hold
-        val pushed = df.queryExecution.executedPlan.toString
-          .contains("PushedAggregation: [COUNT(*)")
-        Seq((row.getLong(0), row.getLong(1), row.getLong(2), pushed))
-          .toDF("n_orders", "min_key", "max_key", "agg_pushed")
-      } finally {
-        s.conf.set(v1Key, oldV1)
-        s.conf.set(pdKey, oldPd)
-      }
+      // conf-scoped read runs in an ISOLATED session (shared context,
+      // private SQLConf) so disabling the V1 source list for the V2
+      // pushdown path can never affect queries planning concurrently on
+      // the shared session (r7 advice — the old try/finally restore was
+      // safe only under a sequential runner). One bounded 1-row collect.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.sources.useV1SourceList", "")
+      iso.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = iso.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val row = df.collect().head
+      val pushed = df.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*)")
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2), pushed))
+        .toDF("n_orders", "min_key", "max_key", "agg_pushed")
     }),
 
     // bucketed CO-LOCATED join (the reference's fixed bucket-partition-
