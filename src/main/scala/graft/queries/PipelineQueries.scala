@@ -221,12 +221,19 @@ object PipelineQueries {
     *  3. exact sorted-merge intersect, evaluated once.
     */
   private def ppjoinVerifiedPairs(px: DataFrame, py: DataFrame,
-      selfJoin: Boolean): DataFrame = {
+      selfJoin: Boolean, joinOnLang: Boolean = true): DataFrame = {
     val pairDomain =
       if (selfJoin) col("x.doc_id") < col("y.doc_id")
       else col("x.doc_id") =!= col("y.doc_id")
+    // joinOnLang=false: callers whose prefix sets carry no lang column
+    // (the global-order stored index — `dedup_incremental_indexed`,
+    // bucketed by ptok alone so the equi-join key must be ptok alone,
+    // or the bucket pre-shuffle could never satisfy the join)
+    val keyCond =
+      if (joinOnLang) col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok")
+      else col("x.ptok") === col("y.ptok")
     px.hint("merge").as("x").join(py.hint("merge").as("y"),
-        col("x.lang") === col("y.lang") && col("x.ptok") === col("y.ptok") &&
+        keyCond &&
         pairDomain &&
         least(col("x.n_sh"), col("y.n_sh")) * 5 >= greatest(col("x.n_sh"), col("y.n_sh")) * 4 &&
         (lit(1) + least(col("x.n_sh") - col("x.rk"), col("y.n_sh") - col("y.rk"))) * 9 >=
@@ -236,6 +243,88 @@ object PipelineQueries {
         round(expr("cast(sorted_intersect_count(x.hsh, y.hsh) as double) / " +
           "cast(x.n_sh + y.n_sh - sorted_intersect_count(x.hsh, y.hsh) as double)"), 6).as("jac"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Stage 1 of `dedup_incremental_indexed`: the once-per-refresh index
+    * build over the EXISTING corpus — df table, PPJoin prefix rows
+    * (bucketed+sorted by ptok, the pair-join key), fingerprint set —
+    * each written as a bucketed table. Exposed separately so the scale
+    * soak can time the refresh and the steady-state consume
+    * independently (the production cost model: build amortizes over
+    * many increments).
+    */
+  def incrementalIndexBuild(s: SparkSession, dir: String): Unit = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fingerprint", md5(normText(col("text"))))
+    val isNew = col("doc_id") % 5 === 4
+    val old = docs.filter(!isNew)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("hsh", expr(shingleHashExpr))
+      .withColumn("n_sh", size(col("hsh")))
+    val oldToks = old.select(col("doc_id"), col("n_sh"), explode(col("hsh")).as("tok"))
+    val dfreq = oldToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    graft.engine.Writer.writeBucketed(
+      indexPrefixRows(oldToks.join(dfreq, "tok"), old),
+      "graft_idx_prefix", "ptok", 8, sortCol = Some("ptok"))
+    graft.engine.Writer.writeBucketed(dfreq, "graft_idx_df", "tok", 8)
+    graft.engine.Writer.writeBucketed(
+      docs.filter(!isNew).select(col("fingerprint")).distinct(),
+      "graft_idx_fp", "fingerprint", 8)
+  }
+
+  /** Stage 2 of `dedup_incremental_indexed`: the steady-state
+    * per-increment query — touches ONLY the stored index tables and the
+    * increment slice. Increment prefixes rank under the STORED df order
+    * (novel tokens take df=0 and sort first; the prefix theorem needs
+    * any ONE consistent total token order across both sides, so the
+    * stored order is exact — novel tokens cannot collide with corpus
+    * prefixes anyway). Returns the 3-count aggregate, lazily.
+    */
+  def incrementalIndexConsume(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fingerprint", md5(normText(col("text"))))
+    val newDocs = docs.filter(col("doc_id") % 5 === 4)
+    val newBase = newDocs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("hsh", expr(shingleHashExpr))
+      .withColumn("n_sh", size(col("hsh")))
+    val newToks = newBase
+      .select(col("doc_id"), col("n_sh"), explode(col("hsh")).as("tok"))
+      .join(s.table("graft_idx_df"), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    // the increment side is repartitioned to the store's EXACT bucket
+    // layout (hash(ptok), 8) so EnsureRequirements sees two compatible
+    // children and the bucketed scan stays exchange-free — without the
+    // explicit repartition Spark re-shuffles BOTH sides to the session
+    // shuffle-partition count and the co-location is lost
+    val crossPairs = ppjoinVerifiedPairs(
+      indexPrefixRows(newToks, newBase).repartition(8, col("ptok")),
+      s.table("graft_idx_prefix"),
+      selfJoin = false, joinOnLang = false)
+    val nearIds = crossPairs.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("nm", lit(1))
+    newDocs
+      .join(s.table("graft_idx_fp").withColumn("em", lit(1)),
+        Seq("fingerprint"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("em") === 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("nm") === 1, 1L).otherwise(0L)).as("n_near_dup"))
+  }
+
+  /** Prefix selection under a provided (df, tok) order — shared by the
+    * index build (corpus side) and consume (increment side) so both
+    * sides rank under literally the same code path.
+    */
+  private def indexPrefixRows(toks: DataFrame, base: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    toks
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <=
+        greatest(col("n_sh") - floor(lit(0.8) * col("n_sh")).cast("int") + 1, lit(1)))
+      .select(col("doc_id"), col("rk"), col("tok").as("ptok"))
+      .join(base.select(col("doc_id"), col("hsh"), col("n_sh")), Seq("doc_id"))
   }
 
   /** One-row recall of a simhash blocking variant against the EXHAUSTIVE
@@ -849,6 +938,47 @@ object PipelineQueries {
           sum(when(col("nm") === 1, 1L).otherwise(0L)).as("n_near_dup"))
     }),
 
+    // ---- incremental dedup against a PERSISTED index (r7 verdict,
+    // Missing #3): `dedup_incremental` proves one-sidedness but still
+    // recomputes the corpus prefixes per run; at steady state those are
+    // "an incrementally-maintained index, not a recompute" — this row
+    // makes that production shape real end-to-end. Stage 1 (the
+    // once-per-refresh index build, the cost a fingerprint refresh
+    // already pays): corpus-side df table, PPJoin prefix rows, and
+    // fingerprint set, each written as a BUCKETED table (prefix rows
+    // bucketed+sorted by ptok — the pair-join key). Stage 2 (the
+    // steady-state per-increment query) touches ONLY the stored index
+    // and the increment: increment prefixes are ranked under the
+    // STORED df order (novel tokens take df=0 and sort first — the
+    // prefix theorem needs any ONE consistent total token order across
+    // both sides, so the stored order is exact; novel tokens cannot
+    // collide with corpus prefixes anyway), and the pair join reads the
+    // bucketed store CO-LOCATED: zero shuffle on the corpus side, one
+    // increment-sized hashpartitioning(ptok) exchange — at 100 TB the
+    // corpus never moves, only the crawl slice does. The row carries
+    // the plan-derived exchange count as `index_exchange_free` (oracle
+    // pins TRUE); the dedup counts are pair-set-identical to
+    // `dedup_incremental` (the verified pair set depends only on the
+    // documents, not the prefix order), so the same DuckDB oracle
+    // covers both. Eager (bounded 1-row collect) to inspect the
+    // executed plan — the sink_bucketed_join pattern. ----
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      import s.implicits._
+      incrementalIndexBuild(s, dir)
+      val result = incrementalIndexConsume(s, dir)
+      val row = result.collect().head
+      // the stored side must read CO-LOCATED: exactly one ptok exchange
+      // (the increment side's repartition) may appear; two means
+      // bucketing failed. Count over the FINAL adaptive plan only — the
+      // AQE plan string appends an "== Initial Plan ==" section whose
+      // pre-optimization exchanges would double-count.
+      val ptokExchanges = "hashpartitioning\\(ptok".r
+        .findAllIn(result.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).length
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2), ptokExchanges <= 1))
+        .toDF("n_new", "n_exact_dup", "n_near_dup", "index_exchange_free")
+    }),
+
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
     // fixture's clusters peak near 0.47, so 0.35 yields a real, stable
     // match set at every SF). Scale shape: labels block the candidates,
@@ -1430,6 +1560,13 @@ object PipelineQueries {
     "text_char_entropy" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("norm", normText(col("text")))
+        // empty/whitespace-only docs MUST be excluded before the explode:
+        // Spark's sequence(1, 0) defaults to step -1 and yields the
+        // DESCENDING [1, 0] (two empty-char rows), while DuckDB's
+        // range(1, 1) is empty — a latent cross-engine divergence on
+        // exactly the degenerate docs this filter targets (r7 advice).
+        // The oracle carries the same WHERE length(norm) > 0.
+        .filter(length(col("norm")) > 0)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, length(norm)), i -> substring(norm, i, 1))")).as("ch"))
         .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
@@ -1550,7 +1687,14 @@ object PipelineQueries {
     // frames long, and a preview stride would leave nothing to match. ----
     "mm_frame_dedup" -> ((s, dir) => {
       val frameBytes = 256
+      // Spark slices the payload by BYTES (substring over binary), the
+      // varchar oracle by CHARACTERS — identical only for ASCII text.
+      // r7 advice: the assumption must be ENFORCED, not narrated. Both
+      // engines restrict to docs whose byte length equals char length
+      // (⇔ pure ASCII), so a non-ASCII fixture doc can narrow coverage
+      // but can never silently diverge.
       val fp = t(s, dir, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id").as("media_id"), col("payload"),
           explode(expr(
@@ -1717,6 +1861,37 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
+            "x -> concat(cast(x.doc_id AS string), ':', cast(x.tf AS string))), ','))")
+            .as("postings_md5"))
+    }),
+
+    // ---- df-capped SHARDED posting lists (r7 verdict, Missing #4):
+    // `pipeline_inverted_index` labels hot-term skew and defers the fix
+    // to prose — this variant makes the labeled mitigation real. Terms
+    // with df over the cap split into ceil(df/cap) chunks; chunk
+    // assignment is the content-addressed Knuth hash of doc_id (a
+    // SCAN-STAGE expression — no per-term window, which would be
+    // exactly the skewed shuffle being mitigated), so the posting
+    // groupBy key becomes (tok, chunk) and a stop-word's millions of
+    // postings spread across df/cap reducers instead of one. Chunk
+    // sizes are hash-balanced (≈cap in expectation), df rides along so
+    // a reader can enumerate a term's chunks without a lookup. Same
+    // md5-pinned postings as the unsharded row, per chunk. ----
+    "pipeline_inverted_index_sharded" -> ((s, dir) => {
+      val cap = 50L
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(dfTbl, "tok")
+        .withColumn("n_chunks", expr(s"(df + ${cap - 1}) div $cap"))
+        .withColumn("chunk",
+          (col("doc_id") * lit(2654435761L) % lit(4294967296L) % col("n_chunks"))
+            .cast("int"))
+        .groupBy(col("tok"), col("chunk"))
+        .agg(first(col("df")).as("df"),
+          count(lit(1)).as("chunk_df"), sum(col("tf")).as("chunk_tf"),
           expr("md5(array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
             "x -> concat(cast(x.doc_id AS string), ':', cast(x.tf AS string))), ','))")
             .as("postings_md5"))
@@ -1902,9 +2077,13 @@ object PipelineQueries {
     // so repeated invocations share one cache entry. ----
     "graph_pagerank" -> ((s, dir) => {
       val S = 1000000000000L
-      val pairs = queries("dedup_jaccard_ppjoin")(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked so runners can drop the cache entry after their action
+      // (r7 advice: a shared session otherwise holds the edge list for
+      // the rest of its lifetime)
+      val pairs = graft.engine.CachedPlans.track(
+        queries("dedup_jaccard_ppjoin")(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("degree"))
@@ -2205,6 +2384,30 @@ object PipelineQueries {
         |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
         |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
         |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup""".stripMargin,
+    // indexed variant: the verified pair set depends only on the
+    // documents (prefix order is an implementation detail the theorem
+    // quantifies over), so the dedup counts equal dedup_incremental's;
+    // the co-location claim is the plan-derived boolean pinned TRUE
+    "dedup_incremental_indexed" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  true AS index_exchange_free""".stripMargin,
     // TF-IDF cosine restated term by term (same df-cap prune, natural
     // log); threshold sits in the similarity gap so last-ULP sum-order
     // differences cannot flip membership, and cos rounds to 6 dp
@@ -2667,9 +2870,11 @@ object PipelineQueries {
         |  octet_length(substring(payload, (frame_idx * 256 + 1)::bigint, 256::bigint)::blob) AS frame_bytes
         |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
     // frame dedup: md5 over the varchar frame slice equals Spark's md5
-    // over the UTF-8 payload slice (ASCII fixture text)
+    // over the UTF-8 payload slice ONLY for ASCII text — both engines
+    // enforce the domain with length = strlen/octet_length (pure ASCII)
     "mm_frame_dedup" ->
-      """WITH m AS (SELECT doc_id AS media_id, text AS payload FROM documents),
+      """WITH m AS (SELECT doc_id AS media_id, text AS payload FROM documents
+        |           WHERE length(text) = strlen(text)),
         |f AS (SELECT media_id, payload,
         |        unnest(range(0, ((greatest(length(payload), 1) - 1) // 256)::int + 1)) AS frame_idx
         |      FROM m),
@@ -2744,6 +2949,22 @@ object PipelineQueries {
         |SELECT tok, count(*)::bigint AS df, sum(tf)::bigint AS total_tf,
         |  md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_md5
         |FROM tf GROUP BY tok""".stripMargin,
+    // sharded variant: same Knuth-hash chunk assignment restated; the
+    // md5 pins each chunk's exact membership
+    "pipeline_inverted_index_sharded" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*)::bigint AS df FROM tf GROUP BY tok),
+        |ch AS (SELECT tf.doc_id, tf.tok, tf.tf, dft.df,
+        |    ((tf.doc_id * 2654435761) % 4294967296 %
+        |      cast(floor((dft.df + 49) / 50.0) AS bigint))::int AS chunk
+        |  FROM tf JOIN dft USING (tok))
+        |SELECT tok, chunk, any_value(df) AS df, count(*)::bigint AS chunk_df,
+        |  sum(tf)::bigint AS chunk_tf,
+        |  md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_md5
+        |FROM ch GROUP BY tok, chunk""".stripMargin,
     // UniMax: same closed-form greedy (running-AND capped prefix over
     // ascending sizes), E=2 epochs, B=round(1.8*total)
     "pipeline_unimax_mixture" ->
@@ -2806,7 +3027,8 @@ object PipelineQueries {
          |FROM jp JOIN nm a ON a.doc_id = jp.doc_a JOIN nm b ON b.doc_id = jp.doc_b""".stripMargin,
     "text_char_entropy" ->
       """WITH n AS (SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+        |  WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0),
         |ch AS (SELECT doc_id, unnest([substr(norm, i, 1)
         |    FOR i IN range(1, length(norm) + 1)]) AS ch FROM n),
         |h AS (SELECT doc_id, ch, count(*)::bigint AS c FROM ch GROUP BY 1, 2)
