@@ -215,6 +215,83 @@ object SparkEntry {
           |FROM ex JOIN est ON ex.lang_a = est.lang_a AND ex.lang_b = est.lang_b
           |ORDER BY lang_a, lang_b""".stripMargin)
     }),
+    // ---- r8: sketch WIRE-FORMAT round-trip (r7 verdict #8) — the one
+    // sketch property no other row exercises: a sketch column written
+    // to parquet, read back, and merged must behave exactly like the
+    // never-serialized sketch. That is the contract that lets 100 TB
+    // pipelines stage per-partition sketches in tables and merge them
+    // later (the reference's qdigest/tdigest/HLL/SetDigest types are
+    // all defined by their wire format — e.g. its SetDigest ships as
+    // varbinary). Each family's merged post-roundtrip estimate is
+    // compared to the direct in-plan merge; booleans pinned TRUE. ----
+    "sketch_wire_roundtrip" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val out1 = java.nio.file.Files.createTempDirectory("graft-sketchrt1").toString
+      val out2 = java.nio.file.Files.createTempDirectory("graft-sketchrt2").toString
+      val perGroup =
+        """SELECT l_returnflag, approx_set_agg_long(l_partkey) AS hll,
+          |  qdigest_agg(l_extendedprice) AS qd,
+          |  tdigest_agg(l_extendedprice) AS td
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      // two cascaded round-trips: store2 = parquet(read(parquet(build))).
+      // Byte equality store1 = store2 pins deserialize∘serialize =
+      // identity for every family with NO dependence on sketch-build
+      // determinism; merged-estimate equality is additionally claimed
+      // for HLL (bucket-max merge — provably order-insensitive) against
+      // the never-serialized build, and for qdigest/tdigest between the
+      // two stores (single-file scans, deterministic row order — their
+      // merges, like the reference's, are accumulation-order-sensitive,
+      // so a direct-vs-store merged comparison would race scan order).
+      s.sql(perGroup).coalesce(1).write.mode("overwrite").parquet(out1)
+      s.read.parquet(out1).coalesce(1).write.mode("overwrite").parquet(out2)
+      s.read.parquet(out1).createOrReplaceTempView("graft_sketch_store")
+      s.read.parquet(out2).createOrReplaceTempView("graft_sketch_store2")
+      s.sql(perGroup).createOrReplaceTempView("graft_sketch_direct")
+      s.sql(
+        """WITH pg AS (SELECT bool_and(a.hll = b.hll) AS hll_b,
+          |    bool_and(a.qd = b.qd) AS qd_b, bool_and(a.td = b.td) AS td_b
+          |  FROM graft_sketch_store a JOIN graft_sketch_store2 b
+          |    USING (l_returnflag)),
+          |dm AS (SELECT merge_hll(hll) AS mh FROM graft_sketch_direct),
+          |r1 AS (SELECT merge_hll(hll) AS mh, merge_qdigest(qd) AS mq,
+          |    merge_tdigest(td) AS mt FROM graft_sketch_store),
+          |r2 AS (SELECT merge_qdigest(qd) AS mq, merge_tdigest(td) AS mt
+          |  FROM graft_sketch_store2)
+          |SELECT
+          |  pg.hll_b AND hll_cardinality(dm.mh) = hll_cardinality(r1.mh)
+          |    AS hll_stable,
+          |  pg.qd_b AND value_at_quantile(r1.mq, 0.5) = value_at_quantile(r2.mq, 0.5)
+          |    AS qdigest_stable,
+          |  pg.td_b AND tdigest_value_at_quantile(r1.mt, 0.5) =
+          |    tdigest_value_at_quantile(r2.mt, 0.5) AS tdigest_stable
+          |FROM pg CROSS JOIN dm CROSS JOIN r1 CROSS JOIN r2""".stripMargin)
+    }),
+
+    // setdigest round-trip: per-lang token digests through parquet; the
+    // pairwise jaccard estimates from stored sketches must equal the
+    // direct path bit-for-bit
+    "sketch_setdigest_roundtrip" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-sdrt").toString
+      val perLang =
+        """SELECT lang, make_set_digest(token) AS d FROM (
+          |  SELECT lang, explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS token
+          |  FROM documents) GROUP BY lang""".stripMargin
+      s.sql(perLang).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_sd_store")
+      s.sql(perLang).createOrReplaceTempView("graft_sd_direct")
+      s.sql(
+        """SELECT a.lang AS lang_a, b.lang AS lang_b,
+          |  x.jd = jaccard_index(a.d, b.d) AS jaccard_stable,
+          |  set_digest_cardinality(a.d) = set_digest_cardinality(x.da) AS card_stable
+          |FROM graft_sd_store a JOIN graft_sd_store b ON a.lang < b.lang
+          |JOIN (SELECT a2.lang AS la, b2.lang AS lb,
+          |        jaccard_index(a2.d, b2.d) AS jd, a2.d AS da
+          |      FROM graft_sd_direct a2 JOIN graft_sd_direct b2 ON a2.lang < b2.lang) x
+          |  ON x.la = a.lang AND x.lb = b.lang
+          |ORDER BY lang_a, lang_b""".stripMargin)
+    }),
+
     // checksum properties the reference contract implies: invariant to
     // row order/partitioning, sensitive to any value change
     "sketch_checksum_bound" -> ((s, dir) => {
@@ -278,11 +355,23 @@ object SparkEntry {
         |            JOIN sz sb ON sb.lang = lang_b
         |ORDER BY lang_a, lang_b""".stripMargin,
     "sketch_checksum_bound" ->
-      "SELECT true AS order_invariant, true AS sensitive")
+      "SELECT true AS order_invariant, true AS sensitive",
+    // r8 wire-format round-trips: serialized-form stability is a
+    // deterministic engine property — the oracle states the booleans
+    // (and, for setdigest, the pair frame DuckDB can enumerate)
+    "sketch_wire_roundtrip" ->
+      "SELECT true AS hll_stable, true AS qdigest_stable, true AS tdigest_stable",
+    "sketch_setdigest_roundtrip" ->
+      """SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  true AS jaccard_stable, true AS card_stable
+        |FROM (SELECT DISTINCT lang FROM documents) a
+        |JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang
+        |ORDER BY lang_a, lang_b""".stripMargin)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ OperatorQueries.queries ++ FunctionQueries.queries ++
+    TpchQueries.queries ++ TpcdsQueries.queries ++ OperatorQueries.queries ++
+      FunctionQueries.queries ++
       EventQueries.queries ++ PipelineQueries.queries ++ ExtendedQueries.queries ++
       GeoQueries.queries ++ EngineQueries.queries ++ sketchQueries
 
@@ -291,7 +380,8 @@ object SparkEntry {
     * approximate ops → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ OperatorQueries.oracles ++ FunctionQueries.oracles ++
+    TpchQueries.oracles ++ TpcdsQueries.oracles ++ OperatorQueries.oracles ++
+      FunctionQueries.oracles ++
       EventQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
       GeoQueries.oracles ++ EngineQueries.oracles ++ sketchOracles
 }

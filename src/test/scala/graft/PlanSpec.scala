@@ -47,6 +47,30 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("WindowGroupLimit"), s)
   }
 
+  test("tpcds_q3_star probes the fact scan with broadcast dims (date_dim, part)") {
+    // execute first: the derived date_dim is an aggregate whose static
+    // size estimate is fact-sized, so the broadcast decision is AQE's —
+    // assert on the FINAL adaptive plan
+    val df = q("tpcds_q3_star")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s"star probe degenerated to SMJ:\n$s")
+  }
+
+  test("incremental-index consume reads the prefix store bucketed, corpus side exchange-free") {
+    graft.queries.PipelineQueries.incrementalIndexBuild(spark, sfTiny)
+    val df = graft.queries.PipelineQueries.incrementalIndexConsume(spark, sfTiny)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    assert(s.contains("Bucketed: true"),
+      s"prefix store not read as bucketed:\n${s.take(4000)}")
+    val ptokExchanges = "hashpartitioning\\(ptok".r.findAllIn(finalPlan).length
+    assert(ptokExchanges <= 1,
+      s"expected at most the increment-side ptok exchange, got $ptokExchanges:\n${finalPlan.take(4000)}")
+  }
+
   test("tpch_q18 takes the top-100 before the customer join (broadcast probe, no customer shuffle)") {
     val s = plan(q("tpch_q18")).toString
     // the limit must sit BELOW the customer join: a TakeOrderedAndProject
