@@ -44,7 +44,10 @@ object Bench {
     "dedup_minhash_lsh", "dedup_jaccard_ppjoin",
     "sim_topk_brute", "sim_bm25_topk",
     "text_token_stats", "mr_funnel", "sketch_hll_merge",
-    "sim_tfidf_pairs_abscap")
+    "sim_tfidf_pairs_abscap",
+    // r8: the TPC-DS family gets a headline slot — q67's wide ROLLUP
+    // into a rank() window is the heaviest plan shape the slice adds
+    "tpcds_q67_rollup_rank")
 
   private def loadAvg(): (Double, Double, Double) =
     try {

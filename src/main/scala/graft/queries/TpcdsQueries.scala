@@ -7,7 +7,7 @@ import graft.engine.Tables
   * ships the full TPC-DS workload alongside TPC-H
   * (`testing/trino-benchto-benchmarks/src/main/resources/benchmarks/presto/tpcds.yaml:8-16`,
   * query texts under `.../sql/presto/tpcds/q*.sql`), and TPC-DS
-  * exercises plan shapes TPC-H never produces. Seven queries are
+  * exercises plan shapes TPC-H never produces. Eight queries are
   * re-expressed over the fixture tables, each keeping its TPC-DS
   * query's distinguishing PLAN SHAPE:
   *
@@ -22,6 +22,9 @@ import graft.engine.Tables
   *  - q51  — two cumulative-window CTEs FULL OUTER joined, running max
   *    over the stitched series, cross-channel comparison filter.
   *  - q67  — wide ROLLUP feeding a rank() window, rank-band filter.
+  *  - q72  — many-way star (8 relations) with the SAME date dimension
+  *    joined twice and a cross-alias date inequality residual (the
+  *    yaml's group-1 join-order/broadcast-chain stress).
   *  - q95  — a CTE referenced TWICE through two IN-subqueries (the
   *    mutually-referencing-CTE decorrelation stress).
   *
@@ -52,12 +55,17 @@ import graft.engine.Tables
 object TpcdsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One shared spelling; `TRUNC_MONTH(x)` resolves per engine. */
+  /** One shared spelling; `TRUNC_MONTH(x)` / `INTERVAL_30D` resolve per
+    * engine (DuckDB's date_trunc('month') returns DATE; interval-literal
+    * unit quoting differs — the TpchQueries convention).
+    */
   private def both(sql: String): (String, String) = (
     sql.replace("TRUNC_MONTH_OPEN", "date_trunc('month', ")
-      .replace("TRUNC_MONTH_CLOSE", ")"),
+      .replace("TRUNC_MONTH_CLOSE", ")")
+      .replace("INTERVAL_30D", "INTERVAL '30' DAY"),
     sql.replace("TRUNC_MONTH_OPEN", "date_trunc('month', ")
-      .replace("TRUNC_MONTH_CLOSE", ")::timestamp"))
+      .replace("TRUNC_MONTH_CLOSE", ")::timestamp")
+      .replace("INTERVAL_30D", "INTERVAL 30 DAY"))
 
   /** q05's per-channel CTE body, stamped once per channel slice. */
   private def channelCte(name: String, label: String, rem: Int): String =
@@ -190,6 +198,29 @@ object TpcdsQueries {
         |    WHERE l_shipdate = d_date AND l_partkey = p_partkey
         |    GROUP BY ROLLUP(p_brand, d_year, d_moy, l_returnflag)) dw1) dw2
         |WHERE rk <= 10""".stripMargin),
+
+    // q72: the yaml's group-1 stress query — a many-way star with the
+    // SAME date dimension joined TWICE (order date and ship date) and a
+    // cross-alias date inequality as the residual, the join-order /
+    // broadcast-chain planning shape none of the others produce;
+    // reference q72.sql
+    "tpcds_q72_multijoin" -> both(
+      """WITH date_dim AS (
+        |  SELECT d_date FROM (
+        |    SELECT DISTINCT o_orderdate AS d_date FROM orders
+        |    UNION SELECT DISTINCT l_shipdate FROM lineitem) u)
+        |SELECT p_brand, n_name, cast(count(*) AS bigint) AS n_lagged_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN date_dim d1 ON o_orderdate = d1.d_date
+        |JOIN date_dim d2 ON l_shipdate = d2.d_date
+        |WHERE d2.d_date > d1.d_date + INTERVAL_30D
+        |  AND p_size <= 10
+        |GROUP BY p_brand, n_name""".stripMargin),
 
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;

@@ -94,7 +94,8 @@ object R8OpsSoak {
     // -- 3: TPC-DS slice at sf0.1 + 100x relational corpus --
     val tpcds = Seq("tpcds_q3_star", "tpcds_q5_channel_rollup",
       "tpcds_q34_having_star", "tpcds_q38_intersect",
-      "tpcds_q51_cume_fulljoin", "tpcds_q67_rollup_rank", "tpcds_q95_multi_cte")
+      "tpcds_q51_cume_fulljoin", "tpcds_q67_rollup_rank",
+      "tpcds_q72_multijoin", "tpcds_q95_multi_cte")
     tpcds.foreach(runQuery(_, "/root/testdata/sf0.1", "sf0.1"))
     if (new java.io.File("/tmp/sftpch100/lineitem.parquet").exists)
       tpcds.foreach(runQuery(_, "/tmp/sftpch100", "100x tpch"))
