@@ -261,15 +261,24 @@ object PipelineQueries {
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
       .withColumn("n_sh", size(col("hsh")))
+    // Bucket count is sized to the CORPUS at build time (a real table's
+    // bucket count is fixed at creation): the r8 100x soak showed a
+    // fixed 8 buckets caps the steady-state pair join at 8-way
+    // parallelism — consume read 326 s vs the 120 s full recompute at
+    // 500k docs, inverting the index's whole point. ~2k docs per bucket
+    // restores the soak-proven shuffle-partition sizing; the count is a
+    // metadata-cheap columnar scan paid once per refresh.
+    val nOld = docs.filter(!isNew).count()
+    val buckets = math.max(8, math.min(512, (nOld / 2000L).toInt))
     val oldToks = old.select(col("doc_id"), col("n_sh"), explode(col("hsh")).as("tok"))
     val dfreq = oldToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     graft.engine.Writer.writeBucketed(
       indexPrefixRows(oldToks.join(dfreq, "tok"), old),
-      "graft_idx_prefix", "ptok", 8, sortCol = Some("ptok"))
-    graft.engine.Writer.writeBucketed(dfreq, "graft_idx_df", "tok", 8)
+      "graft_idx_prefix", "ptok", buckets, sortCol = Some("ptok"))
+    graft.engine.Writer.writeBucketed(dfreq, "graft_idx_df", "tok", buckets)
     graft.engine.Writer.writeBucketed(
       docs.filter(!isNew).select(col("fingerprint")).distinct(),
-      "graft_idx_fp", "fingerprint", 8)
+      "graft_idx_fp", "fingerprint", buckets)
   }
 
   /** Stage 2 of `dedup_incremental_indexed`: the steady-state
@@ -293,12 +302,17 @@ object PipelineQueries {
       .join(s.table("graft_idx_df"), Seq("tok"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
     // the increment side is repartitioned to the store's EXACT bucket
-    // layout (hash(ptok), 8) so EnsureRequirements sees two compatible
-    // children and the bucketed scan stays exchange-free — without the
-    // explicit repartition Spark re-shuffles BOTH sides to the session
-    // shuffle-partition count and the co-location is lost
+    // layout — discovered from CATALOG METADATA, the production shape: a
+    // consumer never hardcodes a table's bucket count. The explicit
+    // repartition makes EnsureRequirements see two compatible children
+    // so the bucketed scan stays exchange-free; without it Spark
+    // re-shuffles BOTH sides to the session shuffle-partition count and
+    // the co-location is lost.
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_idx_prefix"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
     val crossPairs = ppjoinVerifiedPairs(
-      indexPrefixRows(newToks, newBase).repartition(8, col("ptok")),
+      indexPrefixRows(newToks, newBase).repartition(buckets, col("ptok")),
       s.table("graft_idx_prefix"),
       selfJoin = false, joinOnLang = false)
     val nearIds = crossPairs.select(col("doc_a").as("doc_id")).distinct()
