@@ -199,6 +199,57 @@ object TpcdsQueries {
         |    GROUP BY ROLLUP(p_brand, d_year, d_moy, l_returnflag)) dw1) dw2
         |WHERE rk <= 10""".stripMargin),
 
+    // q57: grouped time series with a deviation filter — per-(brand,
+    // month) sales, the brand-year window average, lag/lead neighbors,
+    // keep months deviating >10% from their year's average. The
+    // windows-over-aggregate + self-comparison shape (q47/q57 family).
+    // Measures are exact bigint sums, so the avg/deviation doubles have
+    // identical operands in both engines; reference q57.sql
+    "tpcds_q57_deviation" -> both(
+      """WITH date_dim AS (
+        |  SELECT d_date, year(d_date) AS d_year, month(d_date) AS d_moy
+        |  FROM (SELECT DISTINCT l_shipdate AS d_date FROM lineitem) dd),
+        |v1 AS (
+        |  SELECT p_brand, d_year, d_moy, cast(sum(l_quantity) AS bigint) AS sumsales
+        |  FROM lineitem, date_dim, part
+        |  WHERE l_shipdate = d_date AND l_partkey = p_partkey
+        |  GROUP BY p_brand, d_year, d_moy),
+        |v2 AS (
+        |  SELECT p_brand, d_year, d_moy, sumsales,
+        |    avg(sumsales) OVER (PARTITION BY p_brand, d_year) AS avg_monthly,
+        |    lag(sumsales) OVER (PARTITION BY p_brand ORDER BY d_year, d_moy) AS psum,
+        |    lead(sumsales) OVER (PARTITION BY p_brand ORDER BY d_year, d_moy) AS nsum
+        |  FROM v1)
+        |SELECT p_brand, d_year, d_moy, sumsales,
+        |  round(avg_monthly, 6) AS avg_monthly, psum, nsum
+        |FROM v2
+        |WHERE d_year = 1997 AND avg_monthly > 0
+        |  AND abs(sumsales - avg_monthly) / avg_monthly > 0.1""".stripMargin),
+
+    // q14: cross_items CTE — items sold in ALL THREE channels
+    // (INTERSECT chain) restricting each channel's sales, with an
+    // average-sales scalar-subquery threshold in HAVING; reference
+    // q14.sql
+    "tpcds_q14_cross_items" -> both(
+      """WITH cross_items AS (
+        |  SELECT l_partkey AS item_sk FROM lineitem WHERE l_linenumber % 3 = 0
+        |  INTERSECT SELECT l_partkey FROM lineitem WHERE l_linenumber % 3 = 1
+        |  INTERSECT SELECT l_partkey FROM lineitem WHERE l_linenumber % 3 = 2),
+        |avg_sales AS (
+        |  SELECT avg(l_quantity * l_extendedprice) AS average_sales FROM lineitem),
+        |ch AS (
+        |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+        |    WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+        |    l_partkey, l_quantity * l_extendedprice AS sales
+        |  FROM lineitem)
+        |SELECT channel, p_brand, cast(count(*) AS bigint) AS n_lines,
+        |  round(sum(sales), 2) AS sales
+        |FROM ch JOIN part ON l_partkey = p_partkey
+        |JOIN cross_items ci ON ch.l_partkey = ci.item_sk
+        |CROSS JOIN avg_sales
+        |GROUP BY channel, p_brand, average_sales
+        |HAVING sum(sales) > average_sales""".stripMargin),
+
     // q72: the yaml's group-1 stress query — a many-way star with the
     // SAME date dimension joined TWICE (order date and ship date) and a
     // cross-alias date inequality as the residual, the join-order /
