@@ -229,7 +229,13 @@ object TpcdsQueries {
     // q14: cross_items CTE — items sold in ALL THREE channels
     // (INTERSECT chain) restricting each channel's sales, with an
     // average-sales scalar-subquery threshold in HAVING; reference
-    // q14.sql
+    // q14.sql. The INTERSECT chain is kept for shape fidelity (it is
+    // the q14 plan being represented — 3 fact scans + 2 semi joins,
+    // the heaviest of the slice: 34 s at the 100× corpus, still
+    // sublinear per unit). A pipeline that owned this query would
+    // compute channel presence in ONE scan — groupBy(l_partkey)
+    // having count(distinct channel) = 3 — trading the set-op shape
+    // for a single shuffle.
     "tpcds_q14_cross_items" -> both(
       """WITH cross_items AS (
         |  SELECT l_partkey AS item_sk FROM lineitem WHERE l_linenumber % 3 = 0
