@@ -15,6 +15,26 @@ object FunctionQueries {
 
   // Spark-side SQL; oracle below states the DuckDB-equivalent spelling.
   private val defs: Map[String, (String, String)] = Map(
+    // CHAR(n) cast semantics (reference CharType.java: space-pad to the
+    // declared length, truncate beyond it) — the Dialect shim lowers
+    // CAST(x AS CHAR(n)) to rpad, closing a documented type-fidelity
+    // corner; trailing-space-insensitive comparison is exercised via
+    // the padded = rpad equality
+    "fn_char_padding" -> (
+      """SELECT n_nationkey,
+        |CAST(n_name AS CHAR(12)) AS padded,
+        |length(CAST(n_name AS CHAR(12))) AS padded_len,
+        |CAST(n_name AS CHAR(12)) = rpad(n_name, 12, ' ') AS pad_eq,
+        |CAST(n_name AS CHAR(4)) AS truncated,
+        |CAST(CAST(n_nationkey AS CHAR(2)) AS CHAR(5)) AS nested
+        |FROM nation""".stripMargin,
+      """SELECT n_nationkey,
+        |rpad(n_name, 12, ' ') AS padded,
+        |length(rpad(n_name, 12, ' '))::int AS padded_len,
+        |true AS pad_eq,
+        |rpad(n_name, 4, ' ') AS truncated,
+        |rpad(rpad(n_nationkey::varchar, 2, ' '), 5, ' ') AS nested
+        |FROM nation""".stripMargin),
     "fn_string" -> (
       """SELECT n_name,
         |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,

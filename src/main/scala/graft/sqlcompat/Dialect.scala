@@ -201,6 +201,54 @@ object Dialect {
     """\u0001(\d+)\u0001""".r.replaceAllIn(sql,
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
+  /** `CAST(expr AS CHAR(n))` → `rpad(CAST(expr AS STRING), n, ' ')` —
+    * the reference's fixed-width char semantics
+    * (`core/trino-spi/.../type/CharType.java`: values are space-padded
+    * to the declared length; longer inputs truncate). Spark's CHAR(n)
+    * padding applies only to table columns, not cast expressions, so
+    * the shim lowers the cast to explicit rpad (which pads AND
+    * truncates to n — both halves of the CHAR contract). Runs on
+    * literal-MASKED text; a balanced-paren scan finds each CAST's
+    * close, recursing so nested casts inside the operand rewrite too.
+    */
+  private val CharTypeTail = """(?is)^(.*)\bAS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$""".r
+  private def rewriteCharCast(sql: String): String = {
+    val upper = sql.toUpperCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val isCast = upper.startsWith("CAST", i) &&
+        (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_'))
+      var consumed = false
+      if (isCast) {
+        var j = i + 4
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          var depth = 0; var k = j; var end = -1
+          while (k < sql.length && end < 0) {
+            sql.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (end > 0) CharTypeTail.findFirstMatchIn(sql.substring(j + 1, end)) match {
+            case Some(m) =>
+              out.append(
+                s"rpad(CAST(${rewriteCharCast(m.group(1).trim)} AS STRING), ${m.group(2)}, ' ')")
+              i = end + 1
+              consumed = true
+            case None => ()
+          }
+        }
+      }
+      if (!consumed) { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
@@ -214,6 +262,6 @@ object Dialect {
     val rewritten = AtTimeZone.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))
-    unmaskLiterals(rewritten, lits)
+    unmaskLiterals(rewriteCharCast(rewritten), lits)
   }
 }

@@ -22,6 +22,24 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(sql) == sql)
   }
 
+  test("CAST AS CHAR(n) lowers to rpad (pad + truncate semantics)") {
+    assert(Dialect.rewrite("SELECT CAST(x AS CHAR(5)) FROM t") ==
+      "SELECT rpad(CAST(x AS STRING), 5, ' ') FROM t")
+    // operand with its own parens + nested char cast
+    assert(Dialect.rewrite("SELECT CAST(CAST(f(a, b) AS CHAR(2)) AS CHAR(7)) FROM t") ==
+      "SELECT rpad(CAST(rpad(CAST(f(a, b) AS STRING), 2, ' ') AS STRING), 7, ' ') FROM t")
+    // non-char casts untouched
+    assert(Dialect.rewrite("SELECT CAST(x AS INT), CAST(y AS VARCHAR(5)) FROM t") ==
+      "SELECT CAST(x AS INT), CAST(y AS VARCHAR(5)) FROM t")
+  }
+
+  test("CAST AS CHAR inside a string literal is not rewritten") {
+    val sql = "SELECT 'CAST(x AS CHAR(5))' AS s, CAST(a AS CHAR(3)) FROM t"
+    val out = Dialect.rewrite(sql)
+    assert(out.contains("'CAST(x AS CHAR(5))'"))
+    assert(out.contains("rpad(CAST(a AS STRING), 3, ' ')"))
+  }
+
   test("FETCH phrase inside a string literal is not rewritten") {
     val sql = "SELECT 'fetch first 5 rows only' AS s FROM t FETCH FIRST 2 ROWS ONLY"
     val out = Dialect.rewrite(sql)
