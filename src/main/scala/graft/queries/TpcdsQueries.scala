@@ -256,6 +256,33 @@ object TpcdsQueries {
         |GROUP BY channel, p_brand, average_sales
         |HAVING sum(sales) > average_sales""".stripMargin),
 
+    // q11: year-over-year growth comparison — ONE aggregate CTE
+    // (per-customer, per-year, per-channel totals) self-joined FOUR
+    // ways (store/web × year1/year2), keeping customers whose web
+    // growth ratio beats their store growth ratio. The q4/q11/q74
+    // family's defining shape. Totals are exact bigints, so the two
+    // growth-ratio doubles have identical operands in both engines and
+    // the inequality cannot flip; reference q11.sql
+    "tpcds_q11_yoy" -> both(
+      """WITH yt AS (
+        |  SELECT o_custkey AS cust, year(o_orderdate) AS dyear,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'store' ELSE 'web' END AS channel,
+        |    cast(sum(l_quantity) AS bigint) AS tot
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, year(o_orderdate),
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'store' ELSE 'web' END)
+        |SELECT s1.cust, s1.tot AS store_y1, s2.tot AS store_y2,
+        |  w1.tot AS web_y1, w2.tot AS web_y2
+        |FROM yt s1 JOIN yt s2 ON s1.cust = s2.cust
+        |JOIN yt w1 ON s1.cust = w1.cust
+        |JOIN yt w2 ON s1.cust = w2.cust
+        |WHERE s1.channel = 'store' AND s1.dyear = 1996
+        |  AND s2.channel = 'store' AND s2.dyear = 1997
+        |  AND w1.channel = 'web' AND w1.dyear = 1996
+        |  AND w2.channel = 'web' AND w2.dyear = 1997
+        |  AND s1.tot > 0 AND w1.tot > 0
+        |  AND w2.tot / w1.tot > s2.tot / s1.tot""".stripMargin),
+
     // q72: the yaml's group-1 stress query — a many-way star with the
     // SAME date dimension joined TWICE (order date and ship date) and a
     // cross-alias date inequality as the residual, the join-order /
