@@ -231,8 +231,8 @@ object TpcdsQueries {
     // average-sales scalar-subquery threshold in HAVING; reference
     // q14.sql. The INTERSECT chain is kept for shape fidelity (it is
     // the q14 plan being represented — 3 fact scans + 2 semi joins,
-    // the heaviest of the slice: 34 s at the 100× corpus, still
-    // sublinear per unit). A pipeline that owned this query would
+    // the heaviest of the slice: 10.6 s at the 100× corpus on a quiet
+    // box, still sublinear per unit). A pipeline that owned this query would
     // compute channel presence in ONE scan — groupBy(l_partkey)
     // having count(distinct channel) = 3 — trading the set-op shape
     // for a single shuffle.

@@ -35,7 +35,8 @@ object R8TpcdsSoak2 {
       out.append(f"""{"query":"$name","sf":"$label","wall_s":${runs(1)}%.2f,""" +
         f""""runs":[${runs.map(r => f"$r%.2f").mkString(",")}]}""")
     }
-    val qs = Seq("tpcds_q57_deviation", "tpcds_q14_cross_items", "tpcds_q72_multijoin")
+    val qs = Seq("tpcds_q57_deviation", "tpcds_q14_cross_items",
+      "tpcds_q72_multijoin", "tpcds_q11_yoy")
     qs.foreach(run(_, "/root/testdata/sf0.1", "sf0.1"))
     if (new java.io.File("/tmp/sftpch100/lineitem.parquet").exists)
       qs.foreach(run(_, "/tmp/sftpch100", "100x tpch"))
