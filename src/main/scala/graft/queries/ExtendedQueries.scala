@@ -135,6 +135,40 @@ object ExtendedQueries {
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
         |  FROM (SELECT o_orderkey, o_orderstatus,
         |        cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t) t2""".stripMargin),
+    // SQL-2016 frame exclusion (reference GroupsFraming.java handles
+    // EXCLUDE alongside GROUPS): Spark has no EXCLUDE clause, so
+    // EXCLUDE GROUP is emulated as frame-sum minus peer-group-sum over
+    // the dense_rank lowering. The ORACLE uses DuckDB's NATIVE
+    // "EXCLUDE GROUP" (supported for ROWS/RANGE since 0.9) over the
+    // same rank framing — the emulation is pinned against a real
+    // implementation of the clause, not against itself. coalesce(., 0)
+    // aligns the empty-frame case (first group: native EXCLUDE yields
+    // an empty frame → NULL; the subtraction yields 0).
+    "win_groups_exclude" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  s_frame - s_peer AS sum_excl_group
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s_frame,
+        |    sum(o_orderkey) OVER (PARTITION BY o_orderstatus, g) AS s_peer
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, bucket,
+        |      dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |    FROM (SELECT o_orderkey, o_orderstatus,
+        |          cast(floor(o_totalprice / 100000) AS bigint) AS bucket
+        |          FROM orders)))""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  coalesce(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP), 0)::bigint
+        |    AS sum_excl_group
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket
+        |        FROM orders) t) t2""".stripMargin),
+
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual
     "geo_spatial_join" -> (
