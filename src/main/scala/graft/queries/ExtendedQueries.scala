@@ -144,9 +144,16 @@ object ExtendedQueries {
     // implementation of the clause, not against itself. coalesce(., 0)
     // aligns the empty-frame case (first group: native EXCLUDE yields
     // an empty frame → NULL; the subtraction yields 0).
+    // All three EXCLUDE modes are subtraction-emulable for INVERTIBLE
+    // (sum-class) aggregates: GROUP = frame − peer-group; TIES = frame
+    // − peer-group + current value; CURRENT ROW = frame − current
+    // value. Non-invertible aggregates (min/max) remain the documented
+    // gap.
     "win_groups_exclude" -> (
       """SELECT o_orderkey, o_orderstatus, bucket,
-        |  s_frame - s_peer AS sum_excl_group
+        |  s_frame - s_peer AS sum_excl_group,
+        |  s_frame - s_peer + o_orderkey AS sum_excl_ties,
+        |  s_frame - o_orderkey AS sum_excl_current
         |FROM (
         |  SELECT o_orderkey, o_orderstatus, bucket,
         |    sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
@@ -161,7 +168,13 @@ object ExtendedQueries {
       """SELECT o_orderkey, o_orderstatus, bucket,
         |  coalesce(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
         |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP), 0)::bigint
-        |    AS sum_excl_group
+        |    AS sum_excl_group,
+        |  coalesce(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES), 0)::bigint
+        |    AS sum_excl_ties,
+        |  coalesce(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW), 0)::bigint
+        |    AS sum_excl_current
         |FROM (
         |  SELECT o_orderkey, o_orderstatus, bucket,
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g

@@ -18,15 +18,17 @@ package graft
   *  - CURRENT ROW .. UNBOUNDED FOLLOWING (suffix frames);
   *  - GROUPS vs ROWS divergence on the same data.
   *
-  * DOCUMENTED GAP — EXCLUDE clause: SQL-2016 frame exclusion
-  * (EXCLUDE CURRENT ROW / GROUP / TIES) composes with GROUPS in the
-  * reference's framing but has no Spark analog; the dense_rank lowering
-  * cannot express it because exclusion is per-row within the frame
-  * while the lowering works on whole peer groups. EXCLUDE GROUP alone
-  * is emulable by subtracting the peer-group aggregate (sum over frame
-  * minus sum over current group); EXCLUDE CURRENT ROW / TIES need a
-  * row-level frame and stay out of scope — the engine rejects the
-  * syntax (Spark parser), it does not mis-evaluate it.
+  * EXCLUDE clause: SQL-2016 frame exclusion (EXCLUDE CURRENT ROW /
+  * GROUP / TIES) composes with GROUPS in the reference's framing but
+  * has no Spark clause. For INVERTIBLE (sum-class) aggregates all
+  * three modes are subtraction-emulable — GROUP = frame − peer-group,
+  * TIES = frame − peer-group + current value, CURRENT ROW = frame −
+  * current value — and the driver row `win_groups_exclude` pins all
+  * three against DuckDB's NATIVE EXCLUDE clauses.
+  * DOCUMENTED GAP: non-invertible aggregates (min/max/collect) under
+  * EXCLUDE need a true row-level frame and stay out of scope — the
+  * engine rejects the syntax (Spark parser), it does not mis-evaluate
+  * it.
   */
 class GroupsFrameSpec extends GraftSuite {
 
