@@ -108,12 +108,20 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      // release plans the query body persisted (pagerank edge list) so a
-      // cached entry can't occupy executor memory across the whole bench
-      finally graft.engine.CachedPlans.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // release plans the query body persisted (pagerank edge list) so a
+          // cached entry can't occupy executor memory across the whole bench
+          // — OUTSIDE the timed region (r8 verdict: the unpersist RPC was
+          // being charged to every query's measurement)
+          graft.engine.CachedPlans.releaseAll()
+          graft.engine.TempArtifacts.cleanupAll(spark)
+        }
+      elapsed
     }
 
     // Adaptive prewarm: at least nWarm runs, then keep prewarming while

@@ -226,8 +226,11 @@ object SparkEntry {
     // compared to the direct in-plan merge; booleans pinned TRUE. ----
     "sketch_wire_roundtrip" -> ((s, dir) => {
       Tables.register(s, dir)
-      val out1 = java.nio.file.Files.createTempDirectory("graft-sketchrt1").toString
-      val out2 = java.nio.file.Files.createTempDirectory("graft-sketchrt2").toString
+      // dirs/views registered with TempArtifacts: the returned plan still
+      // reads them, so the RUNNER deletes them after the action (r8
+      // verdict #3 — repeated Verify runs were leaking /tmp dirs + views)
+      val out1 = graft.engine.TempArtifacts.dir("graft-sketchrt1")
+      val out2 = graft.engine.TempArtifacts.dir("graft-sketchrt2")
       val perGroup =
         """SELECT l_returnflag, approx_set_agg_long(l_partkey) AS hll,
           |  qdigest_agg(l_extendedprice) AS qd,
@@ -244,9 +247,9 @@ object SparkEntry {
       // so a direct-vs-store merged comparison would race scan order).
       s.sql(perGroup).coalesce(1).write.mode("overwrite").parquet(out1)
       s.read.parquet(out1).coalesce(1).write.mode("overwrite").parquet(out2)
-      s.read.parquet(out1).createOrReplaceTempView("graft_sketch_store")
-      s.read.parquet(out2).createOrReplaceTempView("graft_sketch_store2")
-      s.sql(perGroup).createOrReplaceTempView("graft_sketch_direct")
+      s.read.parquet(out1).createOrReplaceTempView(graft.engine.TempArtifacts.view("graft_sketch_store"))
+      s.read.parquet(out2).createOrReplaceTempView(graft.engine.TempArtifacts.view("graft_sketch_store2"))
+      s.sql(perGroup).createOrReplaceTempView(graft.engine.TempArtifacts.view("graft_sketch_direct"))
       s.sql(
         """WITH pg AS (SELECT bool_and(a.hll = b.hll) AS hll_b,
           |    bool_and(a.qd = b.qd) AS qd_b, bool_and(a.td = b.td) AS td_b
@@ -272,14 +275,14 @@ object SparkEntry {
     // direct path bit-for-bit
     "sketch_setdigest_roundtrip" -> ((s, dir) => {
       Tables.register(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft-sdrt").toString
+      val out = graft.engine.TempArtifacts.dir("graft-sdrt")
       val perLang =
         """SELECT lang, make_set_digest(token) AS d FROM (
           |  SELECT lang, explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS token
           |  FROM documents) GROUP BY lang""".stripMargin
       s.sql(perLang).write.mode("overwrite").parquet(out)
-      s.read.parquet(out).createOrReplaceTempView("graft_sd_store")
-      s.sql(perLang).createOrReplaceTempView("graft_sd_direct")
+      s.read.parquet(out).createOrReplaceTempView(graft.engine.TempArtifacts.view("graft_sd_store"))
+      s.sql(perLang).createOrReplaceTempView(graft.engine.TempArtifacts.view("graft_sd_direct"))
       s.sql(
         """SELECT a.lang AS lang_a, b.lang AS lang_b,
           |  x.jd = jaccard_index(a.d, b.d) AS jaccard_stable,

@@ -24,9 +24,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any plan the query body persisted (e.g. pagerank's edge
-      // list) so the shared session doesn't accumulate cache entries
-      finally graft.engine.CachedPlans.releaseAll()
+      // list) so the shared session doesn't accumulate cache entries,
+      // and delete the round-trip rows' temp dirs + `graft_*` temp views
+      // (r8 verdict #3: Verify left the box dirtier each run)
+      finally {
+        graft.engine.CachedPlans.releaseAll()
+        graft.engine.TempArtifacts.cleanupAll(spark)
+      }
     }
+    // end-of-session: also drop the persisted `graft_idx_*` store tables
+    graft.engine.TempArtifacts.cleanupAll(spark, dropTables = true)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

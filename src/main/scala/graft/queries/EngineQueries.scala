@@ -17,7 +17,7 @@ object EngineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def scratch(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString + "/t"
+    graft.engine.TempArtifacts.dir(s"graft-$prefix") + "/t"
 
   val queries: Map[String, Q] = Map(
     // DELETE through the copy-on-write path (partitioned layout, so the
@@ -65,7 +65,7 @@ object EngineQueries {
     // materialized view: create partitioned, refresh ONE partition
     // incrementally, read the registered view back
     "mv_refresh_roundtrip" -> ((s, dir) => {
-      val storage = java.nio.file.Files.createTempDirectory("graft-mvq").toString
+      val storage = graft.engine.TempArtifacts.dir("graft-mvq")
       val q = "SELECT n_regionkey, n_nationkey, n_name FROM nation"
       Views.createMaterializedView(s, dir, "mv_rt", q, storage,
         partitionBy = Seq("n_regionkey"))

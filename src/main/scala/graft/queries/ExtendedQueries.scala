@@ -147,8 +147,16 @@ object ExtendedQueries {
     // All three EXCLUDE modes are subtraction-emulable for INVERTIBLE
     // (sum-class) aggregates: GROUP = frame − peer-group; TIES = frame
     // − peer-group + current value; CURRENT ROW = frame − current
-    // value. Non-invertible aggregates (min/max) remain the documented
-    // gap.
+    // value. PRECONDITION (r8 advisory): the subtraction is exact only
+    // when the current row's peer group is wholly contained in the
+    // frame — guaranteed here because the frame is RANGE-mode and ends
+    // at CURRENT ROW (RANGE CURRENT ROW = end of peer group; any RANGE
+    // frame bounded at CURRENT ROW or later qualifies). Do NOT reuse
+    // this emulation under ROWS/GROUPS frames or frames ending before
+    // CURRENT ROW, where the peer group can straddle the frame edge —
+    // there, use the two-segment recompute (win_groups_exclude_minmax
+    // below), which never relies on invertibility or containment.
+    // Non-invertible aggregates (min/max): see win_groups_exclude_minmax.
     "win_groups_exclude" -> (
       """SELECT o_orderkey, o_orderstatus, bucket,
         |  s_frame - s_peer AS sum_excl_group,
@@ -175,6 +183,75 @@ object ExtendedQueries {
         |  coalesce(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
         |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW), 0)::bigint
         |    AS sum_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket
+        |        FROM orders) t) t2""".stripMargin),
+    // EXCLUDE for NON-INVERTIBLE aggregates (min/max) — the r8 documented
+    // gap, closed by two-segment recompute instead of subtraction
+    // (reference window/GroupsFraming.java recomputes the frame after
+    // exclusion; so do we, as segment minima). Frame is RANGE BETWEEN
+    // 1 PRECEDING AND 1 FOLLOWING over the dense_rank group index g, so
+    // the frame spans peer groups {g−1, g, g+1} and the excluded current
+    // group sits strictly INSIDE the frame — the two segments are
+    //   before: RANGE 1 PRECEDING AND 1 PRECEDING   (all of group g−1)
+    //   after:  RANGE 1 FOLLOWING AND 1 FOLLOWING   (all of group g+1)
+    // EXCLUDE GROUP      = least/greatest(before, after)
+    // EXCLUDE TIES       = least/greatest(before, after, own value)
+    // EXCLUDE CURRENT ROW= least/greatest(before, after, peer-minus-self)
+    // where peer-minus-self splits the CURRENT GROUP around the row by a
+    // deterministic within-group order (o_orderkey is unique):
+    // ROWS UNBOUNDED PRECEDING..1 PRECEDING ∪ 1 FOLLOWING..UNBOUNDED
+    // FOLLOWING over PARTITION BY (status, g). Spark's least/greatest
+    // skip NULLs, so empty segments fall out and an all-empty exclusion
+    // frame yields NULL — matching DuckDB's native EXCLUDE (the oracle).
+    "win_groups_exclude_minmax" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  least(m_prev, m_next) AS min_excl_group,
+        |  least(m_prev, m_next, o_orderkey) AS min_excl_ties,
+        |  least(m_prev, m_next, m_self_lo, m_self_hi) AS min_excl_current,
+        |  greatest(x_prev, x_next) AS max_excl_group,
+        |  greatest(x_prev, x_next, o_orderkey) AS max_excl_ties,
+        |  greatest(x_prev, x_next, x_self_lo, x_self_hi) AS max_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS m_prev,
+        |    min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS m_next,
+        |    min(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_self_lo,
+        |    min(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_self_hi,
+        |    max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS x_prev,
+        |    max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS x_next,
+        |    max(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS x_self_lo,
+        |    max(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS x_self_hi
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, bucket,
+        |      dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |    FROM (SELECT o_orderkey, o_orderstatus,
+        |          cast(floor(o_totalprice / 100000) AS bigint) AS bucket
+        |          FROM orders)))""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS min_excl_group,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS min_excl_ties,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS min_excl_current,
+        |  max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS max_excl_group,
+        |  max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS max_excl_ties,
+        |  max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS max_excl_current
         |FROM (
         |  SELECT o_orderkey, o_orderstatus, bucket,
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g

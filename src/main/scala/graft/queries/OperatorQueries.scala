@@ -110,10 +110,10 @@ object OperatorQueries {
     // (partitions/files read) next to the static totals the oracle pins.
     "join_dpp_pruned" -> ((s, dir) => {
       import s.implicits._
-      val factDir = java.nio.file.Files.createTempDirectory("graft_dpp_fact").toString
+      val factDir = graft.engine.TempArtifacts.dir("graft_dpp_fact")
       t(s, dir, "orders").repartition(col("o_orderstatus"))
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(factDir)
-      val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+      val dimDir = graft.engine.TempArtifacts.dir("graft_dpp_dim")
       Seq(("F", 1), ("O", 0), ("P", 0)).toDF("st", "keep")
         .coalesce(1).write.mode("overwrite").parquet(dimDir)
       val fact = s.read.parquet(factDir)

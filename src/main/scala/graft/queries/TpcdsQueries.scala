@@ -306,6 +306,72 @@ object TpcdsQueries {
         |  AND p_size <= 10
         |GROUP BY p_brand, n_name""".stripMargin),
 
+    // q77: per-channel sales and returns aggregated SEPARATELY, FULL
+    // OUTER stitched per (channel, id), then ROLLUP over the stitch with
+    // grouping()-driven labels — the multi-channel P&L report shape
+    // (q77/q80 family). grouping() already appears in agg_grouping_sets
+    // but never over a channel union (r8 verdict #9); here it labels the
+    // channel-total and grand-total rows exactly as q77's output does.
+    // reference q77.sql
+    "tpcds_q77_channel_report" -> both(
+      """WITH sales AS (
+        |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+        |      WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+        |    n_name AS id, sum(l_extendedprice) AS sales,
+        |    sum(l_extendedprice * (1 - l_discount)) AS profit
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_returnflag <> 'R' AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |returns_ AS (
+        |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+        |      WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+        |    n_name AS id, sum(l_extendedprice) AS returns_amt,
+        |    sum(l_extendedprice * (1 - l_discount)) AS profit_loss
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_returnflag = 'R' AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN grouping(channel) = 1 THEN 'ALL CHANNELS' ELSE channel END
+        |    AS channel_lbl,
+        |  CASE WHEN grouping(id) = 1 THEN 'ALL IDS' ELSE id END AS id_lbl,
+        |  cast(grouping(channel) * 2 + grouping(id) AS bigint) AS g_level,
+        |  round(sum(sales), 2) AS sales,
+        |  round(sum(returns_amt), 2) AS returns_amt,
+        |  round(sum(profit - loss), 2) AS net_profit
+        |FROM (
+        |  SELECT coalesce(s.channel, r.channel) AS channel,
+        |    coalesce(s.id, r.id) AS id,
+        |    coalesce(s.sales, 0) AS sales,
+        |    coalesce(r.returns_amt, 0) AS returns_amt,
+        |    coalesce(s.profit, 0) AS profit,
+        |    coalesce(r.profit_loss, 0) AS loss
+        |  FROM sales s FULL JOIN returns_ r
+        |    ON s.channel = r.channel AND s.id = r.id) x
+        |GROUP BY ROLLUP(channel, id)""".stripMargin),
+
+    // q10: the demographic-count report gated by correlated existential
+    // predicates — one REQUIRED EXISTS (active this year) AND an OR of
+    // two channel EXISTS probes (the q10/q35 decorrelation shape: Spark
+    // plans the OR'd pair as ExistenceJoins feeding a disjunctive
+    // filter, not semi joins). Aggregate on top counts per segment.
+    // reference q10.sql
+    "tpcds_q10_exists_or" -> both(
+      """SELECT c_mktsegment, cast(count(*) AS bigint) AS cnt,
+        |  cast(min(c_custkey) AS bigint) AS min_cust
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)
+        |  AND (EXISTS (
+        |      SELECT 1 FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        |      WHERE o2.o_custkey = c.c_custkey AND l.l_linenumber % 3 = 2)
+        |    OR EXISTS (
+        |      SELECT 1 FROM lineitem l2 JOIN orders o3 ON l2.l_orderkey = o3.o_orderkey
+        |      WHERE o3.o_custkey = c.c_custkey AND l2.l_linenumber % 3 = 1))
+        |GROUP BY c_mktsegment""".stripMargin),
+
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;
     // reference q95.sql
@@ -325,10 +391,20 @@ object TpcdsQueries {
         |    SELECT l.l_orderkey FROM lineitem l, multi_supp m
         |    WHERE l.l_orderkey = m.order_key AND l.l_returnflag = 'R')""".stripMargin))
 
+  // CteMaterialize gives the reference's once-per-WITH-definition
+  // evaluation (r8 verdict, Missing #1): q95's multi_supp (2 refs), q38's
+  // base (3 refs), q11's yt (4 refs), and q72's date_dim (2 refs) each
+  // execute ONCE into a tracked cache; single-reference CTEs stay inline.
   val queries: Map[String, Q] =
     defs.map { case (name, (sparkSql, _)) =>
-      name -> ((s: SparkSession, dir: String) => Tables.sql(s, dir, sparkSql))
+      name -> ((s: SparkSession, dir: String) =>
+        graft.sqlcompat.CteMaterialize.sql(s, dir, sparkSql))
     }
 
   val oracles: Map[String, String] = defs.map { case (name, (_, duck)) => name -> duck }
+
+  /** The Spark-dialect text of a slice query — lets specs run the inline
+    * (non-materialized) path for equivalence checks.
+    */
+  def sparkSqlFor(name: String): String = defs(name)._1
 }

@@ -213,16 +213,28 @@ object Dialect {
     */
   private val CharTypeTail = """(?is)^(.*)\bAS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$""".r
   private def rewriteCharCast(sql: String): String = {
-    val upper = sql.toUpperCase
     val out = new StringBuilder
     var i = 0
+    // Case-insensitive keyword match at a word boundary via
+    // regionMatches(true, ...) — NOT a parallel toUpperCase copy, whose
+    // indices can drift from the original for characters whose uppercase
+    // changes string length (e.g. 'ß' → "SS").
+    def wordAt(word: String, pos: Int): Boolean =
+      sql.regionMatches(true, pos, word, 0, word.length) &&
+        (pos == 0 || (!Character.isLetterOrDigit(sql.charAt(pos - 1)) &&
+          sql.charAt(pos - 1) != '_'))
     while (i < sql.length) {
-      val isCast = upper.startsWith("CAST", i) &&
-        (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
-          sql.charAt(i - 1) != '_'))
+      // TRY_CAST first (CAST is its suffix; the '_' boundary check keeps
+      // the bare-CAST branch from matching inside it). Trino's TRY_CAST
+      // returns NULL on failure and rpad(NULL) stays NULL, so the same
+      // pad/truncate lowering applies with try_cast on the inside.
+      val isTry = wordAt("TRY_CAST", i)
+      val isCast = isTry || wordAt("CAST", i)
       var consumed = false
       if (isCast) {
-        var j = i + 4
+        // keep the source's own spelling (TRY_CAST vs try_cast) in the output
+        val kw = sql.substring(i, i + (if (isTry) 8 else 4))
+        var j = i + kw.length
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
         if (j < sql.length && sql.charAt(j) == '(') {
           var depth = 0; var k = j; var end = -1
@@ -237,7 +249,7 @@ object Dialect {
           if (end > 0) CharTypeTail.findFirstMatchIn(sql.substring(j + 1, end)) match {
             case Some(m) =>
               out.append(
-                s"rpad(CAST(${rewriteCharCast(m.group(1).trim)} AS STRING), ${m.group(2)}, ' ')")
+                s"rpad($kw(${rewriteCharCast(m.group(1).trim)} AS STRING), ${m.group(2)}, ' ')")
               i = end + 1
               consumed = true
             case None => ()

@@ -1,0 +1,114 @@
+package graft.tools_dev
+
+import org.apache.spark.sql.functions._
+import SoakHarness._
+
+/** Forced-spill survival soak (r8 verdict, Missing #3; reference analog:
+  * `testing/trino-tests/.../TestDistributedSpilledQueries.java` — every
+  * blocking operator re-tested under spill with answers unchanged). All
+  * prior 100× soaks ran under an 89 GB heap that never spills, leaving
+  * Spark's external sort/agg/join spill path (the §4.2 runtime mapping)
+  * untested.
+  *
+  * Protocol: run the relational 100× set TWICE in separate JVMs —
+  *   1. SPARK_DRIVER_MEM=48g (reference pass): no memory pressure;
+  *      records each query's row count + order-independent checksum.
+  *   2. SPARK_DRIVER_MEM=6g (spill pass): the same queries under an
+  *      8× smaller heap; records wall, spill bytes (stage-completion
+  *      listener), and the same count/checksum — which must MATCH the
+  *      reference pass bit-for-bit.
+  * The tool detects its phase from the heap size and merges the spill
+  * pass into the reference pass's artifact. Checksum = sum(xxhash64(all
+  * columns as strings)) — order-independent, null-safe, deterministic
+  * within one Spark build.
+  *
+  * Timing protocol note (in-band): 1 prewarm + 1 measured — this soak
+  * gates on CORRECTNESS-UNDER-SPILL and nonzero spill evidence, not on
+  * medians; its walls are not bench-quality.
+  */
+object R9SpillSoak {
+  private val queries = Seq(
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
+    "tpch_q21", "agg_multi_distinct", "win_topn_per_group", "evt_sessionize",
+    "sim_topk_brute", "text_token_stats", "mr_funnel", "sketch_hll_merge")
+
+  def main(args: Array[String]): Unit = {
+    val dir = "/tmp/sftpch100"
+    require(new java.io.File(s"$dir/lineitem.parquet").exists,
+      s"$dir missing - run graft.tools.ScaleSoakTpch100 first")
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val isSpillPass = heapGb < 20.0
+    val refPath = "/tmp/r9spill_reference.json"
+    val (loadStart, waits, warn) = waitForQuiet()
+    val spark = session()
+    val spill = attachSpillStats(spark)
+
+    def fingerprint(name: String): (Long, Long) = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val hashed = df.select(
+        xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+      val r = hashed.agg(count(lit(1)).as("n"), sum(col("h")).as("ck")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val rows = new StringBuilder
+    var first = true
+    val refFps: Map[String, (Long, Long)] =
+      if (isSpillPass) {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
+        // parse rows of {"query":..,"n":..,"ck":..} written by the ref pass
+        """\{"query":"([^"]+)","n":(-?\d+),"ck":(-?\d+)\}""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      } else Map.empty
+
+    var allMatch = true
+    queries.foreach { name =>
+      try {
+        fingerprint(name) // prewarm (also materializes fully)
+        spill.reset()
+        val t0 = System.nanoTime()
+        val (n, ck) = fingerprint(name)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (memSp, diskSp) = spill.snapshot()
+        graft.engine.CachedPlans.releaseAll()
+        graft.engine.TempArtifacts.cleanupAll(spark)
+        if (!first) rows.append(",")
+        first = false
+        if (isSpillPass) {
+          val ok = refFps.get(name).contains((n, ck))
+          allMatch &&= ok
+          rows.append(f"""{"query":"$name","n":$n,"ck":$ck,"wall_s":$wall%.2f,""" +
+            s""""spill_mem_bytes":$memSp,"spill_disk_bytes":$diskSp,"matches_48g":$ok}""")
+          println(f"[r9spill] $name $wall%.1f s spill mem ${memSp / 1e9}%.2f GB " +
+            f"disk ${diskSp / 1e9}%.2f GB match=$ok")
+        } else {
+          rows.append(s"""{"query":"$name","n":$n,"ck":$ck}""")
+          println(f"[r9spill-ref] $name n=$n ck=$ck ($wall%.1f s)")
+        }
+      } catch {
+        case e: Throwable =>
+          allMatch = false
+          if (!first) rows.append(",")
+          first = false
+          rows.append(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          System.err.println(s"[r9spill] $name FAILED: ${e.getMessage}")
+      }
+    }
+    if (isSpillPass) {
+      writeArtifact("/root/repo/R9SPILL_SOAK_r09.json",
+        s"""{"soak":"r9_forced_spill","corpus":"$dir (60M lineitem rows)",""" +
+          f""""heap_gb":$heapGb%.1f,"reference_heap":"48g (checksums in /tmp/r9spill_reference.json pass)",""" +
+          s""""protocol":"1 prewarm + 1 measured; correctness-under-spill gate, walls not bench-quality",""" +
+          f""""load_start":$loadStart%.2f,"load_waits":$waits,"load_warning":$warn,""" +
+          s""""all_match_48g":$allMatch,"rows":[${rows.toString}],""" +
+          f""""load_end":${load1}%.2f}""")
+    } else {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(refPath),
+        f"""{"pass":"reference","heap_gb":$heapGb%.1f,"load_start":$loadStart%.2f,""" +
+          s""""rows":[${rows.toString}]}""")
+      println(s"[r9spill-ref] wrote $refPath — now re-run with SPARK_DRIVER_MEM=6g")
+    }
+    spark.stop()
+  }
+}

@@ -33,6 +33,20 @@ class DialectSpec extends GraftSuite {
       "SELECT CAST(x AS INT), CAST(y AS VARCHAR(5)) FROM t")
   }
 
+  test("TRY_CAST AS CHAR(n) lowers too, keeping null-on-failure semantics (r8 advisory)") {
+    // Trino's TRY_CAST returns NULL on failure; rpad(NULL) stays NULL,
+    // so padding composes with the try semantics
+    assert(Dialect.rewrite("SELECT TRY_CAST(x AS CHAR(5)) FROM t") ==
+      "SELECT rpad(TRY_CAST(x AS STRING), 5, ' ') FROM t")
+    // lowercase + mixed
+    assert(Dialect.rewrite("SELECT try_cast(x AS char(4)) FROM t") ==
+      "SELECT rpad(try_cast(x AS STRING), 4, ' ') FROM t")
+    // a bare CAST nested inside a TRY_CAST operand still rewrites
+    assert(Dialect.rewrite("SELECT TRY_CAST(CAST(a AS CHAR(2)) AS CHAR(7)) FROM t") ==
+      "SELECT rpad(TRY_CAST(rpad(CAST(a AS STRING), 2, ' ') AS STRING), 7, ' ')" +
+        " FROM t")
+  }
+
   test("CAST AS CHAR inside a string literal is not rewritten") {
     val sql = "SELECT 'CAST(x AS CHAR(5))' AS s, CAST(a AS CHAR(3)) FROM t"
     val out = Dialect.rewrite(sql)

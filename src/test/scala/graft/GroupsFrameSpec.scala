@@ -24,11 +24,18 @@ package graft
   * three modes are subtraction-emulable — GROUP = frame − peer-group,
   * TIES = frame − peer-group + current value, CURRENT ROW = frame −
   * current value — and the driver row `win_groups_exclude` pins all
-  * three against DuckDB's NATIVE EXCLUDE clauses.
-  * DOCUMENTED GAP: non-invertible aggregates (min/max/collect) under
-  * EXCLUDE need a true row-level frame and stay out of scope — the
-  * engine rejects the syntax (Spark parser), it does not mis-evaluate
-  * it.
+  * three against DuckDB's NATIVE EXCLUDE clauses. Precondition: the
+  * peer group must be wholly contained in the frame (holds for RANGE
+  * frames bounded at CURRENT ROW or later; NOT for ROWS frames).
+  * NON-INVERTIBLE aggregates (min/max) use the TWO-SEGMENT recompute
+  * instead (r9; reference GroupsFraming.java recomputes the frame
+  * after exclusion): the excluded current group splits the frame into
+  * a before-segment and an after-segment, each a rank-framed window,
+  * recombined with least/greatest; EXCLUDE CURRENT ROW additionally
+  * splits the current GROUP around the row by a deterministic
+  * within-group order. Driver row `win_groups_exclude_minmax` pins all
+  * three modes × {min, max} against DuckDB's native EXCLUDE; the spec
+  * below pins them against a row-level reference model on tied data.
   */
 class GroupsFrameSpec extends GraftSuite {
 
@@ -109,6 +116,47 @@ class GroupsFrameSpec extends GraftSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val peerSum = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2.toLong).sum }
     val exp = rows.map { case (k, v) => v -> (expected(1, 0)(v) - peerSum(k)) }.toMap
+    assert(got === exp)
+  }
+
+  test("EXCLUDE for min (non-invertible): two-segment recompute matches the row-level model") {
+    import spark.implicits._
+    rows.toDF("k", "v").createOrReplaceTempView("groups_fixture")
+    // frame = GROUPS 1 PRECEDING..1 FOLLOWING; segments: all of group
+    // g−1, all of group g+1, and (for EXCLUDE CURRENT ROW) the current
+    // group split around the row by within-group order on v
+    val got = spark.sql(
+      """SELECT v,
+        |  least(m_prev, m_next) AS mg,
+        |  least(m_prev, m_next, v) AS mt,
+        |  least(m_prev, m_next, m_lo, m_hi) AS mc
+        |FROM (
+        |  SELECT v,
+        |    min(v) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS m_prev,
+        |    min(v) OVER (ORDER BY g RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS m_next,
+        |    min(v) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lo,
+        |    min(v) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_hi
+        |  FROM (SELECT k, v, dense_rank() OVER (ORDER BY k) AS g
+        |        FROM groups_fixture))""".stripMargin)
+      .collect()
+      .map(r => r.getInt(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    // row-level reference model over the fixture
+    val keys = rows.map(_._1).distinct.sorted
+    val gIdx = keys.zipWithIndex.toMap
+    def minOpt(s: Seq[Int]): Option[Int] = if (s.isEmpty) None else Some(s.min)
+    val exp = rows.map { case (k, v) =>
+      val gi = gIdx(k)
+      val frame = rows.filter { case (k2, _) => math.abs(gIdx(k2) - gi) <= 1 }
+      val exclGroup = minOpt(frame.collect { case (k2, v2) if k2 != k => v2 })
+      val exclTies = minOpt(frame.collect { case (k2, v2) if k2 != k || v2 == v => v2 })
+      val exclCur = minOpt(frame.collect { case (_, v2) if v2 != v => v2 })
+      v -> (exclGroup, exclTies, exclCur)
+    }.toMap
     assert(got === exp)
   }
 }
