@@ -47,7 +47,11 @@ object Bench {
     "sim_tfidf_pairs_abscap",
     // r8: the TPC-DS family gets a headline slot — q67's wide ROLLUP
     // into a rank() window is the heaviest plan shape the slice adds
-    "tpcds_q67_rollup_rank")
+    "tpcds_q67_rollup_rank",
+    // r9: q95 joins — the twice-referenced CTE now executes once via
+    // CteMaterialize (8.07 s vs 10.39 s inline at 100×, R9CTE_AB_r09);
+    // a headline slot keeps the materialization path's cost visible
+    "tpcds_q95_multi_cte")
 
   private def loadAvg(): (Double, Double, Double) =
     try {

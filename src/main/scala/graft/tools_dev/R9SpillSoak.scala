@@ -18,9 +18,10 @@ import SoakHarness._
   *      listener), and the same count/checksum — which must MATCH the
   *      reference pass bit-for-bit.
   * The tool detects its phase from the heap size and merges the spill
-  * pass into the reference pass's artifact. Checksum = sum(xxhash64(all
-  * columns as strings)) — order-independent, null-safe, deterministic
-  * within one Spark build.
+  * pass into the reference pass's artifact. Checksum = bit_xor(
+  * xxhash64(all columns as strings)) — order-independent, null-safe,
+  * deterministic within one Spark build, and overflow-free under ANSI
+  * (sum() over full-range longs throws ARITHMETIC_OVERFLOW).
   *
   * Timing protocol note (in-band): 1 prewarm + 1 measured — this soak
   * gates on CORRECTNESS-UNDER-SPILL and nonzero spill evidence, not on
@@ -47,7 +48,7 @@ object R9SpillSoak {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val hashed = df.select(
         xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-      val r = hashed.agg(count(lit(1)).as("n"), sum(col("h")).as("ck")).head()
+      val r = hashed.agg(count(lit(1)).as("n"), bit_xor(col("h")).as("ck")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

@@ -58,6 +58,17 @@ class CteMaterializeSpec extends GraftSuite {
     graft.engine.TempArtifacts.cleanupAll(spark)
   }
 
+  test("tpcds_q11: the 4-way self-joined year-totals CTE resolves to ONE cached plan") {
+    val df = SparkEntry.queries("tpcds_q11_yoy")(spark, sfTiny)
+    val caches = df.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+    assert(caches.size == 4, s"expected 4 cache reads (s1/s2/w1/w2), got ${caches.size}")
+    assert(caches.distinct.size == 1, "all four references must share one cached plan")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+  }
+
   test("materialized CTE path returns the same rows as the inline path") {
     // q95 (2 refs), q11 (4 refs), q38 (3 refs), q72 (date_dim 2 refs):
     // the rewrite must be invisible in the results
