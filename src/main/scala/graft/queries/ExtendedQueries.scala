@@ -156,7 +156,8 @@ object ExtendedQueries {
     // CURRENT ROW, where the peer group can straddle the frame edge —
     // there, use the two-segment recompute (win_groups_exclude_minmax
     // below), which never relies on invertibility or containment.
-    // Non-invertible aggregates (min/max): see win_groups_exclude_minmax.
+    // Non-invertible aggregates: min/max → win_groups_exclude_minmax;
+    // collect-class → win_groups_exclude_list. No EXCLUDE gap remains.
     "win_groups_exclude" -> (
       """SELECT o_orderkey, o_orderstatus, bucket,
         |  s_frame - s_peer AS sum_excl_group,
@@ -258,6 +259,54 @@ object ExtendedQueries {
         |  FROM (SELECT o_orderkey, o_orderstatus,
         |        floor(o_totalprice / 100000)::bigint AS bucket
         |        FROM orders) t) t2""".stripMargin),
+
+    // EXCLUDE for COLLECT-class aggregates — with min/max closed above,
+    // this removes the last of the "min/max/collect under EXCLUDE"
+    // family: the same two-segment decomposition, recombined by ARRAY
+    // CONCAT instead of least/greatest (concatenation of segment
+    // collections = collection over the excluded frame, up to order —
+    // both sides compare canonically SORTED and rendered to strings,
+    // per the driver's array-column rule). EXCLUDE TIES re-adds the
+    // current row's own value; EXCLUDE CURRENT ROW splits the current
+    // group around the row. The o_orderkey % 50 slice bounds the output
+    // (whole peer groups appear in every row's list). Oracle: DuckDB's
+    // native list(...) OVER (... EXCLUDE ...), list_sort'ed; an empty
+    // exclusion frame is [] on both sides (Spark concat of empty
+    // collect_lists; DuckDB coalesce(list(...), [])).
+    "win_groups_exclude_list" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  array_join(sort_array(concat(l_prev, l_next)), ',') AS list_excl_group,
+        |  array_join(sort_array(concat(l_prev, array(o_orderkey), l_next)), ',') AS list_excl_ties,
+        |  array_join(sort_array(concat(l_prev, l_lo, l_hi, l_next)), ',') AS list_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS l_prev,
+        |    collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS l_next,
+        |    collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l_lo,
+        |    collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus, g ORDER BY o_orderkey
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS l_hi
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, bucket,
+        |      dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |    FROM (SELECT o_orderkey, o_orderstatus,
+        |          cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |          FROM orders WHERE o_orderkey % 50 = 0)))""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  array_to_string(list_sort(coalesce(list(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), [])), ',') AS list_excl_group,
+        |  array_to_string(list_sort(coalesce(list(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES), [])), ',') AS list_excl_ties,
+        |  array_to_string(list_sort(coalesce(list(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), [])), ',') AS list_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 30000)::bigint AS bucket
+        |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
 
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual

@@ -47,6 +47,24 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("WindowGroupLimit"), s)
   }
 
+  test("tpcds_q10's OR'd EXISTS pair decorrelates to ExistenceJoins, not a cartesian") {
+    // the required EXISTS plans as a semi join; the two OR'd EXISTS
+    // cannot (a row may satisfy either), so Spark marks each with an
+    // ExistenceJoin flag feeding a disjunctive filter — the q10/q35
+    // decorrelation shape. A cartesian/nested-loop anywhere = failure.
+    val s = plan(q("tpcds_q10_exists_or")).toString
+    assert(s.contains("ExistenceJoin"), s.take(3000))
+    assert(!s.contains("CartesianProduct"), s"EXISTS-OR degenerated to cartesian:\n${s.take(3000)}")
+  }
+
+  test("tpcds_q77 rolls up through ONE Expand over the stitched channels") {
+    // ROLLUP(channel, id) lowers to a single ExpandExec (3 grouping
+    // sets from one input pass), not one aggregate per grouping set
+    val s = plan(q("tpcds_q77_channel_report")).toString
+    assert("Expand".r.findAllIn(s).length >= 1, s.take(3000))
+    assert(s.contains("spark_grouping_id"), s.take(3000))
+  }
+
   test("tpcds_q3_star probes the fact scan with broadcast dims (date_dim, part)") {
     // execute first: the derived date_dim is an aggregate whose static
     // size estimate is fact-sized, so the broadcast decision is AQE's —
