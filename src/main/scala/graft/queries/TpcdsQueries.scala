@@ -256,6 +256,36 @@ object TpcdsQueries {
         |GROUP BY channel, p_brand, average_sales
         |HAVING sum(sales) > average_sales""".stripMargin),
 
+    // q14's ONE-SCAN production variant (the in-code alternative the
+    // cross_items comment has always named): channel presence computed
+    // by one grouped pass over the fact — an item is "cross-channel"
+    // iff it appears under all 3 channel residues — instead of the
+    // 3-scan INTERSECT chain. Result-identical to
+    // `tpcds_q14_cross_items` (same rows, same oracle semantics); kept
+    // as its own row so BOTH the shape-faithful plan and the scale
+    // plan are driver-verified. At 100× the INTERSECT chain costs
+    // 10.6 s (three fact scans + two semi joins); this is the plan a
+    // pipeline owning the query would ship.
+    "tpcds_q14_one_scan" -> both(
+      """WITH cross_items AS (
+        |  SELECT l_partkey AS item_sk FROM lineitem
+        |  GROUP BY l_partkey
+        |  HAVING count(DISTINCT l_linenumber % 3) = 3),
+        |avg_sales AS (
+        |  SELECT avg(l_quantity * l_extendedprice) AS average_sales FROM lineitem),
+        |ch AS (
+        |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+        |    WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+        |    l_partkey, l_quantity * l_extendedprice AS sales
+        |  FROM lineitem)
+        |SELECT channel, p_brand, cast(count(*) AS bigint) AS n_lines,
+        |  round(sum(sales), 2) AS sales
+        |FROM ch JOIN part ON l_partkey = p_partkey
+        |JOIN cross_items ci ON ch.l_partkey = ci.item_sk
+        |CROSS JOIN avg_sales
+        |GROUP BY channel, p_brand, average_sales
+        |HAVING sum(sales) > average_sales""".stripMargin),
+
     // q11: year-over-year growth comparison — ONE aggregate CTE
     // (per-customer, per-year, per-channel totals) self-joined FOUR
     // ways (store/web × year1/year2), keeping customers whose web
