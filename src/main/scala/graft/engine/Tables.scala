@@ -87,20 +87,43 @@ object Tables {
     if (!already) names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
   }
 
+  /** Forget that `spark` has its views registered — the next [[sql]] or
+    * [[register]] call re-registers them (metadata-only, cheap). Called by
+    * [[TempArtifacts.cleanupAll]] after dropping tracked temp views, in
+    * case one of them shadowed a base table name.
+    */
+  private[graft] def invalidateRegistration(spark: SparkSession): Unit =
+    synchronized { registeredDir.remove(spark); () }
+
   /** Register views and run a SQL query against them — the engine's main
     * entry, mirroring the reference's sole public API (SQL text,
     * `sql/parser/SqlParser.java:45`), with Spark's parser + Catalyst in
-    * place of trino-parser + its optimizer.
+    * place of trino-parser + its optimizer. Multiply-referenced WITH
+    * definitions evaluate ONCE (the reference's per-definition planning,
+    * `sql/planner/RelationPlanner.java`) — routed through
+    * [[graft.sqlcompat.CteMaterialize]], which falls back to
+    * [[sqlPlain]] for anything that is not a recognizable WITH query.
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
     // session statements (SET SESSION / PREPARE / EXECUTE / DESCRIBE
     // OUTPUT) short-circuit before the query path
     graft.sqlcompat.Statements.dispatch(spark, q => sql(spark, dir, q), query).getOrElse {
-      // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower
-      // to the row-pattern operator and re-enter the query as a temp view
-      val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
-      spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
+      graft.sqlcompat.CteMaterialize.sql(spark, dir, query)
     }
+  }
+
+  /** The non-CTE-materializing query path: dialect shims + row-pattern
+    * lowering + Spark SQL. Used by [[sql]] via CteMaterialize (which
+    * needs a plain entry for CTE bodies and the main query to avoid
+    * re-entering itself) and by tests that pin inline-vs-materialized
+    * equivalence.
+    */
+  private[graft] def sqlPlain(spark: SparkSession, dir: String, query: String): DataFrame = {
+    register(spark, dir)
+    // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower
+    // to the row-pattern operator and re-enter the query as a temp view
+    val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
+    spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
   }
 }

@@ -56,6 +56,13 @@ object TempArtifacts {
       dirs.clear()
       views.foreach(v =>
         try { spark.catalog.dropTempView(v); () } catch { case _: Throwable => () })
+      if (views.nonEmpty) {
+        // defense in depth for view-name collisions: if a tracked view
+        // shadowed a registered base table, dropping it above removed the
+        // base view too — invalidate the registration cache so the next
+        // Tables.sql re-registers instead of trusting `registeredDir`
+        Tables.invalidateRegistration(spark)
+      }
       views.clear()
       if (dropTables) {
         tables.foreach(t =>

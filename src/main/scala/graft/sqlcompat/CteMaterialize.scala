@@ -16,29 +16,46 @@ import org.apache.spark.storage.StorageLevel
   * was the TPC-DS slice's heaviest 100× point).
   *
   * The rewrite: parse the top-level `WITH name AS (...)` list; any
-  * definition referenced ≥2 times (by later definitions or the main
-  * query) is evaluated as its own DataFrame, persisted MEMORY_AND_DISK
-  * (tracked in [[graft.engine.CachedPlans]] so runners release it after
-  * each action), and registered as a temp view (tracked in
-  * [[graft.engine.TempArtifacts]]); its definition is dropped from the
+  * definition referenced ≥2 times AS A RELATION (by later definitions or
+  * the main query) is evaluated as its own DataFrame, persisted
+  * MEMORY_AND_DISK (tracked in [[graft.engine.CachedPlans]] so runners
+  * release it after each action), and registered as a temp view (tracked
+  * in [[graft.engine.TempArtifacts]]); its definition is dropped from the
   * SQL so every reference resolves to the one cached plan. Definitions
   * referenced once are retained inline — caching them would cost a
   * materialization barrier (no pipelining, no pushdown through the
   * cache) for zero reuse.
   *
+  * Reference counting is RELATION-POSITION (r9 advice): an occurrence
+  * counts only where a table reference can appear — after FROM, after
+  * JOIN, or after a comma inside a FROM list — and never when it is a
+  * qualifier (`cte.col`), a function call (`cte(...)`), or an output
+  * column that happens to share the name. Under-counting is safe (the
+  * CTE stays inline, semantics unchanged); the old word-boundary count
+  * materialized q14's 60M-row `ch` projection for zero reuse because its
+  * own column qualifiers matched.
+  *
   * The parser is deliberately strict: anything it does not recognize
-  * (recursive CTEs, column alias lists, a non-WITH query) returns the
-  * text unchanged and the plain SQL path runs — a parse miss can never
-  * change semantics, only forfeit the reuse.
+  * (recursive CTEs, column alias lists, comments, a non-WITH query)
+  * returns the text unchanged and the plain SQL path runs — a parse miss
+  * can never change semantics, only forfeit the reuse. A CTE whose name
+  * collides with a registered base table is also retained inline: the
+  * temp view registered for a materialized CTE shadows the catalog name
+  * session-wide, and a later `TempArtifacts.cleanupAll` would otherwise
+  * drop the base table's view out from under subsequent queries.
   */
 object CteMaterialize {
 
   private[graft] final case class Cte(name: String, body: String)
 
   /** Parse `WITH a AS (...), b AS (...) <rest>` → (defs, rest). None if
-    * the text is not a top-level WITH of exactly that shape.
+    * the text is not a top-level WITH of exactly that shape, or contains
+    * SQL comments (line or block) anywhere — comment text could flip the
+    * in-string tracking and mis-split the WITH list, so such queries take
+    * the plain path untouched.
     */
   private[graft] def parse(sql: String): Option[(Seq[Cte], String)] = {
+    if (hasComment(sql)) return None
     var i = 0
     def skipWs(): Unit = { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
     def word(w: String): Boolean = {
@@ -59,6 +76,8 @@ object CteMaterialize {
       } else None
     }
     // balanced-paren body scan, skipping single-quoted literals
+    // (doubled-quote '' and backslash-escaped \' forms both handled —
+    // Spark's default dialect allows backslash escapes)
     def parenBody(): Option[String] = {
       skipWs()
       if (i >= sql.length || sql.charAt(i) != '(') return None
@@ -66,7 +85,10 @@ object CteMaterialize {
       var depth = 0; var inStr = false
       while (i < sql.length) {
         val c = sql.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
+        if (inStr) {
+          if (c == '\\') i += 1 // skip the escaped character
+          else if (c == '\'') inStr = false
+        }
         else c match {
           case '\'' => inStr = true
           case '('  => depth += 1
@@ -95,13 +117,93 @@ object CteMaterialize {
     if (rest.isEmpty) None else Some((defs.result(), rest))
   }
 
-  /** Word-boundary, case-insensitive reference count of `name` across the
-    * given SQL fragments.
+  /** True if the text contains a `--` line comment or a block-comment
+    * opener outside string literals (string scan itself honors backslash
+    * escapes).
     */
-  private[graft] def refCount(name: String, fragments: Seq[String]): Int = {
-    val re = ("(?i)(?<![A-Za-z0-9_])" +
-      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
-    fragments.map(f => re.findAllMatchIn(f).size).sum
+  private[graft] def hasComment(sql: String): Boolean = {
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' => return true
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' => return true
+        case _ => ()
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Relation-position reference count of `name` across the given SQL
+    * fragments: occurrences where a table reference can appear — the
+    * identifier directly after FROM or JOIN, or after a comma while the
+    * enclosing clause (at that paren depth) is a FROM list — and whose
+    * next token is neither `.` (a qualifier) nor `(` (a call).
+    * Case-insensitive. Never counts inside string literals.
+    *
+    * Deliberately conservative in both directions with a safe failure
+    * mode each way: a missed reference leaves the CTE inline (correct,
+    * just re-executed); a spurious count — e.g. `EXTRACT(YEAR FROM x)`
+    * puts its depth in FROM context — only materializes a single-use CTE
+    * (correct, just a wasted cache).
+    */
+  private[graft] def refCount(name: String, fragments: Seq[String]): Int =
+    fragments.map(countRelationRefs(name, _)).sum
+
+  private def countRelationRefs(name: String, sql: String): Int = {
+    // fromCtx(d) = at paren depth d, are we inside a FROM list?
+    val fromCtx = scala.collection.mutable.ArrayBuffer(false)
+    var depth = 0
+    var count = 0
+    var i = 0
+    var inStr = false
+    // previous significant token category: "from" | "join" | "," | other
+    var prevTok = ""
+    val ctxEnders = Set("select", "where", "on", "using", "group", "having",
+      "order", "limit", "union", "except", "intersect", "window", "set",
+      "values", "qualify")
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '\'') { inStr = true; prevTok = "lit"; i += 1 }
+      else if (c == '(') {
+        depth += 1
+        if (fromCtx.size <= depth) fromCtx.append(false) else fromCtx(depth) = false
+        prevTok = "("; i += 1
+      } else if (c == ')') { depth = math.max(0, depth - 1); prevTok = ")"; i += 1 }
+      else if (c == ',') { prevTok = ","; i += 1 }
+      else if (Character.isLetter(c) || c == '_') {
+        val start = i
+        while (i < sql.length &&
+          (Character.isLetterOrDigit(sql.charAt(i)) || sql.charAt(i) == '_')) i += 1
+        val tok = sql.substring(start, i)
+        val lower = tok.toLowerCase
+        if (lower == "from") { fromCtx(depth) = true; prevTok = "from" }
+        else if (lower == "join") { fromCtx(depth) = true; prevTok = "join" }
+        else if (ctxEnders(lower)) { fromCtx(depth) = false; prevTok = "kw" }
+        else {
+          val relationPos = prevTok == "from" || prevTok == "join" ||
+            (prevTok == "," && fromCtx(depth))
+          if (relationPos && lower == name.toLowerCase) {
+            var j = i
+            while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+            val qualifierOrCall =
+              j < sql.length && (sql.charAt(j) == '.' || sql.charAt(j) == '(')
+            if (!qualifierOrCall) count += 1
+          }
+          prevTok = "ident"
+        }
+      } else { if (!c.isWhitespace) prevTok = "sym"; i += 1 }
+    }
+    count
   }
 
   private def withPrefix(retained: Seq[Cte], tail: String): String =
@@ -109,27 +211,32 @@ object CteMaterialize {
     else s"WITH ${retained.map(c => s"${c.name} AS (${c.body})").mkString(", ")} $tail"
 
   /** Run `sqlText` with multiply-referenced top-level CTEs evaluated
-    * once. Falls back to [[graft.engine.Tables.sql]] verbatim when the
-    * text is not a recognizable WITH query.
+    * once. Falls back to the plain SQL path verbatim when the text is not
+    * a recognizable WITH query. This IS the engine's WITH handling:
+    * [[graft.engine.Tables.sql]] routes every non-statement query here
+    * (the reference applies once-per-definition evaluation to all SQL,
+    * not a benchmark slice).
     */
   def sql(s: SparkSession, dir: String, sqlText: String): DataFrame =
     parse(sqlText) match {
-      case None => graft.engine.Tables.sql(s, dir, sqlText)
+      case None => graft.engine.Tables.sqlPlain(s, dir, sqlText)
       case Some((ctes, rest)) =>
+        val baseNames = graft.engine.Tables.names.map(_.toLowerCase).toSet
         var retained = Vector.empty[Cte]
         ctes.zipWithIndex.foreach { case (cte, idx) =>
           val scope = ctes.drop(idx + 1).map(_.body) :+ rest
-          if (refCount(cte.name, scope) >= 2) {
+          if (refCount(cte.name, scope) >= 2 &&
+              !baseNames.contains(cte.name.toLowerCase)) {
             // evaluate ONCE: earlier retained defs are prepended (the body
             // may reference them); earlier materialized defs resolve as
             // temp views
             val df = graft.engine.Tables
-              .sql(s, dir, withPrefix(retained, cte.body))
+              .sqlPlain(s, dir, withPrefix(retained, cte.body))
               .persist(StorageLevel.MEMORY_AND_DISK)
             graft.engine.CachedPlans.track(df)
             df.createOrReplaceTempView(graft.engine.TempArtifacts.view(cte.name))
           } else retained :+= cte
         }
-        graft.engine.Tables.sql(s, dir, withPrefix(retained, rest))
+        graft.engine.Tables.sqlPlain(s, dir, withPrefix(retained, rest))
     }
 }

@@ -57,15 +57,19 @@ object SoakHarness {
 
   final case class Timed(median: Double, runs: Seq[Double])
 
-  /** ≥3 prewarms then median of ≥3 measured runs; `runs` sorted. The
-    * body must be the FULL action (construction + materialization).
+  /** ≥3 prewarms then median of ≥3 measured runs. `runs` is kept in
+    * EXECUTION order (r9 finding: within-session degradation shows up as
+    * drift across the sequence — sorting before storing destroyed the
+    * signal); the median is taken from a sorted copy. The body must be
+    * the FULL action (construction + materialization).
     */
   def timed(prewarms: Int = 3, measured: Int = 3)(body: => Unit): Timed = {
     (1 to prewarms).foreach(_ => body)
     val runs = (1 to measured).map { _ =>
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }.sorted
-    Timed(runs(runs.length / 2), runs)
+    }
+    val sorted = runs.sorted
+    Timed(sorted(sorted.length / 2), runs)
   }
 
   /** Cumulative spill counters from completed stages. Spark's listener
