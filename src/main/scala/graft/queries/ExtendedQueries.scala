@@ -308,6 +308,142 @@ object ExtendedQueries {
         |        floor(o_totalprice / 30000)::bigint AS bucket
         |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
 
+    // ---- GROUPS/EXCLUDE as INPUT SYNTAX (r9 verdict, Missing #1) ----
+    // The five rows below carry the SQL-2016 window syntax in their
+    // Spark-side TEXT: `GROUPS BETWEEN ...` frames and `EXCLUDE GROUP /
+    // TIES / CURRENT ROW` clauses, lowered at the SQL entry by
+    // sqlcompat/WindowFrames (reference trino-parser
+    // tree/WindowFrame.java:30 parses these; window/GroupsFraming.java
+    // executes them). The hand-lowered siblings above pin the RECIPES;
+    // these pin the PARSER+REWRITE: same oracle discipline (DuckDB's
+    // native EXCLUDE where it exists; the dense_rank lowering for GROUPS,
+    // which DuckDB also lacks).
+    "win_sql_groups_frame" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |count(*) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
+    // sum (invertible) under a GROUPS frame: the entry lowers EXCLUDE to
+    // the two-segment recompute — empty excluded frames are NULL on both
+    // sides (no coalesce needed, unlike the hand-written subtraction
+    // sibling where Spark produced 0)
+    "win_sql_exclude_sum" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sum_excl_group,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS sum_excl_ties,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS sum_excl_current
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP))::bigint AS sum_excl_group,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES))::bigint AS sum_excl_ties,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW))::bigint AS sum_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
+    // min/max (non-invertible) under GROUPS EXCLUDE: entry-lowered
+    // two-segment recompute, pinned against native EXCLUDE
+    "win_sql_exclude_minmax" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS min_excl_group,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS min_excl_ties,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS min_excl_current,
+        |  max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS max_excl_group
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS min_excl_group,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS min_excl_ties,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS min_excl_current,
+        |  max(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS max_excl_group
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
+    // collect-class under GROUPS EXCLUDE: entry-lowered segment concat;
+    // canonical sorted-string rendering per the driver's array rule
+    "win_sql_exclude_list" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  array_join(sort_array(collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY bucket GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)), ',')
+        |    AS list_excl_group,
+        |  array_join(sort_array(collect_list(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY bucket GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)), ',')
+        |    AS list_excl_current
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  array_to_string(list_sort(coalesce(list(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY g RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), [])), ',')
+        |    AS list_excl_group,
+        |  array_to_string(list_sort(coalesce(list(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY g RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), [])), ',')
+        |    AS list_excl_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 30000)::bigint AS bucket
+        |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
+    // EXCLUDE on a plain RANGE frame: the entry lowers it by
+    // frame-minus-peer-group subtraction (exact for invertible
+    // aggregates; the oracle runs the same frame's native EXCLUDE
+    // directly over bucket — no dense_rank needed)
+    "win_sql_exclude_range" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS sr_group,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS sr_ties,
+        |  sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS sr_current,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cr_group,
+        |  avg(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS ar_current
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP))::bigint AS sr_group,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES))::bigint AS sr_ties,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW))::bigint AS sr_current,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cr_group,
+        |  avg(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS ar_current
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t""".stripMargin),
+
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual
     "geo_spatial_join" -> (

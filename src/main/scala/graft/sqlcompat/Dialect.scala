@@ -270,7 +270,11 @@ object Dialect {
     // rewrite runs over literal-MASKED text (a literal containing the
     // words "AT TIME ZONE" can no longer corrupt the match) and the
     // literals are restored afterwards
-    val (masked, lits) = maskLiterals(afterUnnest)
+    val (masked0, lits) = maskLiterals(afterUnnest)
+    // GROUPS frames / EXCLUDE clauses (SQL-2016 window syntax Spark's
+    // parser rejects) lower to the proven dense_rank / two-segment /
+    // subtraction recipes — also on masked text
+    val masked = WindowFrames.rewrite(masked0)
     val rewritten = AtTimeZone.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))

@@ -1,0 +1,559 @@
+package graft.sqlcompat
+
+/** SQL-2016 window-frame surface Spark's parser lacks: `GROUPS` frames
+  * and `EXCLUDE GROUP | TIES | CURRENT ROW | NO OTHERS`, lowered as a
+  * text rewrite so the syntax works through the engine's SQL entry
+  * (reference: `trino-parser/.../tree/WindowFrame.java:30` parses both;
+  * `operator/window/GroupsFraming.java` executes them).
+  *
+  * The lowerings are the recipes proven as hand-written query shapes in
+  * `queries/ExtendedQueries.scala` (win_groups_frame /
+  * win_groups_exclude / win_groups_exclude_minmax /
+  * win_groups_exclude_list, each pinned against DuckDB — native EXCLUDE
+  * where DuckDB has it):
+  *
+  *  - GROUPS frame → `dense_rank()` over the window's ORDER BY gives the
+  *    peer-group index g; the frame becomes RANGE over g with the same
+  *    offsets (the defining equivalence of GROUPS semantics). Requires
+  *    wrapping the FROM clause in a subquery that adds the g column, so
+  *    the rewrite restructures `SELECT list FROM src [WHERE] [ORDER BY]
+  *    [LIMIT]` — top-level GROUP BY / HAVING with a GROUPS window is
+  *    rejected (windows over grouped output would need the aggregation
+  *    inside the wrapper; not a shape the workloads use).
+  *  - EXCLUDE on a GROUPS frame → two-segment recompute over g
+  *    (`before` = frame∩(groups < g), `after` = frame∩(groups > g), both
+  *    plain RANGE windows), recombined per aggregate class: least/
+  *    greatest for min/max, null-aware addition for sum/count/avg,
+  *    ARRAY concat for collect_list/array_agg. EXCLUDE TIES re-adds the
+  *    current row's own value; EXCLUDE CURRENT ROW splits the current
+  *    peer group positionally around the row (two ROWS windows
+  *    partitioned by (partition, g) — any consistent order works because
+  *    both splits share one window spec, hence one sort).
+  *  - EXCLUDE on a RANGE frame → frame-minus-peer-group subtraction for
+  *    INVERTIBLE aggregates (sum/count/avg), valid because a RANGE frame
+  *    that contains the current row contains its whole peer group (peers
+  *    share the exact ORDER BY value). min/max/collect under RANGE
+  *    EXCLUDE are rejected — use a GROUPS frame, where the two-segment
+  *    recompute applies.
+  *  - EXCLUDE CURRENT ROW on a ROWS frame → positional two-segment
+  *    (exact for every class). EXCLUDE GROUP/TIES on ROWS frames is
+  *    rejected: the peer group can straddle the frame edge, so neither
+  *    subtraction (containment precondition) nor fixed-bound segments
+  *    are sound — the r8 advisory precondition, enforced at the parser.
+  *  - EXCLUDE NO OTHERS → the frame clause minus the EXCLUDE text.
+  *
+  * Unsupported-but-detected syntax throws IllegalArgumentException with
+  * the reason (never a silent wrong answer); text with no GROUPS/EXCLUDE
+  * tokens passes through untouched. Operates on literal-MASKED text
+  * (Dialect masks string contents first), so literals cannot confuse the
+  * scan.
+  */
+object WindowFrames {
+
+  private val UNB_LO = Long.MinValue
+  private val UNB_HI = Long.MaxValue
+
+  private final case class Frame(mode: String, lo: Long, hi: Long, text: String)
+  private final case class Call(
+    start: Int, end: Int, // span of `fn(args) OVER (...)` in the text
+    fn: String, args: String,
+    part: Option[String], order: Option[String],
+    frame: Frame, exclude: Option[String])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"GROUPS/EXCLUDE window rewrite: $msg")
+
+  def rewrite(masked: String): String = {
+    val probe = java.util.regex.Pattern
+      .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(masked)
+    if (!probe.find()) return masked
+    val calls = findCalls(masked)
+    if (calls.isEmpty) return masked
+    // build replacement text per call; GROUPS calls additionally need a
+    // dense_rank column — allocate one per distinct (partition, order)
+    val gcols = scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    def gcolFor(c: Call): String = {
+      val key = (norm(c.part.getOrElse("")), norm(c.order.getOrElse(
+        fail("GROUPS frame requires a window ORDER BY"))))
+      gcols.getOrElseUpdate(key, s"__graft_grp${gcols.size + 1}")
+    }
+    val replacements = calls.map { c =>
+      c.frame.mode match {
+        case "groups" => (c, lowerGroups(c, gcolFor(c)))
+        case "range"  => (c, lowerRangeExclude(c))
+        case "rows"   => (c, lowerRowsExclude(c))
+      }
+    }
+    // apply right-to-left so earlier spans keep their indices
+    var out = masked
+    replacements.sortBy(-_._1.start).foreach { case (c, repl) =>
+      out = out.substring(0, c.start) + repl + out.substring(c.end)
+    }
+    if (gcols.isEmpty) out
+    else restructure(out, calls.filter(_.frame.mode == "groups"), gcols)
+  }
+
+  private def norm(s: String): String = s.trim.replaceAll("\\s+", " ").toLowerCase
+
+  // ---------------------------------------------------------------- scan
+
+  /** All window calls whose OVER clause carries a GROUPS frame or an
+    * EXCLUDE clause. Named-window `OVER w` references and frames without
+    * either token are left alone.
+    */
+  private def findCalls(sql: String): Seq[Call] = {
+    val calls = Vector.newBuilder[Call]
+    var i = 0
+    while (i < sql.length) {
+      if (wordAt(sql, "OVER", i)) {
+        var j = i + 4
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchParen(sql, j)
+          if (close < 0) fail("unbalanced OVER clause")
+          val content = sql.substring(j + 1, close)
+          if (java.util.regex.Pattern.compile("(?i)\\b(GROUPS|EXCLUDE)\\b")
+              .matcher(content).find()) {
+            parseOver(content) match {
+              case Some((part, order, frame, exclude)) =>
+                val fnStart = callStart(sql, i)
+                val (fn, args) = fnParts(sql, fnStart, i)
+                calls += Call(fnStart, close + 1, fn, args, part, order, frame, exclude)
+              case None => () // frame has no GROUPS/EXCLUDE after all
+            }
+          }
+          i = close + 1
+        } else i += 4
+      } else i += 1
+    }
+    calls.result()
+  }
+
+  private def wordAt(s: String, w: String, i: Int): Boolean =
+    s.regionMatches(true, i, w, 0, w.length) &&
+      (i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) &&
+      (i + w.length >= s.length ||
+        (!Character.isLetterOrDigit(s.charAt(i + w.length)) && s.charAt(i + w.length) != '_'))
+
+  /** Index of the ')' matching the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Start of the `fn(args)` call that `OVER` (at `overIdx`) attaches to. */
+  private def callStart(sql: String, overIdx: Int): Int = {
+    var j = overIdx - 1
+    while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+    if (j < 0 || sql.charAt(j) != ')')
+      fail("could not find the window function call before OVER " +
+        "(FILTER/IGNORE NULLS forms are not supported with GROUPS/EXCLUDE)")
+    var depth = 0
+    while (j >= 0) {
+      sql.charAt(j) match {
+        case ')' => depth += 1
+        case '(' => depth -= 1; if (depth == 0) { return identStart(sql, j) }
+        case _ => ()
+      }
+      j -= 1
+    }
+    fail("unbalanced call before OVER")
+  }
+
+  private def identStart(sql: String, parenIdx: Int): Int = {
+    var j = parenIdx - 1
+    while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+    val end = j
+    while (j >= 0 && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j -= 1
+    if (j == end) fail("window function name not found before OVER")
+    j + 1
+  }
+
+  private def fnParts(sql: String, fnStart: Int, overIdx: Int): (String, String) = {
+    val open = sql.indexOf('(', fnStart)
+    val close = matchParen(sql, open)
+    val fn = sql.substring(fnStart, open).trim
+    val args = sql.substring(open + 1, close).trim
+    if (args.toUpperCase.startsWith("DISTINCT "))
+      fail(s"$fn(DISTINCT ...) is not supported with GROUPS/EXCLUDE frames")
+    (fn, args)
+  }
+
+  // --------------------------------------------------------------- parse
+
+  /** Top-level position of keyword `w` (multi-word allowed via `ws`) in
+    * `s`, or -1.
+    */
+  private def topLevelKeyword(s: String, w: String): Int = {
+    var i = 0; var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt(s, w, i)) return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** Parse an OVER clause body → (partition, order, frame, exclude).
+    * None when the frame has neither a GROUPS mode nor an EXCLUDE clause.
+    */
+  private def parseOver(content: String)
+      : Option[(Option[String], Option[String], Frame, Option[String])] = {
+    val frameIdx = Seq("ROWS", "RANGE", "GROUPS")
+      .map(k => k -> topLevelKeyword(content, k))
+      .filter(_._2 >= 0).sortBy(_._2).headOption
+    val (mode, fIdx) = frameIdx.getOrElse(return None)
+    val head = content.substring(0, fIdx)
+    var frameAndExclude = content.substring(fIdx)
+    val exclIdx = topLevelKeyword(frameAndExclude, "EXCLUDE")
+    val exclude: Option[String] =
+      if (exclIdx < 0) None
+      else {
+        val e = norm(frameAndExclude.substring(exclIdx + "EXCLUDE".length))
+        frameAndExclude = frameAndExclude.substring(0, exclIdx).trim
+        e match {
+          case "group" => Some("group")
+          case "ties" => Some("ties")
+          case "current row" => Some("current")
+          case "no others" => None // same as no EXCLUDE clause
+          case other => fail(s"unrecognized EXCLUDE clause: $other")
+        }
+      }
+    if (mode.toLowerCase != "groups" && exclude.isEmpty && exclIdx < 0) return None
+    // head: [PARTITION BY ...] [ORDER BY ...]
+    val obIdx = {
+      var i = 0; var depth = 0; var found = -1
+      while (i < head.length && found < 0) {
+        head.charAt(i) match {
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case _ =>
+            if (depth == 0 && wordAt(head, "ORDER", i)) found = i
+            i += 1
+        }
+      }
+      found
+    }
+    val part = {
+      val pEnd = if (obIdx >= 0) obIdx else head.length
+      val pIdx = topLevelKeyword(head.substring(0, pEnd), "PARTITION")
+      if (pIdx < 0) None
+      else {
+        val afterBy = head.substring(pIdx, pEnd)
+          .replaceFirst("(?is)^PARTITION\\s+BY", "").trim
+        if (afterBy.isEmpty) fail("empty PARTITION BY") else Some(afterBy)
+      }
+    }
+    val order =
+      if (obIdx < 0) None
+      else {
+        val o = head.substring(obIdx).replaceFirst("(?is)^ORDER\\s+BY", "").trim
+        if (o.isEmpty) fail("empty window ORDER BY") else Some(o)
+      }
+    val frame = parseFrame(mode.toLowerCase, frameAndExclude)
+    Some((part, order, frame, exclude))
+  }
+
+  private val BetweenRe =
+    "(?is)^(?:ROWS|RANGE|GROUPS)\\s+BETWEEN\\s+(.*?)\\s+AND\\s+(.*?)\\s*$".r
+  private val ShorthandRe = "(?is)^(?:ROWS|RANGE|GROUPS)\\s+(.*?)\\s*$".r
+
+  private def parseFrame(mode: String, text: String): Frame = {
+    val (loTxt, hiTxt) = text match {
+      case BetweenRe(a, b) => (a, b)
+      case ShorthandRe(a) => (a, "CURRENT ROW")
+      case _ => fail(s"unparseable frame clause: $text")
+    }
+    def bound(t: String, isStart: Boolean): Long = norm(t) match {
+      case "unbounded preceding" => UNB_LO
+      case "unbounded following" => UNB_HI
+      case "current row" => 0L
+      case b if b.endsWith(" preceding") =>
+        -offsetOf(b.stripSuffix(" preceding"), mode, isStart)
+      case b if b.endsWith(" following") =>
+        offsetOf(b.stripSuffix(" following"), mode, isStart)
+      case b => fail(s"unparseable frame bound: $b")
+    }
+    Frame(mode, bound(loTxt, isStart = true), bound(hiTxt, isStart = false), text)
+  }
+
+  /** GROUPS/ROWS offsets must be integer literals (segment arithmetic
+    * needs the value). RANGE offsets stay textual — the subtraction
+    * lowering reuses the frame text verbatim — so any literal form is
+    * accepted; only the PRECEDING/FOLLOWING direction matters, and a
+    * non-integer offset is represented as ±1 (sign carrier).
+    */
+  private def offsetOf(t: String, mode: String, isStart: Boolean): Long = {
+    val v = t.trim
+    if (v.matches("\\d+")) v.toLong
+    else if (mode == "range") 1L
+    else fail(s"$mode frame offsets must be integer literals, got: $v")
+  }
+
+  // ----------------------------------------------------- GROUPS lowering
+
+  private def render(off: Long): String = off match {
+    case UNB_LO => "UNBOUNDED PRECEDING"
+    case UNB_HI => "UNBOUNDED FOLLOWING"
+    case 0L => "CURRENT ROW"
+    case n if n < 0 => s"${-n} PRECEDING"
+    case n => s"$n FOLLOWING"
+  }
+
+  private def lowerGroups(c: Call, g: String): String = {
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    def win(lo: Long, hi: Long): String =
+      s"OVER (${partPrefix}ORDER BY $g RANGE BETWEEN ${render(lo)} AND ${render(hi)})"
+    val peerPart = c.part.map(p => s"$p, $g").getOrElse(g)
+    def split(tail: String): String =
+      s"OVER (PARTITION BY $peerPart ORDER BY $g ROWS BETWEEN $tail)"
+    val lo = c.frame.lo; val hi = c.frame.hi
+    val full = s"${c.fn}(${c.args}) ${win(lo, hi)}"
+    val groupInFrame = lo <= 0 && hi >= 0
+    c.exclude match {
+      case None => full
+      case Some(_) if !groupInFrame => full // nothing of the group is in frame
+      case Some(mode) =>
+        val segWins = Seq(
+          (if (lo <= math.min(hi, -1L)) Some((lo, math.min(hi, -1L))) else None),
+          (if (math.max(lo, 1L) <= hi) Some((math.max(lo, 1L), hi)) else None)
+        ).flatten.map { case (l, h) => win(l, h) }
+        val extraWins = mode match {
+          case "current" => Seq(
+            split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
+            split("1 FOLLOWING AND UNBOUNDED FOLLOWING"))
+          case _ => Nil
+        }
+        val withOwn = mode == "ties"
+        combine(c.fn, c.args, segWins ++ extraWins, withOwn, full)
+    }
+  }
+
+  /** Recombine segment windows per aggregate class. `wins` are complete
+    * `OVER (...)` clauses to evaluate `fn(args)` under; `withOwn` adds
+    * the current row's own value (EXCLUDE TIES). `full` is the
+    * plain-frame expression, used only as a type carrier for the
+    * statically-empty case.
+    */
+  private def combine(fn: String, args: String, wins: Seq[String],
+      withOwn: Boolean, full: String): String = {
+    val fl = fn.toLowerCase
+    def aggTerms(f: String, a: String) = wins.map(w => s"$f($a) $w")
+    fl match {
+      case "min" | "max" =>
+        val terms = aggTerms(fn, args) ++ (if (withOwn) Seq(s"($args)") else Nil)
+        terms match {
+          case Seq() => s"CASE WHEN false THEN $full END"
+          case Seq(one) => one
+          case many =>
+            val f = if (fl == "min") "least" else "greatest"
+            s"$f(${many.mkString(", ")})" // least/greatest skip NULLs
+        }
+      case "sum" =>
+        val terms = aggTerms(fn, args) ++ (if (withOwn) Seq(s"($args)") else Nil)
+        if (terms.isEmpty) s"CASE WHEN false THEN $full END"
+        else {
+          val allNull = terms.map(t => s"$t IS NULL").mkString(" AND ")
+          val added = terms.map(t => s"coalesce($t, 0)").mkString(" + ")
+          s"CASE WHEN $allNull THEN NULL ELSE $added END"
+        }
+      case "count" =>
+        val star = args.trim == "*"
+        val own =
+          if (!withOwn) Nil
+          else if (star) Seq("CAST(1 AS BIGINT)")
+          else Seq(s"CASE WHEN ($args) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
+        val terms = aggTerms(fn, args) ++ own
+        if (terms.isEmpty) "CAST(0 AS BIGINT)" else terms.mkString(" + ")
+      case "avg" =>
+        val sumC = combine("sum", args, wins, withOwn, s"sum($args) OVER ()")
+        val cntC = combine("count", args, wins, withOwn, "")
+        s"(CAST(($sumC) AS DOUBLE) / nullif(CAST(($cntC) AS DOUBLE), 0))"
+      case "collect_list" | "array_agg" =>
+        val own =
+          if (!withOwn) Nil
+          else Seq(s"CASE WHEN ($args) IS NULL THEN array() ELSE array($args) END")
+        val terms = aggTerms("collect_list", args) ++ own
+        terms match {
+          case Seq() => s"filter($full, __graft_x -> false)" // typed empty array
+          case Seq(one) => one
+          case many => s"concat(${many.mkString(", ")})"
+        }
+      case other =>
+        fail(s"aggregate $other is not supported under GROUPS/EXCLUDE lowering " +
+          "(supported: sum, count, avg, min, max, collect_list/array_agg)")
+    }
+  }
+
+  // ----------------------------------------------- RANGE EXCLUDE lowering
+
+  /** Frame-minus-peer-group subtraction: exact for invertible aggregates
+    * when the frame contains the current row (then it contains the whole
+    * peer group — RANGE peers share the exact ORDER BY value).
+    */
+  private def lowerRangeExclude(c: Call): String = {
+    val mode = c.exclude.getOrElse(return plainFrame(c)) // NO OTHERS → strip
+    val order = c.order.getOrElse(fail("RANGE frame requires a window ORDER BY"))
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val fullWin = s"OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
+    val groupInFrame = c.frame.lo <= 0 && c.frame.hi >= 0
+    if (!groupInFrame) return s"${c.fn}(${c.args}) $fullWin"
+    val orderExprs = stripDirections(order)
+    val peerPart = c.part.map(p => s"$p, $orderExprs").getOrElse(orderExprs)
+    val peerWin = s"OVER (PARTITION BY $peerPart)"
+    val fl = c.fn.toLowerCase
+    val args = c.args
+    val star = args.trim == "*"
+    def cnt(win: String): String =
+      if (star) s"count(*) $win" else s"count($args) $win"
+    val ownN =
+      if (star) "CAST(1 AS BIGINT)"
+      else s"CASE WHEN ($args) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    // non-null count over the excluded frame — the NULL guard for sum/avg
+    val exCnt = mode match {
+      case "group" => s"${cnt(fullWin)} - ${cnt(peerWin)}"
+      case "ties" => s"${cnt(fullWin)} - ${cnt(peerWin)} + $ownN"
+      case "current" => s"${cnt(fullWin)} - $ownN"
+    }
+    fl match {
+      case "count" => s"($exCnt)"
+      case "sum" =>
+        val sF = s"sum($args) $fullWin"; val sP = s"sum($args) $peerWin"
+        val value = mode match {
+          case "group" => s"coalesce($sF, 0) - coalesce($sP, 0)"
+          case "ties" => s"coalesce($sF, 0) - coalesce($sP, 0) + coalesce($args, 0)"
+          case "current" => s"coalesce($sF, 0) - coalesce($args, 0)"
+        }
+        s"CASE WHEN ($exCnt) = 0 THEN NULL ELSE $value END"
+      case "avg" =>
+        val sF = s"sum($args) $fullWin"; val sP = s"sum($args) $peerWin"
+        val sumValue = mode match {
+          case "group" => s"coalesce($sF, 0) - coalesce($sP, 0)"
+          case "ties" => s"coalesce($sF, 0) - coalesce($sP, 0) + coalesce($args, 0)"
+          case "current" => s"coalesce($sF, 0) - coalesce($args, 0)"
+        }
+        s"(CAST(($sumValue) AS DOUBLE) / nullif(CAST(($exCnt) AS DOUBLE), 0))"
+      case other =>
+        fail(s"EXCLUDE on a RANGE frame supports only invertible aggregates " +
+          s"(sum/count/avg), got $other — use a GROUPS frame for min/max/collect " +
+          "(two-segment recompute applies there)")
+    }
+  }
+
+  private def plainFrame(c: Call): String = {
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val orderPrefix = c.order.map(o => s"ORDER BY $o ").getOrElse("")
+    s"${c.fn}(${c.args}) OVER (${partPrefix}$orderPrefix${c.frame.text})"
+  }
+
+  /** Drop ASC/DESC/NULLS FIRST|LAST from each top-level ORDER BY item. */
+  private[sqlcompat] def stripDirections(order: String): String =
+    splitTopLevel(order).map { item =>
+      item.trim
+        .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+        .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "")
+    }.mkString(", ")
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  // ------------------------------------------------ ROWS EXCLUDE lowering
+
+  private def lowerRowsExclude(c: Call): String = {
+    val mode = c.exclude.getOrElse(return plainFrame(c))
+    mode match {
+      case "current" =>
+        val order = c.order.getOrElse(fail("ROWS frame requires a window ORDER BY"))
+        val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+        def win(lo: Long, hi: Long): String =
+          s"OVER (${partPrefix}ORDER BY $order ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
+        val lo = c.frame.lo; val hi = c.frame.hi
+        val full = s"${c.fn}(${c.args}) ${win(lo, hi)}"
+        if (lo > 0 || hi < 0) return full // current row outside the frame
+        val segWins = Seq(
+          (if (lo <= math.min(hi, -1L)) Some((lo, math.min(hi, -1L))) else None),
+          (if (math.max(lo, 1L) <= hi) Some((math.max(lo, 1L), hi)) else None)
+        ).flatten.map { case (l, h) => win(l, h) }
+        combine(c.fn, c.args, segWins, withOwn = false, full)
+      case m =>
+        fail(s"EXCLUDE ${m.toUpperCase} on a ROWS frame is not supported: the " +
+          "current peer group can straddle a positional frame edge, so neither " +
+          "subtraction nor fixed-bound segments are exact — use a GROUPS or " +
+          "RANGE frame (r8 containment precondition)")
+    }
+  }
+
+  // --------------------------------------------------------- restructure
+
+  /** Wrap the query's FROM clause so the dense_rank peer-group columns
+    * exist for the lowered GROUPS windows:
+    * `SELECT L FROM src [WHERE w] [tail]` →
+    * `SELECT L' FROM (SELECT *, <gdefs> FROM src [WHERE w]) __graft_ge [tail]`.
+    * Accepts an optional leading WITH prefix (restructures the main query
+    * only). Top-level GROUP BY / HAVING is rejected.
+    */
+  private def restructure(sql: String, groupsCalls: Seq[Call],
+      gcols: scala.collection.mutable.LinkedHashMap[(String, String), String]): String = {
+    // split off a WITH prefix if present (CTE bodies are not restructured
+    // — a GROUPS window inside a CTE body is rejected by the span check)
+    val (prefix, main) = CteMaterialize.parse(sql) match {
+      case Some((defs, rest)) =>
+        (s"WITH ${defs.map(d => s"${d.name} AS (${d.body})").mkString(", ")} ", rest)
+      case None => ("", sql)
+    }
+    if (!main.trim.toUpperCase.startsWith("SELECT"))
+      fail("GROUPS frames are supported in a top-level SELECT list only")
+    val fromIdx = topLevelKeyword(main, "FROM")
+    if (fromIdx < 0) fail("GROUPS frame query has no top-level FROM")
+    if (topLevelKeyword(main, "GROUP") >= 0 || topLevelKeyword(main, "HAVING") >= 0)
+      fail("GROUPS frames over a grouped query are not supported — " +
+        "aggregate in a subquery, window over its output")
+    val selStart = main.toUpperCase.indexOf("SELECT")
+    val selectList = main.substring(selStart + 6, fromIdx)
+    // the lowered windows must all live in the select list region
+    // (indices here are post-replacement, so re-scan for the g columns)
+    gcols.values.foreach { g =>
+      val inList = selectList.contains(g)
+      val after = main.substring(fromIdx).contains(g)
+      if (!inList && after)
+        fail("GROUPS frame windows are supported in the top-level SELECT list only")
+    }
+    val tailIdx = {
+      val ob = topLevelKeyword(main, "ORDER")
+      val lim = topLevelKeyword(main, "LIMIT")
+      Seq(ob, lim).filter(i => i >= 0 && i > fromIdx).sorted.headOption.getOrElse(main.length)
+    }
+    val innerPart = main.substring(fromIdx, tailIdx).trim // `FROM ... [WHERE ...]`
+    val tail = main.substring(tailIdx)
+    val gdefs = gcols.map { case ((p, o), name) =>
+      val partPrefix = if (p.isEmpty) "" else s"PARTITION BY $p "
+      s"dense_rank() OVER (${partPrefix}ORDER BY $o) AS $name"
+    }.mkString(", ")
+    s"${prefix}SELECT $selectList FROM (SELECT *, $gdefs $innerPart) __graft_ge $tail".trim
+  }
+}

@@ -1,0 +1,260 @@
+package graft
+
+import graft.sqlcompat.{Dialect, WindowFrames}
+
+/** GROUPS/EXCLUDE window syntax at the SQL entry (r9 verdict, Missing #1:
+  * the lowerings existed only as hand-written query shapes; a user
+  * submitting the SQL-2016 syntax as text got a Spark parse error).
+  * Text-level parser cases + execution equivalence against row-level
+  * reference models on tied data (the same fixture discipline as
+  * GroupsFrameSpec — peer groups of size 3, 1, 2, 4 where GROUPS, RANGE
+  * and ROWS all disagree).
+  */
+class WindowFramesSpec extends GraftSuite {
+
+  // ------------------------------------------------------- text level
+
+  test("GROUPS frame lowers to dense_rank + RANGE with a wrapping subquery") {
+    val in = "SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(out.contains("dense_rank() OVER (ORDER BY k)"), out)
+    assert(out.contains("RANGE BETWEEN 1 PRECEDING AND CURRENT ROW"), out)
+    assert(out.contains("__graft_grp1"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+  }
+
+  test("text without GROUPS/EXCLUDE tokens passes through untouched") {
+    val in = "SELECT v, sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    assert(WindowFrames.rewrite(in) eq in)
+  }
+
+  test("EXCLUDE NO OTHERS is stripped (same as no EXCLUDE clause)") {
+    val in = "SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS) FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(!out.toUpperCase.contains("EXCLUDE"), out)
+    assert(out.contains("RANGE BETWEEN 1 PRECEDING AND CURRENT ROW"), out)
+  }
+
+  test("multiple GROUPS windows with the same partition/order share one g column") {
+    val in = "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a, " +
+      "count(*) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW) AS b, " +
+      "sum(v) OVER (ORDER BY j GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(out.contains("__graft_grp1") && out.contains("__graft_grp2"), out)
+    assert(!out.contains("__graft_grp3"), out)
+  }
+
+  test("nested parens in the aggregate argument survive the scan") {
+    val in = "SELECT sum(coalesce(round(v, 2), least(v, 0))) OVER " +
+      "(PARTITION BY p ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(out.contains("sum(coalesce(round(v, 2), least(v, 0)))"), out)
+    assert(out.contains("PARTITION BY p"), out)
+  }
+
+  test("unsound combinations are rejected with the reason, never silently lowered") {
+    // ROWS + EXCLUDE GROUP/TIES: peer group can straddle a positional edge
+    val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+    assert(e1.getMessage.contains("ROWS"))
+    // RANGE + EXCLUDE for non-invertible aggregates
+    val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT min(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+    assert(e2.getMessage.contains("invertible"))
+    // DISTINCT inside the windowed aggregate
+    val e3 = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT count(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
+    assert(e3.getMessage.contains("DISTINCT"))
+    // GROUPS over a grouped query
+    val e4 = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT k, sum(s) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
+        "FROM (SELECT k, 1 AS s FROM t) GROUP BY k"))
+    assert(e4.getMessage.contains("grouped"))
+  }
+
+  // -------------------------------------------------- execution level
+
+  // peer groups of size 3, 1, 2, 4 — real ties (v unique per row)
+  private val rows: Seq[(Int, Int)] = Seq(
+    (10, 1), (10, 2), (10, 3),
+    (20, 4),
+    (30, 5), (30, 6),
+    (40, 7), (40, 8), (40, 9), (40, 10))
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "v").createOrReplaceTempView("wf_fixture")
+  }
+
+  private def run(sql: String) = spark.sql(Dialect.rewrite(sql)).collect()
+
+  private val keys = rows.map(_._1).distinct.sorted
+  private val gIdx = keys.zipWithIndex.toMap
+
+  /** All (k2, v2) rows whose peer group lies within [gi-b, gi+a]. */
+  private def frameOf(k: Int, b: Int, a: Int): Seq[(Int, Int)] = {
+    val gi = gIdx(k)
+    rows.filter { case (k2, _) => gIdx(k2) >= gi - b && gIdx(k2) <= gi + a }
+  }
+
+  test("GROUPS frame through the SQL entry matches the row-level model (ties)") {
+    fixture()
+    val got = run(
+      """SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = rows.map { case (k, v) => v -> frameOf(k, 1, 1).map(_._2.toLong).sum }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS ... EXCLUDE {GROUP, TIES, CURRENT ROW} for sum matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sg,
+        |  sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS st,
+        |  sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS sc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optL(r, 1), optL(r, 2), optL(r, 3))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      def s(p: ((Int, Int)) => Boolean) = {
+        val vs = f.filter(p).map(_._2.toLong)
+        if (vs.isEmpty) None else Some(vs.sum)
+      }
+      v -> (s { case (k2, _) => k2 != k },
+            s { case (k2, v2) => k2 != k || v2 == v },
+            s { case (_, v2) => v2 != v })
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS ... EXCLUDE for min/max (two-segment recompute) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  min(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS mg,
+        |  min(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS mt,
+        |  min(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS mc,
+        |  max(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS xg
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optI(r, 1), optI(r, 2), optI(r, 3), optI(r, 4))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      def m(p: ((Int, Int)) => Boolean) = {
+        val vs = f.filter(p).map(_._2); if (vs.isEmpty) None else Some(vs.min)
+      }
+      def x(p: ((Int, Int)) => Boolean) = {
+        val vs = f.filter(p).map(_._2); if (vs.isEmpty) None else Some(vs.max)
+      }
+      v -> (m { case (k2, _) => k2 != k },
+            m { case (k2, v2) => k2 != k || v2 == v },
+            m { case (_, v2) => v2 != v },
+            x { case (k2, _) => k2 != k })
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS ... EXCLUDE for count and avg matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  count(*) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  count(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS ct,
+        |  avg(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS ac
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), optD(r, 3))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val cg = f.count { case (k2, _) => k2 != k }.toLong
+      val ct = f.count { case (k2, v2) => k2 != k || v2 == v }.toLong
+      val cur = f.collect { case (_, v2) if v2 != v => v2.toLong }
+      val ac = if (cur.isEmpty) None else Some(cur.sum.toDouble / cur.size)
+      v -> (cg, ct, ac)
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS ... EXCLUDE for collect_list (segment concat) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  sort_array(collect_list(v) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)) AS lg,
+        |  sort_array(collect_list(v) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)) AS lc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (r.getSeq[Int](1).toList, r.getSeq[Int](2).toList)).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      v -> (f.collect { case (k2, v2) if k2 != k => v2 }.sorted.toList,
+            f.collect { case (_, v2) if v2 != v => v2 }.sorted.toList)
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("RANGE frame EXCLUDE (subtraction path) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  sum(v) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS sg,
+        |  sum(v) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS st,
+        |  sum(v) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS sc,
+        |  count(*) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cg
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optL(r, 1), optL(r, 2), optL(r, 3), r.getLong(4))).toMap
+    val exp = rows.map { case (k, v) =>
+      // RANGE frame: values in [k-10, k]
+      val f = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+      def s(p: ((Int, Int)) => Boolean) = {
+        val vs = f.filter(p).map(_._2.toLong)
+        if (vs.isEmpty) None else Some(vs.sum)
+      }
+      v -> (s { case (k2, _) => k2 != k },
+            s { case (k2, v2) => k2 != k || v2 == v },
+            s { case (_, v2) => v2 != v },
+            f.count { case (k2, _) => k2 != k }.toLong)
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("ROWS frame EXCLUDE CURRENT ROW (positional two-segment) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS sc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> optL(r, 1)).toMap
+    val ordered = rows.map(_._2).sorted
+    val exp = ordered.zipWithIndex.map { case (v, i) =>
+      val neigh = Seq(i - 1, i + 1).filter(j => j >= 0 && j < ordered.length).map(ordered(_).toLong)
+      v -> (if (neigh.isEmpty) None else Some(neigh.sum))
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS window under a WITH prefix restructures the main query only") {
+    fixture()
+    val got = run(
+      """WITH f AS (SELECT k, v FROM wf_fixture WHERE v <= 6)
+        |SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM f""".stripMargin)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sub = rows.filter(_._2 <= 6)
+    val subKeys = sub.map(_._1).distinct.sorted
+    val subIdx = subKeys.zipWithIndex.toMap
+    val exp = sub.map { case (k, v) =>
+      val gi = subIdx(k)
+      v -> sub.filter { case (k2, _) => subIdx(k2) >= gi - 1 && subIdx(k2) <= gi }
+        .map(_._2.toLong).sum
+    }.toMap
+    assert(got === exp)
+  }
+
+  private def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+    if (r.isNullAt(i)) None else Some(r.getLong(i))
+  private def optI(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+    if (r.isNullAt(i)) None else Some(r.getInt(i))
+  private def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+}
