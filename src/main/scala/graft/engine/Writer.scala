@@ -92,6 +92,29 @@ object Writer {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Append into a bucketed table WITHOUT rewriting it — the index-merge
+    * primitive (a production store merges each crawl slice; only a
+    * periodic compaction rebuilds). The same bucket-hash repartition as
+    * [[writeBucketed]] means each write task holds one whole bucket of
+    * the increment, so ONLY buckets the increment actually touches get a
+    * new file ("dirty buckets"); clean buckets' files are untouched.
+    * Cost is therefore ∝ the increment, never the store. Trade-off,
+    * stated: a bucket with >1 file forfeits Spark's stored-sort
+    * guarantee, so downstream sort-merge joins re-sort that side until
+    * the next compaction ([[writeBucketed]]) — exchange-freeness (the
+    * expensive property) survives appends; sortedness (the cheap one)
+    * degrades gracefully. Creates the table if absent (first merge of a
+    * delta store); the bucket spec must match an existing table's.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }
 
 /** Morton-code kernel for [[Writer.writeZOrdered]]. */

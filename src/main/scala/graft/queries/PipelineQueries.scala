@@ -277,10 +277,16 @@ object PipelineQueries {
         sum(when(col("nm") === 1, 1L).otherwise(0L)).as("n_near_dup"))
   }
 
-  def incrementalIndexBuild(s: SparkSession, dir: String, incMod: Int = 5): Unit = {
+  def incrementalIndexBuild(s: SparkSession, dir: String, incMod: Int = 5,
+      heldOut: Seq[Int] = Nil): Unit = {
     val docs = t(s, dir, "documents")
       .withColumn("fingerprint", md5(normText(col("text"))))
-    val isNew = col("doc_id") % incMod === incMod - 1
+    // `heldOut` generalizes the default single-increment split: docs with
+    // doc_id % incMod in ANY held-out slot are excluded from the build —
+    // the merged-index row builds over mod ∉ {3,4}, merges slot 3, then
+    // consumes slot 4 against the merged store.
+    val outs = if (heldOut.nonEmpty) heldOut else Seq(incMod - 1)
+    val isNew = (col("doc_id") % incMod).isin(outs.map(_.toLong): _*)
     val old = docs.filter(!isNew)
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
@@ -308,6 +314,94 @@ object PipelineQueries {
     graft.engine.Writer.writeBucketed(
       docs.filter(!isNew).select(col("fingerprint")).distinct(),
       graft.engine.TempArtifacts.table("graft_idx_fp"), "fingerprint", buckets)
+    // a rebuild resets the delta log: deltas merged since the last build
+    // are folded into the fresh base tables above
+    s.sql("DROP TABLE IF EXISTS graft_idx_df_delta")
+  }
+
+  /** Incremental index MERGE (r9 verdict, Missing #3): fold one crawl
+    * slice into the persisted store with cost ∝ THE INCREMENT — no clean
+    * bucket is rewritten. Three appends:
+    *
+    *  1. prefix rows for the increment's docs, ranked under the FROZEN
+    *     stored (df, tok) order — the same code path consume uses. The
+    *     prefix theorem quantifies over ANY one fixed total token order
+    *     shared by both join sides, so ranking every future increment
+    *     under the build-time order is EXACT, not approximate: novel
+    *     tokens take df = 0 (ties by tok) whether or not a row exists,
+    *     consistently across slices. What drifts is only prefix
+    *     SELECTIVITY (a token that became common since the build keeps
+    *     its stale rank), i.e. performance — the production answer is a
+    *     periodic compaction ([[incrementalIndexBuild]]), exactly like
+    *     an LSM store. Appended via [[graft.engine.Writer.appendBucketed]]:
+    *     only buckets containing the increment's prefix tokens get a new
+    *     file.
+    *  2. the increment's NOVEL fingerprints (distinct within the slice,
+    *     anti-joined against the store — co-located on the bucket key,
+    *     so the store side never shuffles).
+    *  3. per-token df deltas appended to `graft_idx_df_delta` — the
+    *     additive delta log. Current df(tok) = frozen df + Σ deltas; the
+    *     RANKING order stays the frozen base table (see 1), the delta
+    *     log exists for stats and the compaction decision (when Σ deltas
+    *     grows past a fraction of the base, rebuild). An in-place UPDATE
+    *     of the base df table would cost ∝ |vocabulary| per merge and
+    *     change the ranking order out from under the stored prefixes —
+    *     wrong on both axes.
+    *
+    * Returns one eager row of append stats — each count is also stated
+    * in closed form by the driver oracle, which pins that the merge
+    * appended EXACTLY the increment's rows (no dup, no loss, no rewrite).
+    */
+  def incrementalIndexMerge(s: SparkSession, dir: String, incMod: Int = 5,
+      mergeMod: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .withColumn("fingerprint", md5(normText(col("text"))))
+    val inc = docs.filter(col("doc_id") % incMod === mergeMod)
+    val incBase = inc
+      .withColumn("norm", normText(col("text")))
+      .withColumn("hsh", expr(shingleHashExpr))
+      .withColumn("n_sh", size(col("hsh")))
+    val incToks = incBase
+      .select(col("doc_id"), col("n_sh"), explode(col("hsh")).as("tok"))
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_idx_prefix"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val nPrefBefore = s.table("graft_idx_prefix").count()
+    val nFpBefore = s.table("graft_idx_fp").count()
+    // 1. prefix rows under the frozen stored order (consume's code path)
+    val ranked = incToks
+      .join(s.table("graft_idx_df"), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    graft.engine.Writer.appendBucketed(
+      indexPrefixRows(ranked, incBase),
+      "graft_idx_prefix", "ptok", buckets, sortCol = Some("ptok"))
+    // 2. novel fingerprints only (left_anti is bucket-co-located)
+    graft.engine.Writer.appendBucketed(
+      inc.select(col("fingerprint")).distinct()
+        .join(s.table("graft_idx_fp"), Seq("fingerprint"), "left_anti"),
+      "graft_idx_fp", "fingerprint", buckets)
+    // 3. additive df delta log (creates the table on the first merge)
+    graft.engine.Writer.appendBucketed(
+      incToks.groupBy(col("tok")).agg(count(lit(1)).as("dfd")),
+      graft.engine.TempArtifacts.table("graft_idx_df_delta"), "tok", buckets)
+    val nDfd = s.table("graft_idx_df_delta").count()
+    Seq((s.table("graft_idx_prefix").count() - nPrefBefore,
+      s.table("graft_idx_fp").count() - nFpBefore, nDfd))
+      .toDF("n_prefix_appended", "n_fp_appended", "n_df_delta")
+  }
+
+  /** Current document frequency per token: frozen build-time df + the
+    * merge delta log — the stats/compaction view over the LSM pair.
+    */
+  def indexCurrentDf(s: SparkSession): DataFrame = {
+    val deltas =
+      if (s.catalog.tableExists("graft_idx_df_delta"))
+        s.table("graft_idx_df_delta")
+      else s.emptyDataFrame.select(lit(0L).as("tok"), lit(0L).as("dfd")).limit(0)
+    s.table("graft_idx_df").select(col("tok"), col("df"))
+      .unionByName(deltas.select(col("tok"), col("dfd").as("df")))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
   }
 
   /** Stage 2 of `dedup_incremental_indexed`: the steady-state
@@ -318,10 +412,12 @@ object PipelineQueries {
     * stored order is exact — novel tokens cannot collide with corpus
     * prefixes anyway). Returns the 3-count aggregate, lazily.
     */
-  def incrementalIndexConsume(s: SparkSession, dir: String, incMod: Int = 5): DataFrame = {
+  def incrementalIndexConsume(s: SparkSession, dir: String, incMod: Int = 5,
+      selMod: Int = -1): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("fingerprint", md5(normText(col("text"))))
-    val newDocs = docs.filter(col("doc_id") % incMod === incMod - 1)
+    val slot = if (selMod < 0) incMod - 1 else selMod
+    val newDocs = docs.filter(col("doc_id") % incMod === slot)
     val newBase = newDocs
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
@@ -1003,6 +1099,34 @@ object PipelineQueries {
           .split("== Initial Plan ==")(0)).length
       Seq((row.getLong(0), row.getLong(1), row.getLong(2), ptokExchanges <= 1))
         .toDF("n_new", "n_exact_dup", "n_near_dup", "index_exchange_free")
+    }),
+
+    // ---- incremental index MERGE (r9 verdict, Missing #3): the indexed
+    // row proves steady-state CONSUME; this row proves steady-state
+    // MAINTENANCE. Build over doc_id % 5 ∉ {3,4}, MERGE slice 3 into the
+    // store (append-only: prefix rows under the frozen df order, novel
+    // fingerprints, df delta log — cost ∝ the slice, clean buckets
+    // untouched), then consume slice 4 against the MERGED store. The
+    // dedup counts equal `dedup_incremental`'s (slice 4 vs everything
+    // else — the pair set depends only on the documents; slice-3 docs are
+    // reachable only because the merge put them there, which is the
+    // property under test). The three append counts are pinned to their
+    // closed forms: Σ prefix-length over slice 3 (n − ⌊0.8·n⌋ + 1,
+    // min 1), novel-fingerprint count, distinct-shingle count — the
+    // merge appended exactly the increment's rows, no dup, no loss. ----
+    "dedup_incremental_merged" -> ((s, dir) => {
+      import s.implicits._
+      incrementalIndexBuild(s, dir, 5, heldOut = Seq(3, 4))
+      val m = incrementalIndexMerge(s, dir, 5, mergeMod = 3).collect().head
+      val result = incrementalIndexConsume(s, dir, 5, selMod = 4)
+      val row = result.collect().head
+      val ptokExchanges = "hashpartitioning\\(ptok".r
+        .findAllIn(result.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).length
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+        m.getLong(0), m.getLong(1), m.getLong(2), ptokExchanges <= 1))
+        .toDF("n_new", "n_exact_dup", "n_near_dup", "n_prefix_appended",
+          "n_fp_appended", "n_df_delta", "index_exchange_free")
     }),
 
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
@@ -2433,6 +2557,35 @@ object PipelineQueries {
         |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
         |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
         |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  true AS index_exchange_free""".stripMargin,
+    // merged variant: dedup counts are dedup_incremental's (slice 4 vs
+    // everything else — slice 3 reachable only via the merge); the three
+    // append counts are the closed forms of exactly-the-increment's rows
+    "dedup_incremental_merged" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  (SELECT sum(greatest(len(shingles) - floor(0.8 * len(shingles))::int + 1, 1))
+        |     FROM sh WHERE doc_id % 5 = 3)::bigint AS n_prefix_appended,
+        |  (SELECT count(DISTINCT fp) FROM f WHERE doc_id % 5 = 3
+        |     AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 NOT IN (3, 4))) AS n_fp_appended,
+        |  (SELECT count(DISTINCT s2.shingle) FROM (
+        |     SELECT unnest(shingles) AS shingle FROM sh WHERE doc_id % 5 = 3) s2) AS n_df_delta,
         |  true AS index_exchange_free""".stripMargin,
     // TF-IDF cosine restated term by term (same df-cap prune, natural
     // log); threshold sits in the similarity gap so last-ULP sum-order

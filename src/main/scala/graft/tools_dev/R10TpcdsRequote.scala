@@ -1,0 +1,47 @@
+package graft.tools_dev
+
+import SoakHarness._
+
+/** Fresh-session requote of the TPC-DS 100× rows the r9 soak quoted from
+  * degraded late slots (r9 verdict, What's wrong #1: `R9TPCDS_SOAK_r09`
+  * ran 12 queries × 6 runs in ONE session; q67's quoted median of 28.4 s
+  * is 2–3× its fresh-session steady state of 7–10.7 s, ditto q11/q95 —
+  * a transient in-session degradation the degrade probe could not
+  * reproduce, but the committed artifact still carries the inflated
+  * numbers).
+  *
+  * Protocol fix, both axes: ONE QUERY PER JVM (launch this main once per
+  * query via `scripts/run_tool.sh` — the way `R9DegradeProbe`'s arms were
+  * launched), and cleanup BETWEEN runs outside the timed wall
+  * ([[SoakHarness.timedWith]], the r9 advisory's accounting fix). Each
+  * invocation appends one JSON row to the collection file; the committed
+  * artifact `R10TPCDS_REQUOTE_r10.json` is assembled from those rows
+  * verbatim.
+  *
+  * Usage: scripts/run_tool.sh graft.tools_dev.R10TpcdsRequote <query> <rowsFile> [dir]
+  */
+object R10TpcdsRequote {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val rowsFile = args(1)
+    val dir = args.lift(2).getOrElse("/tmp/sftpch100")
+    require(new java.io.File(s"$dir/lineitem.parquet").exists, s"$dir missing")
+    val (loadStart, waits, warn) = waitForQuiet()
+    val spark = session()
+    val fn = graft.SparkEntry.queries(name)
+    val t = timedWith() {
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    } {
+      graft.engine.CachedPlans.releaseAll()
+      graft.engine.TempArtifacts.cleanupAll(spark)
+    }
+    val row = f"""{"query":"$name","sf":"100x tpch","wall_s":${t.median}%.2f,""" +
+      f""""runs":[${t.runs.map(r => f"$r%.2f").mkString(",")}],""" +
+      f""""load_start":$loadStart%.2f,"load_waits":$waits,"load_warning":$warn,""" +
+      f""""load_end":${load1}%.2f}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(rowsFile), row + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    println(s"[r10requote] $row")
+    spark.stop()
+  }
+}

@@ -18,9 +18,12 @@ object R9Q14Probe {
     val rows = new StringBuilder
     var first = true
     def arm(name: String): Unit = {
-      val t = timed() {
+      // cleanup between runs outside the timed wall (r9 advisory; the
+      // committed R9Q14_AB_r09 artifact predates this fix)
+      val t = timedWith() {
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+      } {
         graft.engine.CachedPlans.releaseAll()
         graft.engine.TempArtifacts.cleanupAll(spark)
       }

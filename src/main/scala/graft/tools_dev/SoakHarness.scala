@@ -72,6 +72,26 @@ object SoakHarness {
     Timed(sorted(sorted.length / 2), runs)
   }
 
+  /** [[timed]] with an UNTIMED `between` hook after every iteration —
+    * for bodies that need per-run cleanup (unpersist RPCs, temp-dir
+    * deletion) whose cost must not be charged to the measured wall
+    * (r9 advisory: the r9 soak tools ran cleanup inside the timed body,
+    * the exact accounting bug Bench.scala had already fixed). Cleanup
+    * still runs BETWEEN iterations, not after the batch: without it a
+    * CTE-materializing query would hit its own still-cached plan on the
+    * next run and measure a cache read instead of the query.
+    */
+  def timedWith(prewarms: Int = 3, measured: Int = 3)(body: => Unit)(between: => Unit): Timed = {
+    (1 to prewarms).foreach { _ => body; between }
+    val runs = (1 to measured).map { _ =>
+      val t0 = System.nanoTime(); body
+      val t = (System.nanoTime() - t0) / 1e9
+      between; t
+    }
+    val sorted = runs.sorted
+    Timed(sorted(sorted.length / 2), runs)
+  }
+
   /** Cumulative spill counters from completed stages. Spark's listener
     * bus is async: [[snapshot]] sleeps briefly so trailing stage events
     * drain — the numbers gate on nonzero/rough-magnitude, not exactness.
