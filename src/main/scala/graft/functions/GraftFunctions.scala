@@ -313,6 +313,7 @@ object GraftFunctions {
     BingTile.register(spark)
     TrinoCompat2.register(spark)
     TrinoAliases.register(spark)
+    TimeTzFunctions.register(spark)
 
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)

@@ -35,6 +35,66 @@ object FunctionQueries {
         |rpad(n_name, 4, ' ') AS truncated,
         |rpad(rpad(n_nationkey::varchar, 2, ' '), 5, ' ') AS nested
         |FROM nation""".stripMargin),
+    // TIME(p) WITH TIME ZONE emulation (graft.functions.TimeTzFunctions;
+    // reference StandardTypes.java:33-36). 25 deterministic values cover
+    // ±14:00 offsets in 15-min steps, zero and trailing-zero fractions.
+    // DuckDB-native pins: the VARCHAR cast format (round-tripped through
+    // timetz_parse→timetz_format), local-clock extracts, and
+    // timezone('Asia/Kolkata', ...) for AT TIME ZONE (+05:30 = the 330
+    // the Spark side shifts by; India has no DST so the label is fixed).
+    // UTC-instant ordering/equality (Trino TimeWithTimeZoneType
+    // semantics) is stated ARITHMETICALLY in the oracle because DuckDB
+    // 1.0 orders TIMETZ by local clock, not by instant.
+    "fn_timetz" -> (
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    format_string('%02d:%02d:%02d.%06d%s%02d:%02d',
+        |      n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |      ((n_nationkey * 123457) % 10000) * 100,
+        |      CASE WHEN (n_nationkey * 11) % 113 - 56 < 0 THEN '-' ELSE '+' END,
+        |      abs(((n_nationkey * 11) % 113 - 56) * 15) div 60,
+        |      abs(((n_nationkey * 11) % 113 - 56) * 15) % 60) AS ts
+        |  FROM nation),
+        |t AS (SELECT id, ts, timetz_parse(ts) AS tz FROM src)
+        |SELECT id, ts,
+        |  timetz_format(tz) AS s,
+        |  cast(timetz_hour(tz) AS bigint) AS h,
+        |  cast(timetz_minute(tz) AS bigint) AS mi,
+        |  cast(timetz_second(tz) AS bigint) AS sec,
+        |  timetz_to_utc_us(tz) AS utc_us,
+        |  timetz_format(timetz_at_offset(tz, 330)) AS at_kolkata,
+        |  timetz_eq(timetz_at_offset(tz, 330), tz) AS instant_preserved,
+        |  cast(rank() OVER (ORDER BY timetz_to_utc_us(tz), tz.off) AS bigint) AS utc_rank,
+        |  timetz_eq(timetz_parse('12:00:00+02:00'), timetz_parse('11:00:00+01:00')) AS eq_utc,
+        |  timetz_lt(timetz_parse('12:00:00+02:00'), timetz_parse('11:30:00+01:00')) AS lt_utc
+        |FROM t""".stripMargin,
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    printf('%02d:%02d:%02d.%06d%s%02d:%02d',
+        |      n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |      ((n_nationkey * 123457) % 10000) * 100,
+        |      CASE WHEN (n_nationkey * 11) % 113 - 56 < 0 THEN '-' ELSE '+' END,
+        |      abs(((n_nationkey * 11) % 113 - 56) * 15) // 60,
+        |      abs(((n_nationkey * 11) % 113 - 56) * 15) % 60) AS ts,
+        |    ((n_nationkey * 11) % 113 - 56) * 15 AS offmin,
+        |    ((n_nationkey % 24) * 3600 + ((n_nationkey * 7) % 60) * 60
+        |      + (n_nationkey * 13) % 60)::bigint * 1000000
+        |      + ((n_nationkey * 123457) % 10000) * 100 AS local_us
+        |  FROM nation)
+        |SELECT id, ts,
+        |  (ts::TIMETZ)::VARCHAR AS s,
+        |  extract(hour FROM ts::TIMETZ)::bigint AS h,
+        |  extract(minute FROM ts::TIMETZ)::bigint AS mi,
+        |  extract(second FROM ts::TIMETZ)::bigint AS sec,
+        |  ((local_us - offmin::bigint * 60000000) % 86400000000
+        |    + 86400000000) % 86400000000 AS utc_us,
+        |  (timezone('Asia/Kolkata', ts::TIMETZ))::VARCHAR AS at_kolkata,
+        |  true AS instant_preserved,
+        |  rank() OVER (ORDER BY ((local_us - offmin::bigint * 60000000) % 86400000000
+        |    + 86400000000) % 86400000000, offmin) AS utc_rank,
+        |  true AS eq_utc,
+        |  true AS lt_utc
+        |FROM src""".stripMargin),
     "fn_string" -> (
       """SELECT n_name,
         |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,
