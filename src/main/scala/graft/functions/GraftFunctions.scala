@@ -314,6 +314,7 @@ object GraftFunctions {
     TrinoCompat2.register(spark)
     TrinoAliases.register(spark)
     TimeTzFunctions.register(spark)
+    TimestampFidelity.register(spark)
 
     // native codegen'd expressions for the hot similarity/dedup paths
     CosineSimilarityExpr.install(spark)

@@ -95,6 +95,119 @@ object FunctionQueries {
         |  true AS eq_utc,
         |  true AS lt_utc
         |FROM src""".stripMargin),
+    // TIMESTAMP(12) picosecond emulation (TimestampFidelity; reference
+    // LongTimestamp = epoch micros + picos-of-micro). DuckDB has no
+    // picosecond type, so the oracle restates the pico arithmetic over
+    // its native micro timestamps: the seconds part of every formatted
+    // value (incl. the rounding/addition carry) rides DuckDB's real
+    // timestamp arithmetic (to_microseconds + strftime); only the
+    // final 6 pico digits are printf-appended. Rank over (us, ps) must
+    // equal rank over the canonical 12-digit string — lexicographic IS
+    // chronological for a fixed-width format.
+    "fn_timestamp_pico" -> (
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    concat(date_format(date_add(date'2021-03-01', n_nationkey * 73), 'yyyy-MM-dd'),
+        |      ' ', format_string('%02d:%02d:%02d',
+        |        n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60),
+        |      '.', format_string('%06d', (n_nationkey * 123457) % 1000000),
+        |      format_string('%06d', (n_nationkey * 999983) % 1000000)) AS ts
+        |  FROM nation),
+        |t AS (SELECT id, ts, tspico_parse(ts) AS p FROM src)
+        |SELECT id, ts,
+        |  tspico_format(p) AS s,
+        |  tspico_picos(p) AS ps,
+        |  cast(pmod(p.us, 1000000) AS bigint) AS micro_frac,
+        |  tspico_format(tspico_round(p, 9)) AS r9,
+        |  tspico_format(tspico_round(p, 3)) AS r3,
+        |  tspico_format(tspico_add_picos(p, 999999999999)) AS plus_big,
+        |  cast(rank() OVER (ORDER BY p.us, p.ps) AS bigint) AS rk,
+        |  tspico_lt(p, tspico_add_picos(p, 1)) AS lt_1ps,
+        |  tspico_eq(tspico_round(p, 12), p) AS round12_id
+        |FROM t""".stripMargin,
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    strftime(date '2021-03-01' + n_nationkey * 73, '%Y-%m-%d')
+        |      || ' ' || printf('%02d:%02d:%02d',
+        |        n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60)
+        |      || '.' || printf('%06d', (n_nationkey * 123457) % 1000000)
+        |      || printf('%06d', (n_nationkey * 999983) % 1000000) AS ts,
+        |    (strftime(date '2021-03-01' + n_nationkey * 73, '%Y-%m-%d')
+        |      || ' ' || printf('%02d:%02d:%02d',
+        |        n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60))::TIMESTAMP AS sec_ts,
+        |    ((n_nationkey * 123457) % 1000000)::bigint * 1000000
+        |      + (n_nationkey * 999983) % 1000000 AS frac12
+        |  FROM nation)
+        |SELECT id, ts,
+        |  ts AS s,
+        |  ((id * 999983) % 1000000)::bigint AS ps,
+        |  ((id * 123457) % 1000000)::bigint AS micro_frac,
+        |  strftime(sec_ts + to_microseconds((((frac12 + 500) // 1000) * 1000) // 1000000),
+        |      '%Y-%m-%d %H:%M:%S.%f')
+        |    || printf('%06d', (((frac12 + 500) // 1000) * 1000) % 1000000) AS r9,
+        |  strftime(sec_ts + to_microseconds((((frac12 + 500000000) // 1000000000) * 1000000000) // 1000000),
+        |      '%Y-%m-%d %H:%M:%S.%f')
+        |    || printf('%06d', (((frac12 + 500000000) // 1000000000) * 1000000000) % 1000000) AS r3,
+        |  strftime(sec_ts + to_microseconds((frac12 + 999999999999) // 1000000),
+        |      '%Y-%m-%d %H:%M:%S.%f')
+        |    || printf('%06d', (frac12 + 999999999999) % 1000000) AS plus_big,
+        |  rank() OVER (ORDER BY ts) AS rk,
+        |  true AS lt_1ps,
+        |  true AS round12_id
+        |FROM src""".stripMargin),
+    // zone-NAME-preserving TIMESTAMP WITH TIME ZONE (TimestampFidelity;
+    // reference TimeZoneKey — the zone name, not its current offset,
+    // travels with the value, so DST rules apply per date). Both sides
+    // consult the IANA tzdb natively: Spark via
+    // from_utc/to_utc_timestamp, DuckDB via timezone(zone, ts). The two
+    // fixed probes pin a DST flip: 12:00 UTC is 08:00 in New York in
+    // July but 07:00 in January.
+    "fn_timestamptz_zone" -> (
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    element_at(array('America/New_York','Asia/Kolkata','Asia/Tokyo',
+        |      'Europe/London','UTC'), n_nationkey % 5 + 1) AS zone,
+        |    concat(date_format(date_add(date'2024-01-05', n_nationkey * 29), 'yyyy-MM-dd'),
+        |      ' ', format_string('%02d:%02d:%02d.%06d',
+        |        12 + n_nationkey % 11, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |        (n_nationkey * 123457) % 1000000)) AS lcl
+        |  FROM nation),
+        |t AS (SELECT id, zone, lcl, tsz_parse(concat(lcl, ' ', zone)) AS z FROM src)
+        |SELECT id, zone, lcl,
+        |  tsz_format(z) AS s,
+        |  tsz_utc_us(z) AS utc_us,
+        |  tsz_hour(z) AS h, tsz_minute(z) AS mi,
+        |  tsz_format(tsz_at_zone(z, 'Asia/Tokyo')) AS at_tokyo,
+        |  tsz_at_zone(z, 'Asia/Tokyo').zone AS tokyo_zone,
+        |  tsz_format(tsz_at_zone(tsz_at_zone(z, 'Asia/Tokyo'), zone)) = tsz_format(z) AS zone_roundtrip,
+        |  cast(rank() OVER (ORDER BY tsz_utc_us(z), id) AS bigint) AS rk,
+        |  tsz_format(tsz_at_zone(tsz_parse('2024-07-01 12:00:00.000000 UTC'), 'America/New_York')) AS dst_jul,
+        |  tsz_format(tsz_at_zone(tsz_parse('2024-01-15 12:00:00.000000 UTC'), 'America/New_York')) AS dst_jan
+        |FROM t""".stripMargin,
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    ['America/New_York','Asia/Kolkata','Asia/Tokyo',
+        |      'Europe/London','UTC'][n_nationkey % 5 + 1] AS zone,
+        |    strftime(date '2024-01-05' + n_nationkey * 29, '%Y-%m-%d')
+        |      || ' ' || printf('%02d:%02d:%02d.%06d',
+        |        12 + n_nationkey % 11, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |        (n_nationkey * 123457) % 1000000) AS lcl
+        |  FROM nation),
+        |t AS (SELECT id, zone, lcl, timezone(zone, lcl::TIMESTAMP) AS z FROM src)
+        |SELECT id, zone, lcl,
+        |  strftime(timezone(zone, z), '%Y-%m-%d %H:%M:%S.%f') || ' ' || zone AS s,
+        |  epoch_us(z) AS utc_us,
+        |  extract(hour FROM timezone(zone, z))::bigint AS h,
+        |  extract(minute FROM timezone(zone, z))::bigint AS mi,
+        |  strftime(timezone('Asia/Tokyo', z), '%Y-%m-%d %H:%M:%S.%f') || ' Asia/Tokyo' AS at_tokyo,
+        |  'Asia/Tokyo' AS tokyo_zone,
+        |  true AS zone_roundtrip,
+        |  rank() OVER (ORDER BY epoch_us(z), id) AS rk,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-07-01 12:00:00')),
+        |    '%Y-%m-%d %H:%M:%S.%f') || ' America/New_York' AS dst_jul,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-01-15 12:00:00')),
+        |    '%Y-%m-%d %H:%M:%S.%f') || ' America/New_York' AS dst_jan
+        |FROM t""".stripMargin),
     "fn_string" -> (
       """SELECT n_name,
         |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,

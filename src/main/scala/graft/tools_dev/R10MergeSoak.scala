@@ -52,8 +52,9 @@ object R10MergeSoak {
     }
     val measured = mergeWalls.drop(3)
     val mergeMedian = measured.sorted.apply(measured.length / 2)
-    println(f"[r10merge] merge walls (time order): " +
-      s"${mergeWalls.map(w => f"$w%.2f").mkString("/")} — median of last 3 $mergeMedian%.2f s")
+    println("[r10merge] merge walls (time order): " +
+      s"${mergeWalls.map(w => f"$w%.2f").mkString("/")} — median of last 3 " +
+      f"$mergeMedian%.2f s")
 
     // steady-state consume against the 5-times-merged store
     val consume = timedWith() {
