@@ -115,6 +115,58 @@ object Writer {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** MINOR compaction of a bucketed table: rewrite the SAME rows into
+    * one file per bucket, restoring the stored-sort guarantee that
+    * [[appendBucketed]] trades away (a >1-file bucket forces downstream
+    * sort-merge joins to re-sort that side). This is pure I/O — read the
+    * store, write the store — with NO recompute of the rows themselves,
+    * which is what separates it from a major compaction (= the rebuild,
+    * which re-derives the rows and may re-order them). Bucket spec and
+    * sort columns are discovered from the catalog so the layout is
+    * preserved exactly. Write-to-temp + drop + rename, never in-place:
+    * Spark cannot overwrite a table it is concurrently reading, and the
+    * swap shape is what a production store does anyway.
+    */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"compactBucketed: `$table` is not bucketed"))
+    val tmp = TempArtifacts.table(table + "__compact")
+    // Read the store's FILES, not the table: a bucketed scan reports
+    // HashPartitioning(bucketCol, n), so writeBucketed's repartition gets
+    // elided as redundant and the write tasks end up NOT bucket-aligned
+    // (each task slivers several buckets — measured: a 4-bucket table
+    // compacted to 8 scattered files). A plain parquet scan has no
+    // partitioning to satisfy, the repartition genuinely applies, and
+    // each write task holds one whole bucket — which is also what a
+    // production file-level compactor does: it rewrites files, not the
+    // table abstraction.
+    val rows = spark.read.parquet(meta.location.toString)
+    writeBucketed(rows, tmp,
+      spec.bucketColumnNames.head, spec.numBuckets, spec.sortColumnNames.headOption)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Max number of data files sharing one bucket id in a bucketed
+    * table's directory — the LSM "level count". 1 = fully compacted
+    * (stored sort holds); k>1 = k appends since the last compaction.
+    * Driver-side listing, bounded by the store's file count (which the
+    * compaction invariant itself keeps small).
+    */
+  def bucketFileFanout(spark: org.apache.spark.sql.SparkSession, table: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bucketed files are named part-<task>-<uuid>_<bucketId>.c<n>...
+    val BucketRe = ".*_(\\d{5})\\.c\\d+.*".r
+    val ids = fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case BucketRe(b) => b }
+    if (ids.isEmpty) 0 else ids.groupBy(identity).values.map(_.size).max
+  }
 }
 
 /** Morton-code kernel for [[Writer.writeZOrdered]]. */

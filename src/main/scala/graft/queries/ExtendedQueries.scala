@@ -444,6 +444,46 @@ object ExtendedQueries {
         |FROM (SELECT o_orderkey, o_orderstatus,
         |      floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t""".stripMargin),
 
+    // WITH RECURSIVE as input text through the engine SQL entry
+    // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
+    // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs
+    // natively; what this row pins is the ENTRY — CteMaterialize must
+    // recognize RECURSIVE and stand down (materializing a self-referencing
+    // definition would sever the recursion), and the dialect rewrites must
+    // pass the text through intact. The query is a linked-list walk: each
+    // region's nations chained in key order via a lead() next-pointer,
+    // the recursion following the chain while accumulating depth and a
+    // name path — a genuinely iterative join no single window can express.
+    "sql_recursive_cte" -> (
+      """WITH RECURSIVE
+        |step AS (
+        |  SELECT n_regionkey AS rk, n_nationkey AS nk, n_name,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |walk(rk, nk, nxt, depth, path) AS (
+        |  SELECT rk, nk, nxt, cast(1 AS bigint), cast(n_name AS string)
+        |  FROM step WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rk, s.nk, s.nxt, w.depth + 1, concat(w.path, '>', s.n_name)
+        |  FROM walk w JOIN step s ON s.nk = w.nxt)
+        |SELECT rk AS region_key, depth AS chain_len, path
+        |FROM walk WHERE nxt IS NULL""".stripMargin,
+      """WITH RECURSIVE
+        |step AS (
+        |  SELECT n_regionkey AS rk, n_nationkey AS nk, n_name,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |walk(rk, nk, nxt, depth, path) AS (
+        |  SELECT rk, nk, nxt, 1::bigint, n_name::varchar
+        |  FROM step WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rk, s.nk, s.nxt, w.depth + 1, concat(w.path, '>', s.n_name)
+        |  FROM walk w JOIN step s ON s.nk = w.nxt)
+        |SELECT rk AS region_key, depth AS chain_len, path
+        |FROM walk WHERE nxt IS NULL""".stripMargin),
+
     // broadcast spatial join (SpatialJoinOperator analog): tiny geometry
     // side replicated, containment as the join residual
     "geo_spatial_join" -> (

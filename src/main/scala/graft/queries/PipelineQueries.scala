@@ -451,6 +451,28 @@ object PipelineQueries {
         sum(when(col("nm") === 1, 1L).otherwise(0L)).as("n_near_dup"))
   }
 
+  /** MINOR compaction of the persisted dedup store (the third LSM
+    * primitive, completing build / merge / compact): rewrite each store
+    * table to one file per bucket, restoring the stored-sort guarantee
+    * the appends traded away — so the consume-side pair join stops
+    * paying a per-query re-sort of the stored side. Pure I/O over the
+    * store's own rows: the frozen df RANKING ORDER is untouched (the df
+    * delta log is compacted as files but NOT folded into the base df
+    * table — folding would re-rank tokens out from under the stored
+    * prefix rows, which is exactly what makes a MAJOR compaction a
+    * rebuild, [[incrementalIndexBuild]]). Returns the post-compact max
+    * file fanout per bucket (1 = every bucket is a single sorted file).
+    */
+  def incrementalIndexCompact(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("graft_idx_prefix", "graft_idx_fp", "graft_idx_df_delta")
+      .filter(s.catalog.tableExists)
+      .foreach(graft.engine.Writer.compactBucketed(s, _))
+    val fan = Seq("graft_idx_prefix", "graft_idx_fp")
+      .map(graft.engine.Writer.bucketFileFanout(s, _)).max
+    Seq(fan.toLong).toDF("max_files_per_bucket")
+  }
+
   /** Prefix selection under a provided (df, tok) order — shared by the
     * index build (corpus side) and consume (increment side) so both
     * sides rank under literally the same code path.
@@ -1127,6 +1149,33 @@ object PipelineQueries {
         m.getLong(0), m.getLong(1), m.getLong(2), ptokExchanges <= 1))
         .toDF("n_new", "n_exact_dup", "n_near_dup", "n_prefix_appended",
           "n_fp_appended", "n_df_delta", "index_exchange_free")
+    }),
+
+    // ---- MINOR compaction (the third LSM primitive): build ∉ {3,4} →
+    // merge slice 3 (store now has >1 file per dirty bucket, sortedness
+    // forfeited) → COMPACT (one sorted file per bucket again, frozen
+    // ranking untouched) → consume slice 4 against the compacted store.
+    // Three pins: the merge really fanned the store
+    // (merged_store_multifile TRUE — otherwise this row degenerates to
+    // the merged row), the compaction really collapsed it
+    // (max_files_per_bucket = 1), and the dedup counts are UNCHANGED
+    // (compaction moves bytes, never rows — same closed-form oracle as
+    // the merged row). ----
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      import s.implicits._
+      incrementalIndexBuild(s, dir, 5, heldOut = Seq(3, 4))
+      incrementalIndexMerge(s, dir, 5, mergeMod = 3).collect()
+      val preFan = graft.engine.Writer.bucketFileFanout(s, "graft_idx_prefix")
+      val fan = incrementalIndexCompact(s).collect().head.getLong(0)
+      val result = incrementalIndexConsume(s, dir, 5, selMod = 4)
+      val row = result.collect().head
+      val ptokExchanges = "hashpartitioning\\(ptok".r
+        .findAllIn(result.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).length
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+        preFan > 1, fan, ptokExchanges <= 1))
+        .toDF("n_new", "n_exact_dup", "n_near_dup", "merged_store_multifile",
+          "max_files_per_bucket", "index_exchange_free")
     }),
 
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
@@ -2586,6 +2635,31 @@ object PipelineQueries {
         |     AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 NOT IN (3, 4))) AS n_fp_appended,
         |  (SELECT count(DISTINCT s2.shingle) FROM (
         |     SELECT unnest(shingles) AS shingle FROM sh WHERE doc_id % 5 = 3) s2) AS n_df_delta,
+        |  true AS index_exchange_free""".stripMargin,
+    // compacted variant: compaction moves bytes, never rows — the dedup
+    // counts are the merged row's; the layout pins are literals (the
+    // merge fanned the store, the compact collapsed it to 1 file/bucket)
+    "dedup_incremental_compacted" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  true AS merged_store_multifile,
+        |  1::bigint AS max_files_per_bucket,
         |  true AS index_exchange_free""".stripMargin,
     // TF-IDF cosine restated term by term (same df-cap prune, natural
     // log); threshold sits in the similarity gap so last-ULP sum-order

@@ -37,8 +37,13 @@ object R10MergeSoak {
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val P = graft.queries.PipelineQueries
 
-    // rebuild arm: what a slice costs today (full build over 99%)
-    val rebuild = timed() { P.incrementalIndexBuild(spark, dir, 100, heldOut = Seq(99)) }
+    // rebuild arm: what a slice costs today (full build over 99%).
+    // gcDrain between runs: without it, prior runs' shuffle files stay
+    // pinned by uncollected RDDs and evict the corpus from page cache
+    // (the r10 q67 finding — see SoakHarness.gcDrain)
+    val rebuild = timedWith() {
+      P.incrementalIndexBuild(spark, dir, 100, heldOut = Seq(99))
+    } { gcDrain() }
     println(f"[r10merge] rebuild median ${rebuild.median}%.2f s " +
       s"(runs ${rebuild.runs.map(r => f"$r%.2f").mkString("/")})")
 
@@ -48,7 +53,9 @@ object R10MergeSoak {
     val mergeWalls = (90 to 95).map { slot =>
       val t0 = System.nanoTime()
       P.incrementalIndexMerge(spark, dir, 100, mergeMod = slot).collect()
-      (System.nanoTime() - t0) / 1e9
+      val w = (System.nanoTime() - t0) / 1e9
+      gcDrain()
+      w
     }
     val measured = mergeWalls.drop(3)
     val mergeMedian = measured.sorted.apply(measured.length / 2)
@@ -62,12 +69,13 @@ object R10MergeSoak {
         .write.format("noop").mode("overwrite").save()
     } {
       graft.engine.CachedPlans.releaseAll()
+      gcDrain()
     }
     println(f"[r10merge] consume-after-merges median ${consume.median}%.2f s")
 
     writeArtifact("/root/repo/R10MERGE_SOAK_r10.json",
       s"""{"soak":"r10_index_merge_vs_rebuild","corpus":"$dir (500k docs)","increment":"1pct",""" +
-        s""""protocol":"rebuild: 3 prewarms + median of 3; merge: slots 90-95 merged in sequence into one store, median of last 3 (distinct slices, symmetric cost); cleanup outside timed walls",""" +
+        s""""protocol":"rebuild: 3 prewarms + median of 3; merge: slots 90-95 merged in sequence into one store, median of last 3 (distinct slices, symmetric cost); cleanup + gc drain between runs outside timed walls (SoakHarness.gcDrain - shuffle retention otherwise contaminates later runs)",""" +
         f""""rebuild_s":${rebuild.median}%.2f,"rebuild_runs":[${rebuild.runs.map(r => f"$r%.2f").mkString(",")}],""" +
         f""""merge_s":$mergeMedian%.2f,"merge_walls_time_order":[${mergeWalls.map(w => f"$w%.2f").mkString(",")}],""" +
         f""""merge_vs_rebuild":${mergeMedian / rebuild.median}%.3f,""" +

@@ -6,43 +6,54 @@ import SoakHarness._
   * degraded late slots (r9 verdict, What's wrong #1: `R9TPCDS_SOAK_r09`
   * ran 12 queries × 6 runs in ONE session; q67's quoted median of 28.4 s
   * is 2–3× its fresh-session steady state of 7–10.7 s, ditto q11/q95 —
-  * a transient in-session degradation the degrade probe could not
-  * reproduce, but the committed artifact still carries the inflated
-  * numbers).
+  * an in-session degradation the r9 degrade probe couldn't reproduce).
   *
-  * Protocol fix, both axes: ONE QUERY PER JVM (launch this main once per
-  * query via `scripts/run_tool.sh` — the way `R9DegradeProbe`'s arms were
-  * launched), and cleanup BETWEEN runs outside the timed wall
-  * ([[SoakHarness.timedWith]], the r9 advisory's accounting fix). Each
-  * invocation appends one JSON row to the collection file; the committed
-  * artifact `R10TPCDS_REQUOTE_r10.json` is assembled from those rows
-  * verbatim.
+  * This round REPRODUCED it and isolated the mechanism. Two passes over
+  * q67, one JVM each, cleanup between runs outside the timed wall:
+  * 3-prewarm/3-measured ran 91/17/16 s; 6-prewarm/5-measured ran
+  * 85/81/57/22/37 s — MORE same-query runs in one JVM = DEEPER
+  * degradation, with bounce-backs (the 22 s run), which rules out
+  * C2 warm-up (monotone) and points at delayed-GC shuffle retention: a
+  * 48 GB heap almost never collects, so every run's multi-GB shuffle
+  * files are pinned by unreferenced-but-uncollected RDDs and
+  * ContextCleaner cannot delete them — tens of GB accumulate, evicting
+  * the 100× corpus from page cache; a run that happens to follow a full
+  * GC (cleaner just drained) snaps back to steady state. The `gc` arm
+  * pins this: System.gc() between runs (OUTSIDE the timed wall — a
+  * production service GCs continuously; a measurement loop on an
+  * oversized idle heap does not) lets the cleaner drain each run's
+  * shuffle before the next.
   *
-  * Usage: scripts/run_tool.sh graft.tools_dev.R10TpcdsRequote <query> <rowsFile> [dir]
+  * Protocol: ONE QUERY PER JVM (launch once per query via
+  * `scripts/run_tool.sh`), cleanup + optional gc BETWEEN runs outside
+  * the timed wall ([[SoakHarness.timedWith]]). Each invocation appends
+  * one JSON row; `R10TPCDS_REQUOTE_r10.json` is assembled from the rows.
+  *
+  * Usage: scripts/run_tool.sh graft.tools_dev.R10TpcdsRequote \
+  *          <query> <rowsFile> [dir] [prewarms] [measured] [gc|nogc]
   */
 object R10TpcdsRequote {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val rowsFile = args(1)
     val dir = args.lift(2).getOrElse("/tmp/sftpch100")
+    val prewarms = args.lift(3).map(_.toInt).getOrElse(3)
+    val measured = args.lift(4).map(_.toInt).getOrElse(3)
+    val gcBetween = args.lift(5).forall(_ != "nogc")
     require(new java.io.File(s"$dir/lineitem.parquet").exists, s"$dir missing")
     val (loadStart, waits, warn) = waitForQuiet()
     val spark = session()
     val fn = graft.SparkEntry.queries(name)
-    // 6 prewarms / 5 measured: at 100× a COLD JVM needs more than the
-    // bench's 3 prewarms — the first per-query requote pass showed run 4
-    // of q67 at 91 s collapsing to 16-17 s by run 6 (C2 still compiling
-    // the window/rollup kernels through the early runs); medians are
-    // only quotable once the run sequence is flat, and runs are emitted
-    // in time order so the artifact shows whether it was.
-    val t = timedWith(prewarms = 6, measured = 5) {
+    val t = timedWith(prewarms = prewarms, measured = measured) {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     } {
       graft.engine.CachedPlans.releaseAll()
       graft.engine.TempArtifacts.cleanupAll(spark)
+      if (gcBetween) gcDrain()
     }
     val row = f"""{"query":"$name","sf":"100x tpch","wall_s":${t.median}%.2f,""" +
       f""""runs":[${t.runs.map(r => f"$r%.2f").mkString(",")}],""" +
+      s""""prewarms":$prewarms,"gc_between":$gcBetween,""" +
       f""""load_start":$loadStart%.2f,"load_waits":$waits,"load_warning":$warn,""" +
       f""""load_end":${load1}%.2f}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(rowsFile), row + "\n",

@@ -92,6 +92,20 @@ object SoakHarness {
     Timed(sorted(sorted.length / 2), runs)
   }
 
+  /** Force a collection and give ContextCleaner a beat to drain — the
+    * between-runs hygiene the r10 q67 A/B isolated: on an oversized
+    * mostly-idle measurement heap (48 GB for one query) the JVM almost
+    * never collects, so each run's multi-GB shuffle files stay pinned by
+    * unreferenced-but-uncollected RDDs, ContextCleaner cannot delete
+    * them, tens of GB accumulate and evict the corpus from page cache —
+    * q67 at 100× degraded 85/81/57/22/37 s across one session without
+    * this, and held 9–16 s with it (`R10TPCDS_REQUOTE_r10.json`). A
+    * production service GCs continuously under allocation pressure; a
+    * measurement loop does not, so the drain belongs BETWEEN runs,
+    * outside the timed wall.
+    */
+  def gcDrain(): Unit = { System.gc(); Thread.sleep(1500) }
+
   /** Cumulative spill counters from completed stages. Spark's listener
     * bus is async: [[snapshot]] sleeps briefly so trailing stage events
     * drain — the numbers gate on nonzero/rough-magnitude, not exactness.

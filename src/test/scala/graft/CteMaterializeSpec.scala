@@ -148,6 +148,26 @@ class CteMaterializeSpec extends GraftSuite {
     assert(n > 0, "base lineitem table lost after CTE cleanup")
   }
 
+  test("WITH RECURSIVE passes through the entry and executes natively") {
+    // the parser bails on RECURSIVE (asserted above); this pins the whole
+    // path: entry text → dialect shims untouched → Spark's native
+    // recursive execution. nation is fixed at 25 rows / 5 regions at
+    // every SF, so each region's chain walks ALL its nations.
+    val df = SparkEntry.queries("sql_recursive_cte")(spark, sfTiny)
+    val rows = df.collect()
+    assert(rows.length == 5, s"one chain end per region, got ${rows.length}")
+    val perRegion = spark.read.parquet(s"$sfTiny/nation.parquet")
+      .groupBy("n_regionkey").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val rk = r.get(0).toString.toLong
+      val depth = r.get(1).toString.toLong
+      val path = r.getString(2)
+      assert(depth == perRegion(rk), s"region $rk depth $depth != ${perRegion(rk)}")
+      assert(path.split(">").length.toLong == depth, s"path $path depth $depth")
+    }
+  }
+
   test("engine SQL entry applies CTE materialization to arbitrary text (not just the slice)") {
     // a user-shaped WITH through Tables.sql: the CTE referenced twice
     // resolves to one cached plan

@@ -144,6 +144,41 @@ class IndexMergeSpec extends GraftSuite {
     }
   }
 
+  test("minor compaction collapses buckets to one sorted file and changes no row") {
+    try {
+      incrementalIndexBuild(spark, dir, 5, heldOut = Seq(3, 4))
+      incrementalIndexMerge(spark, dir, 5, mergeMod = 3).collect()
+
+      // the merge fanned at least one bucket (appendBucketed adds files)
+      val preFan = graft.engine.Writer.bucketFileFanout(spark, "graft_idx_prefix")
+      assert(preFan > 1, s"merge left fanout $preFan — nothing to compact")
+      val preRows = spark.table("graft_idx_prefix").count()
+      val preFp = spark.table("graft_idx_fp").count()
+      val preConsume = counts(incrementalIndexConsume(spark, dir, 5, selMod = 4))
+      val preDf = indexCurrentDf(spark).agg(sum("df")).head.getLong(0)
+
+      val fan = incrementalIndexCompact(spark).collect().head.getLong(0)
+      assert(fan == 1L, s"post-compact fanout $fan")
+
+      // bytes moved, rows did not: identical row counts, identical
+      // consume answer, delta log still folds over the frozen base
+      assert(spark.table("graft_idx_prefix").count() == preRows)
+      assert(spark.table("graft_idx_fp").count() == preFp)
+      assert(counts(incrementalIndexConsume(spark, dir, 5, selMod = 4)) == preConsume)
+      assert(indexCurrentDf(spark).agg(sum("df")).head.getLong(0) == preDf)
+
+      // the compacted store is still a live append target: a further
+      // merge appends (fanout grows again), and compaction is idempotent
+      incrementalIndexMerge(spark, dir, 5, mergeMod = 3).collect()
+      assert(graft.engine.Writer.bucketFileFanout(spark, "graft_idx_prefix") > 1)
+      incrementalIndexCompact(spark).collect()
+      assert(graft.engine.Writer.bucketFileFanout(spark, "graft_idx_prefix") == 1)
+    } finally {
+      Seq("graft_idx_prefix", "graft_idx_df", "graft_idx_fp", "graft_idx_df_delta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("merged consume equals the one-shot recompute on the real fixture") {
     try {
       // same split over sf0.001: build ∉ {3,4}, merge 3, consume 4 must
