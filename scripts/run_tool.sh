@@ -14,8 +14,16 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Per-process warehouse: tools and sbt-test JVMs otherwise share
+# ./spark-warehouse, and two concurrent writers of the same managed
+# table name (e.g. graft_idx_prefix from a soak AND a PlanSpec run)
+# corrupt each other's _temporary commit dirs (measured: TASK_WRITE_FAILED
+# chmod race). Stores are built and consumed within one JVM, so
+# isolation costs nothing. Override with SPARK_GRAFT_WAREHOUSE.
+WH="${SPARK_GRAFT_WAREHOUSE:-/tmp/graft_wh_$$}"
 exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.warehouse.dir="$WH" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CP" "$@"

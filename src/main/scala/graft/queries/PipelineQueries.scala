@@ -462,6 +462,13 @@ object PipelineQueries {
     * prefix rows, which is exactly what makes a MAJOR compaction a
     * rebuild, [[incrementalIndexBuild]]). Returns the post-compact max
     * file fanout per bucket (1 = every bucket is a single sorted file).
+    *
+    * Measured caveat (`R10COMPACT_SOAK_r10.json`): for THIS store the
+    * prefix rows carry the full shingle arrays, so compaction I/O costs
+    * about what the rebuild costs, and fanout only dents consume ~14% —
+    * the recorded production policy is merge append-only + rebuild on
+    * the df-delta threshold; minor compaction earns its keep on
+    * narrow-row stores.
     */
   def incrementalIndexCompact(s: SparkSession): DataFrame = {
     import s.implicits._

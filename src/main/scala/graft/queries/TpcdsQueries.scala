@@ -25,6 +25,9 @@ import graft.engine.Tables
   *  - q72  — many-way star (8 relations) with the SAME date dimension
   *    joined twice and a cross-alias date inequality residual (the
   *    yaml's group-1 join-order/broadcast-chain stress).
+  *  - q88  — EIGHT independent single-row COUNT subqueries cross-joined
+  *    into one report row (the one-row BroadcastNestedLoopJoin chain),
+  *    plus its one-scan conditional-count production rewrite.
   *  - q95  — a CTE referenced TWICE through two IN-subqueries (the
   *    mutually-referencing-CTE decorrelation stress).
   *
@@ -285,6 +288,34 @@ object TpcdsQueries {
         |CROSS JOIN avg_sales
         |GROUP BY channel, p_brand, average_sales
         |HAVING sum(sales) > average_sales""".stripMargin),
+
+    // q88: the time-slot count report — EIGHT independent single-row
+    // COUNT subqueries (each a dim-filtered fact restriction to one
+    // band), CROSS JOINed into one row: a chain of one-row
+    // BroadcastNestedLoopJoins over eight fact scans, the shape the
+    // reference's q88.sql produces (8 half-hour store_sales slots ×
+    // household-demographics filter). Fixture mapping: slots are
+    // l_quantity sextile bands, the dim filter is a broadcast supplier
+    // probe. Counts are BIGINT in both engines; reference q88.sql
+    "tpcds_q88_time_slots" -> both(
+      (1 to 8).map { i =>
+        val lo = (i - 1) * 6 + 1; val hi = i * 6
+        s"""(SELECT count(*) AS h$i FROM lineitem, supplier
+           | WHERE l_suppkey = s_suppkey AND s_acctbal > 1000
+           |   AND l_quantity BETWEEN $lo AND $hi) s$i""".stripMargin
+      }.mkString("SELECT * FROM\n", ",\n", "")),
+
+    // q88's ONE-SCAN production variant: one fact pass, eight
+    // conditional counts — the rewrite a pipeline owning the report
+    // would ship (8× less fact I/O; count(CASE) keeps BIGINT parity,
+    // a SUM of ints would come back HUGEINT from DuckDB). Same oracle
+    // semantics as the 8-scan shape, so both plans stay driver-verified.
+    "tpcds_q88_one_scan" -> both(
+      "SELECT\n" + (1 to 8).map { i =>
+        val lo = (i - 1) * 6 + 1; val hi = i * 6
+        s"  count(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END) AS h$i"
+      }.mkString(",\n") +
+        "\nFROM lineitem, supplier WHERE l_suppkey = s_suppkey AND s_acctbal > 1000"),
 
     // q11: year-over-year growth comparison — ONE aggregate CTE
     // (per-customer, per-year, per-channel totals) self-joined FOUR

@@ -5,13 +5,21 @@ import SoakHarness._
 /** The compaction leg of the index cost model, completing the LSM
   * triple measured this round (`R10MERGE_SOAK_r10.json` covered
   * merge-vs-rebuild): appends forfeit the stored-sort guarantee, so the
-  * consume-side pair join re-sorts the stored side on every query —
-  * the merge soak measured consume-after-6-merges at 16.8 s vs the
-  * 9.1 s fresh-store steady state (`R9INDEX_SOAK_r09.json`). MINOR
-  * compaction ([[graft.queries.PipelineQueries.incrementalIndexCompact]])
-  * rewrites the store to one sorted file per bucket with NO recompute —
-  * pure I/O — so its cost should sit far under the 38.7 s rebuild while
-  * restoring consume to the fresh-store number.
+  * consume-side pair join re-sorts the stored side on every query.
+  *
+  * MEASURED OUTCOME (kept because it refuted the setup's hypothesis —
+  * see the artifact's `conclusion`): (1) with gc-drain hygiene a
+  * fanout-7 store consumes only ~14% slower than a compacted one
+  * (13.32 vs 11.44 s) — the 16.8-vs-9.1 gap the non-gc merge soak
+  * suggested was mostly delayed-GC shuffle retention, not fanout;
+  * (2) minor compaction is NOT cheap here: the prefix rows carry the
+  * full shingle-hash arrays, so rewriting them costs about what the
+  * rebuild costs (the rebuild's window/join compute is small next to
+  * the same array movement). Production policy for THIS store: merge
+  * append-only, skip minor compaction, rebuild on the df-delta
+  * threshold (the major compaction also refreshes the frozen ranking).
+  * `compactBucketed` remains correct and driver-verified for stores
+  * where rows are narrow and I/O genuinely undercuts recompute.
   *
   * Protocol:
   *  - base build over held-out slots 90–99, then 6 merges (slots 90–95)

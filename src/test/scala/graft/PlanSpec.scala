@@ -65,6 +65,19 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("spark_grouping_id"), s.take(3000))
   }
 
+  test("tpcds_q88 shapes: 8 one-row agg subtrees cross-join vs one conditional-count scan") {
+    // the 8-slot report: eight independent single-row counts must chain
+    // through one-row broadcast nested-loop joins (a one-row cartesian
+    // is the CORRECT plan here — each side is exactly one row), with
+    // eight fact subtrees; the one-scan rewrite must read lineitem ONCE
+    val s8 = plan(q("tpcds_q88_time_slots")).toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s8).length >= 7, s8.take(3000))
+    assert("lineitem".r.findAllIn(s8).length >= 8, s8.take(3000))
+    val s1 = plan(q("tpcds_q88_one_scan")).toString
+    assert("lineitem".r.findAllIn(s1).length == 1,
+      s"one-scan variant reads the fact more than once:\n${s1.take(3000)}")
+  }
+
   test("tpcds_q3_star probes the fact scan with broadcast dims (date_dim, part)") {
     // execute first: the derived date_dim is an aggregate whose static
     // size estimate is fact-sized, so the broadcast decision is AQE's —
