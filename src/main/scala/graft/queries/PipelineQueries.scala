@@ -414,10 +414,19 @@ object PipelineQueries {
     */
   def incrementalIndexConsume(s: SparkSession, dir: String, incMod: Int = 5,
       selMod: Int = -1): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("fingerprint", md5(normText(col("text"))))
     val slot = if (selMod < 0) incMod - 1 else selMod
-    val newDocs = docs.filter(col("doc_id") % incMod === slot)
+    indexConsumeDocs(s,
+      t(s, dir, "documents").filter(col("doc_id") % incMod === slot))
+  }
+
+  /** The consume core over an ARBITRARY increment batch (doc_id, text
+    * [, ...]) — shared by the slot-filtered form above and the
+    * streaming ingestion path ([[graft.streaming.IndexedDedupStream]]),
+    * whose micro-batches are each one such static DataFrame.
+    */
+  def indexConsumeDocs(s: SparkSession, incDocs: DataFrame): DataFrame = {
+    val newDocs = incDocs
+      .withColumn("fingerprint", md5(normText(col("text"))))
     val newBase = newDocs
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
@@ -1858,6 +1867,18 @@ object PipelineQueries {
     "stream_near_dedup" -> ((s, dir) =>
       graft.streaming.DedupStream.batchEquivalenceRow(s, dir)),
 
+    // r10: streaming ingestion against the PERSISTED index — the crawl
+    // stream consumed per micro-batch through foreachBatch, each batch
+    // running the SAME consume core as the batch path against the
+    // bucketed store. Totals are additive across batches (micro-batches
+    // partition the increment; the pair set is increment×corpus), so
+    // the dedup counts share dedup_incremental's closed-form oracle;
+    // n_batches pins that the stream really split. ----
+    "stream_indexed_dedup" -> ((s, dir) => {
+      incrementalIndexBuild(s, dir, 5, heldOut = Seq(4))
+      graft.streaming.IndexedDedupStream.streamedConsumeRow(s, dir)
+    }),
+
     // r7: multimodal NEAR-DUP — perceptual average-hash (aHash) over the
     // REAL decoded raster, hamming ≤ 3 pairs via 4×16 banding (pigeonhole-
     // complete at this radius, same theorem as dedup_simhash). The oracle
@@ -3105,6 +3126,30 @@ object PipelineQueries {
     // the driver-checkable reduction
     "stream_near_dedup" ->
       "SELECT true AS pairs_nonempty, true AS stream_eq_batch",
+    // streamed indexed consume: dedup totals are dedup_incremental's
+    // closed forms (slice 4 vs everything else — micro-batches partition
+    // the slice and pair only against the store); 5 non-empty batches
+    "stream_indexed_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  5::bigint AS n_batches,
+        |  true AS multi_batch""".stripMargin,
     // mod-4 slices: png/jpeg/gif decode to the generator dimensions;
     // the corrupt slice (truncated PNG) sniffs 'png' but must NOT decode
     "mm_mixed_formats" ->

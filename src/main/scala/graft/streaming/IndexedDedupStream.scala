@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingestion against the PERSISTED dedup index: a crawl
+  * stream deduped per micro-batch against the bucketed store — the
+  * production shape for continuous corpus ingestion (build the index
+  * once per refresh, then every arriving slice pays only its own cost,
+  * the same economics `dedup_incremental_indexed` proves for batch).
+  *
+  * Mechanics: `foreachBatch` hands each micro-batch to the SAME consume
+  * core the batch path runs ([[graft.queries.PipelineQueries
+  * .indexConsumeDocs]] — fingerprint semi-join + one-sided PPJoin
+  * against the stored prefix/df/fingerprint tables, store side
+  * co-located on its bucket key). foreachBatch is the correct tool, not
+  * a fallback: the prefix ranking is a per-doc window over the batch,
+  * which continuous mode cannot express, and each micro-batch is
+  * exactly the "increment" the index contract wants. Totals are
+  * additive across batches because micro-batches partition the
+  * increment and the pair set is increment×corpus (no intra-increment
+  * pairs on either path).
+  *
+  * The driver row feeds the fixture's slice-4 docs through a
+  * MemoryStream in `batches` forced micro-batches and returns the
+  * summed counts + the batch count — the dedup totals equal
+  * `dedup_incremental`'s closed-form oracle, and `n_batches` pins that
+  * the stream really split (a single-batch run would prove nothing).
+  */
+object IndexedDedupStream {
+
+  def streamedConsumeRow(spark: SparkSession, dir: String,
+      incMod: Int = 5, selMod: Int = 4, batches: Int = 5): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = graft.queries.PipelineQueries
+
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % incMod === selMod)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    // per-batch (n_new, n_exact, n_near), appended by the sink closure;
+    // foreachBatch runs on the driver, so a local buffer is sound
+    val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val r = P.indexConsumeDocs(spark, batch).collect().head
+          perBatch.synchronized {
+            perBatch += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }
+      }
+      .start()
+    try {
+      // one addData + processAllAvailable per slice = one forced
+      // micro-batch each — the arrival pattern of a crawl feed. Split by
+      // POSITION, not doc_id arithmetic: the increment's ids are all
+      // ≡ selMod (mod incMod), so any id-modulo with a common factor
+      // would collapse the slices into one batch
+      (0 until batches).foreach { b =>
+        val slice = docs.zipWithIndex
+          .collect { case (d, i) if i % batches == b => d }
+        if (slice.nonEmpty) {
+          input.addData(slice.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+
+    val rows = perBatch.synchronized { perBatch.toVector }
+    Seq((rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.length.toLong, rows.length > 1))
+      .toDF("n_new", "n_exact_dup", "n_near_dup", "n_batches", "multi_batch")
+  }
+}
