@@ -124,6 +124,16 @@ object Bench {
           // being charged to every query's measurement)
           graft.engine.CachedPlans.releaseAll()
           graft.engine.TempArtifacts.cleanupAll(spark)
+          // GC drain between runs, outside the timed wall (r10 root cause:
+          // an oversized mostly-idle measurement heap almost never collects,
+          // uncollected RDD refs pin each run's shuffle files, ContextCleaner
+          // can't delete them, tens of GB accumulate and evict the corpus
+          // from page cache — q67 at 100× read 85/81/57/22/37 s across one
+          // session without this and 9–16 s with it, R10TPCDS_REQUOTE_r10.
+          // This harness runs 20 queries × ~8 runs in one JVM — exactly the
+          // accumulation pattern — so the gate gets the same hygiene the
+          // soaks adopted in r10.)
+          graft.tools_dev.SoakHarness.gcDrain()
         }
       elapsed
     }
@@ -168,6 +178,7 @@ object Bench {
       s""""load_start":[${loadStart._1},${loadStart._2},${loadStart._3}],""" +
       s""""load_end":[${loadEnd._1},${loadEnd._2},${loadEnd._3}],""" +
       s""""load_warning":$loadWarning,"load_wait_attempts":$loadWaits,""" +
+      s""""gc_drain_between_runs":true,""" +
       s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -444,6 +444,89 @@ object ExtendedQueries {
         |FROM (SELECT o_orderkey, o_orderstatus,
         |      floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t""".stripMargin),
 
+    // ---- r11: named windows + variance EXCLUDE + GROUPS in a CTE ----
+    // Named-window definitions (`WINDOW w AS (...)`, reference grammar
+    // SqlBase.g4 windowDefinition) carrying a GROUPS frame, including a
+    // base-window refinement chain (`w AS (base GROUPS ...)`) and a
+    // leading base reference inside an inline OVER. The engine inlines
+    // the definitions before lowering; DuckDB lacks GROUPS frames, so
+    // the oracle is the dense_rank lowering with native EXCLUDE.
+    "win_sql_named_groups" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  count(*) OVER w AS rows_in_2_groups,
+        |  sum(o_orderkey) OVER (base GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |    EXCLUDE GROUP) AS sum_excl_group
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t
+        |WINDOW base AS (PARTITION BY o_orderstatus ORDER BY bucket),
+        |  w AS (base GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups,
+        |  (sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP))::bigint AS sum_excl_group
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
+    // variance family under EXCLUDE (r10 verdict #2): the two-segment
+    // recompute generalized to accumulated moments (n, Σx, Σx²) — GROUPS
+    // EXCLUDE GROUP/TIES and the RANGE frame-minus-peer subtraction.
+    // The %50 filter keeps frames small so the naive-moment form stays
+    // >7 decimal digits inside the round-2 grid vs DuckDB's exact pass.
+    "win_sql_exclude_stddev" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(stddev(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 2) AS sd_excl_group,
+        |  round(var_pop(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES), 2) AS vp_excl_ties,
+        |  round(stddev(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sd_range_excl_cur
+        |FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |      cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(stddev(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 2) AS sd_excl_group,
+        |  round(var_pop(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES), 2) AS vp_excl_ties,
+        |  round(stddev(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 2) AS sd_range_excl_cur
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |        floor(o_totalprice / 30000)::bigint AS bucket
+        |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
+    // GROUPS window inside a CTE body (r10 verdict, Missing #1): the
+    // rewrite now restructures each WITH definition independently, so
+    // the dense_rank wrapper lands inside the defining block.
+    "win_sql_groups_cte" -> (
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders
+        |), w AS (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    count(*) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |      GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |  FROM b
+        |)
+        |SELECT o_orderkey, o_orderstatus, bucket, rows_in_2_groups
+        |FROM w WHERE o_orderkey % 10 = 0""".stripMargin,
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    floor(o_totalprice / 100000)::bigint AS bucket FROM orders
+        |), w AS (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |  FROM (SELECT *, dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |        FROM b) t2
+        |)
+        |SELECT o_orderkey, o_orderstatus, bucket, rows_in_2_groups
+        |FROM w WHERE o_orderkey % 10 = 0""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

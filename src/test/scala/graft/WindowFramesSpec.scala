@@ -251,6 +251,130 @@ class WindowFramesSpec extends GraftSuite {
     assert(got === exp)
   }
 
+  // --------------------------------------------------------- r11 cases
+
+  test("named WINDOW definitions inline (bare ref, refinement chain, inline leading ref)") {
+    val in =
+      """SELECT v, sum(v) OVER w AS a,
+        |  count(*) OVER (base GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS b
+        |FROM t
+        |WINDOW base AS (PARTITION BY p ORDER BY k),
+        |  w AS (base GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin
+    val out = WindowFrames.rewrite(in)
+    assert(!out.toUpperCase.contains("WINDOW"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+    assert(out.contains("dense_rank() OVER (PARTITION BY p ORDER BY k)"), out)
+  }
+
+  test("a WINDOW token that is not a window clause passes through") {
+    val in = "SELECT window, sum(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS) AS s FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(out.contains("SELECT window,"), out)
+  }
+
+  test("named GROUPS window through the SQL entry matches the row-level model") {
+    fixture()
+    val got = run(
+      """SELECT v, sum(v) OVER w AS s
+        |FROM wf_fixture
+        |WINDOW w AS (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = rows.map { case (k, v) => v -> frameOf(k, 1, 1).map(_._2.toLong).sum }.toMap
+    assert(got === exp)
+  }
+
+  test("stddev/var family under GROUPS EXCLUDE (moment recompute) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  stddev(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sg,
+        |  var_pop(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS vt,
+        |  var_samp(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS vc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optD(r, 1), optD(r, 2), optD(r, 3))).toMap
+    def varOf(vs: Seq[Int], samp: Boolean): Option[Double] = {
+      val n = vs.length
+      if (n < (if (samp) 2 else 1)) None
+      else {
+        val mean = vs.map(_.toDouble).sum / n
+        val m2 = vs.map(x => (x - mean) * (x - mean)).sum
+        Some(m2 / (if (samp) n - 1 else n))
+      }
+    }
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val eg = varOf(f.collect { case (k2, v2) if k2 != k => v2 }, samp = true).map(math.sqrt)
+      val et = varOf(f.collect { case (k2, v2) if k2 != k || v2 == v => v2 }, samp = false)
+      val ec = varOf(f.collect { case (_, v2) if v2 != v => v2 }, samp = true)
+      val (gg, gt, gc) = got(v)
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9 * math.max(1.0, math.abs(y))
+        case _ => false
+      }
+      assert(close(gg, eg) && close(gt, et) && close(gc, ec), s"v=$v got=${got(v)} exp=($eg,$et,$ec)")
+    }
+  }
+
+  test("stddev under RANGE EXCLUDE (moment subtraction) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  stddev(v) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS sg,
+        |  var_pop(v) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS vc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optD(r, 1), optD(r, 2))).toMap
+    rows.foreach { case (k, v) =>
+      val f = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+      def varOf(vs: Seq[Int], samp: Boolean): Option[Double] = {
+        val n = vs.length
+        if (n < (if (samp) 2 else 1)) None
+        else {
+          val mean = vs.map(_.toDouble).sum / n
+          Some(vs.map(x => (x - mean) * (x - mean)).sum / (if (samp) n - 1 else n))
+        }
+      }
+      val eg = varOf(f.collect { case (k2, v2) if k2 != k => v2 }, samp = true).map(math.sqrt)
+      val ec = varOf(f.collect { case (_, v2) if v2 != v => v2 }, samp = false)
+      val (gg, gc) = got(v)
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9 * math.max(1.0, math.abs(y))
+        case _ => false
+      }
+      assert(close(gg, eg) && close(gc, ec), s"v=$v got=${got(v)} exp=($eg,$ec)")
+    }
+  }
+
+  test("GROUPS window inside a CTE body restructures that block (r11 per-block)") {
+    fixture()
+    val got = run(
+      """WITH f AS (SELECT k, v FROM wf_fixture WHERE v <= 6),
+        |  agg AS (
+        |    SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |    FROM f)
+        |SELECT v, s FROM agg WHERE v >= 2""".stripMargin)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sub = rows.filter(_._2 <= 6)
+    val subKeys = sub.map(_._1).distinct.sorted
+    val subIdx = subKeys.zipWithIndex.toMap
+    val exp = sub.filter(_._2 >= 2).map { case (k, v) =>
+      val gi = subIdx(k)
+      v -> sub.filter { case (k2, _) => subIdx(k2) >= gi - 1 && subIdx(k2) <= gi }
+        .map(_._2.toLong).sum
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("10+ distinct GROUPS specs lower cleanly (word-boundary g-column guard)") {
+    val selectItems = (1 to 11).map(i =>
+      s"sum(v) OVER (ORDER BY k$i GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s$i")
+    val in = s"SELECT ${selectItems.mkString(", ")} FROM t"
+    val out = WindowFrames.rewrite(in)
+    assert(out.contains("__graft_grp11"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+  }
+
   private def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
     if (r.isNullAt(i)) None else Some(r.getLong(i))
   private def optI(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
