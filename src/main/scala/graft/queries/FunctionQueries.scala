@@ -44,7 +44,10 @@ object FunctionQueries {
     // the Spark side shifts by; India has no DST so the label is fixed).
     // UTC-instant ordering/equality (Trino TimeWithTimeZoneType
     // semantics) is stated ARITHMETICALLY in the oracle because DuckDB
-    // 1.0 orders TIMETZ by local clock, not by instant.
+    // 1.0 orders TIMETZ by local clock, not by instant. The fixed probes
+    // are written as typed literals (TIME '12:00:00+02:00') — the r11
+    // Dialect rewrite lowers them to timetz_parse, so the emulation is
+    // reachable from verbatim Trino SQL (SqlBase.g4 literal rules).
     "fn_timetz" -> (
       """WITH src AS (
         |  SELECT n_nationkey AS id,
@@ -65,8 +68,8 @@ object FunctionQueries {
         |  timetz_format(timetz_at_offset(tz, 330)) AS at_kolkata,
         |  timetz_eq(timetz_at_offset(tz, 330), tz) AS instant_preserved,
         |  cast(rank() OVER (ORDER BY timetz_to_utc_us(tz), tz.off) AS bigint) AS utc_rank,
-        |  timetz_eq(timetz_parse('12:00:00+02:00'), timetz_parse('11:00:00+01:00')) AS eq_utc,
-        |  timetz_lt(timetz_parse('12:00:00+02:00'), timetz_parse('11:30:00+01:00')) AS lt_utc
+        |  timetz_eq(TIME '12:00:00+02:00', TIME '11:00:00+01:00') AS eq_utc,
+        |  timetz_lt(TIME '12:00:00+02:00', TIME '11:30:00+01:00') AS lt_utc
         |FROM t""".stripMargin,
       """WITH src AS (
         |  SELECT n_nationkey AS id,
@@ -103,7 +106,9 @@ object FunctionQueries {
     // timestamp arithmetic (to_microseconds + strftime); only the
     // final 6 pico digits are printf-appended. Rank over (us, ps) must
     // equal rank over the canonical 12-digit string — lexicographic IS
-    // chronological for a fixed-width format.
+    // chronological for a fixed-width format. The lit_* probes carry
+    // TIMESTAMP '....123456789012' typed literals through the r11
+    // Dialect rewrite (→ tspico_parse).
     "fn_timestamp_pico" -> (
       """WITH src AS (
         |  SELECT n_nationkey AS id,
@@ -123,7 +128,10 @@ object FunctionQueries {
         |  tspico_format(tspico_add_picos(p, 999999999999)) AS plus_big,
         |  cast(rank() OVER (ORDER BY p.us, p.ps) AS bigint) AS rk,
         |  tspico_lt(p, tspico_add_picos(p, 1)) AS lt_1ps,
-        |  tspico_eq(tspico_round(p, 12), p) AS round12_id
+        |  tspico_eq(tspico_round(p, 12), p) AS round12_id,
+        |  tspico_format(TIMESTAMP '2020-01-02 03:04:05.123456789012') AS lit_s,
+        |  tspico_lt(TIMESTAMP '2020-01-02 03:04:05.123456789012',
+        |            TIMESTAMP '2020-01-02 03:04:05.123456789013') AS lit_lt
         |FROM t""".stripMargin,
       """WITH src AS (
         |  SELECT n_nationkey AS id,
@@ -153,7 +161,9 @@ object FunctionQueries {
         |    || printf('%06d', (frac12 + 999999999999) % 1000000) AS plus_big,
         |  rank() OVER (ORDER BY ts) AS rk,
         |  true AS lt_1ps,
-        |  true AS round12_id
+        |  true AS round12_id,
+        |  '2020-01-02 03:04:05.123456789012' AS lit_s,
+        |  true AS lit_lt
         |FROM src""".stripMargin),
     // zone-NAME-preserving TIMESTAMP WITH TIME ZONE (TimestampFidelity;
     // reference TimeZoneKey — the zone name, not its current offset,
@@ -161,7 +171,9 @@ object FunctionQueries {
     // consult the IANA tzdb natively: Spark via
     // from_utc/to_utc_timestamp, DuckDB via timezone(zone, ts). The two
     // fixed probes pin a DST flip: 12:00 UTC is 08:00 in New York in
-    // July but 07:00 in January.
+    // July but 07:00 in January — written as zone-NAME typed literals
+    // (TIMESTAMP '2024-07-01 12:00:00.000000 UTC'), lowered to tsz_parse
+    // by the r11 Dialect rewrite.
     "fn_timestamptz_zone" -> (
       """WITH src AS (
         |  SELECT n_nationkey AS id,
@@ -181,8 +193,8 @@ object FunctionQueries {
         |  tsz_at_zone(z, 'Asia/Tokyo').zone AS tokyo_zone,
         |  tsz_format(tsz_at_zone(tsz_at_zone(z, 'Asia/Tokyo'), zone)) = tsz_format(z) AS zone_roundtrip,
         |  cast(rank() OVER (ORDER BY tsz_utc_us(z), id) AS bigint) AS rk,
-        |  tsz_format(tsz_at_zone(tsz_parse('2024-07-01 12:00:00.000000 UTC'), 'America/New_York')) AS dst_jul,
-        |  tsz_format(tsz_at_zone(tsz_parse('2024-01-15 12:00:00.000000 UTC'), 'America/New_York')) AS dst_jan
+        |  tsz_format(tsz_at_zone(TIMESTAMP '2024-07-01 12:00:00.000000 UTC', 'America/New_York')) AS dst_jul,
+        |  tsz_format(tsz_at_zone(TIMESTAMP '2024-01-15 12:00:00.000000 UTC', 'America/New_York')) AS dst_jan
         |FROM t""".stripMargin,
       """WITH src AS (
         |  SELECT n_nationkey AS id,

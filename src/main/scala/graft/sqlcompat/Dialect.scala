@@ -201,6 +201,52 @@ object Dialect {
     """\u0001(\d+)\u0001""".r.replaceAllIn(sql,
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
+  /** Typed literals for the emulated time types (r10 verdict, Missing
+    * #2): the reference accepts `TIME '10:30:00+02:00'`,
+    * `TIMESTAMP '2020-01-01 00:00:00.123456789012'` (picosecond
+    * fraction) and `TIMESTAMP '2020-01-01 00:00:00 America/New_York'`
+    * (zone-NAME suffix) as literals (`SqlBase.g4` literal rules,
+    * `StandardTypes.java:33-36`); Spark parses none of the three. Each
+    * lowers to its parse function over the emulation struct
+    * ([[graft.functions.TimeTzFunctions]] /
+    * [[graft.functions.TimestampFidelity]]), so the type packs are
+    * reachable from verbatim SQL text. Literals Spark handles natively
+    * (TIMESTAMP with ≤6 fractional digits and no zone suffix) pass
+    * through untouched. Runs on MASKED text and inspects the stashed
+    * literal content — a string literal containing `TIME '...'` can
+    * never match.
+    */
+  private val TimeLitRe = "(?i)\\bTIME\\s+'\u0001(\\d+)\u0001'".r
+  private val TsLitRe = "(?i)\\bTIMESTAMP\\s+'\u0001(\\d+)\u0001'".r
+  private val TimeTzContent =
+    """\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?[+-]\d{2}(?::\d{2})?""".r
+  private val TsPicoContent =
+    """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{7,12}""".r
+  private val TsZoneContent =
+    """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})? [A-Za-z][A-Za-z0-9_+\-]*(?:/[A-Za-z0-9_+\-]+)*""".r
+  private def rewriteTypedTimeLiterals(masked: String, lits: Vector[String]): String = {
+    def full(re: scala.util.matching.Regex, s: String) =
+      re.pattern.matcher(s).matches()
+    val afterTime = TimeLitRe.replaceAllIn(masked, m => {
+      val content = lits(m.group(1).toInt)
+      if (full(TimeTzContent, content))
+        java.util.regex.Matcher.quoteReplacement(
+          s"timetz_parse('\u0001${m.group(1)}\u0001')")
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+    TsLitRe.replaceAllIn(afterTime, m => {
+      val content = lits(m.group(1).toInt)
+      val fn =
+        if (full(TsPicoContent, content)) Some("tspico_parse")
+        else if (full(TsZoneContent, content)) Some("tsz_parse")
+        else None
+      java.util.regex.Matcher.quoteReplacement(fn match {
+        case Some(f) => s"$f('\u0001${m.group(1)}\u0001')"
+        case None => m.matched
+      })
+    })
+  }
+
   /** `CAST(expr AS CHAR(n))` → `rpad(CAST(expr AS STRING), n, ' ')` —
     * the reference's fixed-width char semantics
     * (`core/trino-spi/.../type/CharType.java`: values are space-padded
@@ -274,7 +320,10 @@ object Dialect {
     // GROUPS frames / EXCLUDE clauses (SQL-2016 window syntax Spark's
     // parser rejects) lower to the proven dense_rank / two-segment /
     // subtraction recipes — also on masked text
-    val masked = WindowFrames.rewrite(masked0)
+    val masked1 = WindowFrames.rewrite(masked0)
+    // typed literals for the emulated time types — needs the stashed
+    // literal CONTENT to decide, so it runs on masked text with `lits`
+    val masked = rewriteTypedTimeLiterals(masked1, lits)
     val rewritten = AtTimeZone.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))

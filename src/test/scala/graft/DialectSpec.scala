@@ -124,4 +124,29 @@ class DialectSpec extends GraftSuite {
       "SELECT try(cast('zz' AS int)) a, try(1 div 0) b, try(40 + 2) c").collect().head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getInt(2) == 42)
   }
+
+  test("typed TIME literal with offset lowers to timetz_parse") {
+    val out = Dialect.rewrite("SELECT TIME '10:30:00+02:00' AS t")
+    assert(out.contains("timetz_parse('10:30:00+02:00')"), out)
+  }
+
+  test("typed TIMESTAMP literal with >6 fraction digits lowers to tspico_parse") {
+    val out = Dialect.rewrite("SELECT TIMESTAMP '2020-01-01 00:00:00.123456789012' AS t")
+    assert(out.contains("tspico_parse('2020-01-01 00:00:00.123456789012')"), out)
+  }
+
+  test("typed TIMESTAMP literal with a zone NAME lowers to tsz_parse") {
+    val out = Dialect.rewrite("SELECT TIMESTAMP '2024-07-01 12:00:00 America/New_York' AS t")
+    assert(out.contains("tsz_parse('2024-07-01 12:00:00 America/New_York')"), out)
+    val out2 = Dialect.rewrite("SELECT TIMESTAMP '2024-07-01 12:00:00.000001 UTC' AS t")
+    assert(out2.contains("tsz_parse("), out2)
+  }
+
+  test("plain TIMESTAMP/TIME literals Spark parses natively pass through") {
+    val sql = "SELECT TIMESTAMP '2024-01-15 12:00:00.123456' AS a FROM t"
+    assert(Dialect.rewrite(sql) == sql)
+    val inStr = "SELECT 'the words TIME \'10:30:00+02:00\' in a string' AS note FROM t"
+    // a quote-escaped literal toggles segments; the point is no parse-call appears
+    assert(!Dialect.rewrite(inStr).contains("timetz_parse"))
+  }
 }
