@@ -146,8 +146,19 @@ object Writer {
     val rows = spark.read.parquet(meta.location.toString)
     writeBucketed(rows, tmp,
       spec.bucketColumnNames.head, spec.numBuckets, spec.sortColumnNames.headOption)
-    spark.sql(s"DROP TABLE `$table`")
+    // Swap with no zero-copy window (r10 advice): rename the live table
+    // ASIDE, promote the compacted copy, THEN drop the old rows. The
+    // previous DROP-then-RENAME had a window where the only copy of the
+    // store was already deleted — a crash between the two statements
+    // lost it permanently (DROP on a managed table deletes its data).
+    // Here every intermediate state keeps at least one complete copy;
+    // the __old name is TempArtifacts-tracked, so a crash-stranded
+    // leftover is dropped by end-of-session cleanup.
+    val old = TempArtifacts.table(table + "__old")
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
   }
 
   /** Max number of data files sharing one bucket id in a bucketed

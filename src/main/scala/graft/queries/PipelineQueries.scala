@@ -353,11 +353,27 @@ object PipelineQueries {
     * appended EXACTLY the increment's rows (no dup, no loss, no rewrite).
     */
   def incrementalIndexMerge(s: SparkSession, dir: String, incMod: Int = 5,
-      mergeMod: Int = 3): DataFrame = {
+      mergeMod: Int = 3, stats: Boolean = true): DataFrame =
+    indexMergeDocs(s,
+      t(s, dir, "documents").filter(col("doc_id") % incMod === mergeMod), stats)
+
+  /** The merge core over an ARBITRARY increment batch (doc_id, text
+    * [, ...]) — shared by the slot-filtered form above and the streaming
+    * merge-behind path ([[graft.streaming.IndexedDedupStream]]), the
+    * exact maintenance analog of [[indexConsumeDocs]].
+    *
+    * `stats = false` skips the before/after full-store count() scans
+    * around the appends (r10 advice: the merge soaks timed the whole
+    * call, so the quoted merge wall included O(store) stats work and
+    * conservatively overstated the increment-proportional cost) — the
+    * soak harnesses and the streaming path pass false; the driver row
+    * keeps true because its oracle pins the three append counts.
+    */
+  def indexMergeDocs(s: SparkSession, incDocs: DataFrame,
+      stats: Boolean = true): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val inc = incDocs
       .withColumn("fingerprint", md5(normText(col("text"))))
-    val inc = docs.filter(col("doc_id") % incMod === mergeMod)
     val incBase = inc
       .withColumn("norm", normText(col("text")))
       .withColumn("hsh", expr(shingleHashExpr))
@@ -367,8 +383,8 @@ object PipelineQueries {
     val buckets = s.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_idx_prefix"))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
-    val nPrefBefore = s.table("graft_idx_prefix").count()
-    val nFpBefore = s.table("graft_idx_fp").count()
+    val nPrefBefore = if (stats) s.table("graft_idx_prefix").count() else 0L
+    val nFpBefore = if (stats) s.table("graft_idx_fp").count() else 0L
     // 1. prefix rows under the frozen stored order (consume's code path)
     val ranked = incToks
       .join(s.table("graft_idx_df"), Seq("tok"), "left")
@@ -385,9 +401,11 @@ object PipelineQueries {
     graft.engine.Writer.appendBucketed(
       incToks.groupBy(col("tok")).agg(count(lit(1)).as("dfd")),
       graft.engine.TempArtifacts.table("graft_idx_df_delta"), "tok", buckets)
-    val nDfd = s.table("graft_idx_df_delta").count()
-    Seq((s.table("graft_idx_prefix").count() - nPrefBefore,
-      s.table("graft_idx_fp").count() - nFpBefore, nDfd))
+    if (!stats) Seq((-1L, -1L, -1L))
+      .toDF("n_prefix_appended", "n_fp_appended", "n_df_delta")
+    else Seq((s.table("graft_idx_prefix").count() - nPrefBefore,
+      s.table("graft_idx_fp").count() - nFpBefore,
+      s.table("graft_idx_df_delta").count()))
       .toDF("n_prefix_appended", "n_fp_appended", "n_df_delta")
   }
 
@@ -402,6 +420,44 @@ object PipelineQueries {
     s.table("graft_idx_df").select(col("tok"), col("df"))
       .unionByName(deltas.select(col("tok"), col("dfd").as("df")))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+  }
+
+  /** Fraction of the store's token mass living in the merge delta log:
+    * Σ dfd / Σ frozen df — the MAJOR-compaction signal the r10 compaction
+    * soak established (`R10COMPACT_SOAK_r10.json`: for this wide-row
+    * store, minor compaction ≈ rebuild cost, so the production policy is
+    * append-only merges until the delta fraction crosses a threshold,
+    * then a full rebuild that re-ranks tokens and resets the log). Two
+    * bounded 1-row aggregates over the df tables (token-cardinality
+    * sized, not corpus sized).
+    */
+  def indexDeltaFraction(s: SparkSession): Double = {
+    if (!s.catalog.tableExists("graft_idx_df_delta")) return 0.0
+    val d = s.table("graft_idx_df_delta").agg(sum(col("dfd"))).collect().head
+    val b = s.table("graft_idx_df").agg(sum(col("df"))).collect().head
+    val base = if (b.isNullAt(0)) 0L else b.getLong(0)
+    val delta = if (d.isNullAt(0)) 0L else d.getLong(0)
+    if (base == 0L) { if (delta == 0L) 0.0 else 1.0 }
+    else delta.toDouble / base
+  }
+
+  /** The automated major-compaction trigger (r10 verdict, Missing #4):
+    * read the delta-log fraction and either stand pat (append-only
+    * merges stay cheap while the frozen ranking is still representative)
+    * or run the MAJOR compaction — [[incrementalIndexBuild]] over
+    * corpus + all merged slices, which folds the delta log into a fresh
+    * frozen order and drops it. `heldOut` names the slots NOT yet part
+    * of the corpus (future increments), exactly as at build time.
+    * Returns the decision taken, so callers and the driver row can pin
+    * that the policy flips at the threshold. Reference analog:
+    * connector-maintained index refresh (`index/IndexLoader.java`).
+    */
+  def indexMaintain(s: SparkSession, dir: String, threshold: Double,
+      incMod: Int = 5, heldOut: Seq[Int] = Nil): String = {
+    if (indexDeltaFraction(s) > threshold) {
+      incrementalIndexBuild(s, dir, incMod, heldOut)
+      "rebuild"
+    } else "merge_only"
   }
 
   /** Stage 2 of `dedup_incremental_indexed`: the steady-state
@@ -1149,9 +1205,11 @@ object PipelineQueries {
     // else — the pair set depends only on the documents; slice-3 docs are
     // reachable only because the merge put them there, which is the
     // property under test). The three append counts are pinned to their
-    // closed forms: Σ prefix-length over slice 3 (n − ⌊0.8·n⌋ + 1,
-    // min 1), novel-fingerprint count, distinct-shingle count — the
-    // merge appended exactly the increment's rows, no dup, no loss. ----
+    // closed forms: Σ prefix-length over slice 3 — min(n, max(n − ⌊0.8·n⌋
+    // + 1, 1)), the outer min because a 1-shingle doc can append at most
+    // its one row (r10 advice) — novel-fingerprint count, and
+    // distinct-shingle count: the merge appended exactly the increment's
+    // rows, no dup, no loss. ----
     "dedup_incremental_merged" -> ((s, dir) => {
       import s.implicits._
       incrementalIndexBuild(s, dir, 5, heldOut = Seq(3, 4))
@@ -1192,6 +1250,39 @@ object PipelineQueries {
         preFan > 1, fan, ptokExchanges <= 1))
         .toDF("n_new", "n_exact_dup", "n_near_dup", "merged_store_multifile",
           "max_files_per_bucket", "index_exchange_free")
+    }),
+
+    // ---- automated MAJOR-compaction trigger (r10 verdict, Missing #4):
+    // the compaction soak produced the policy (append-only merges;
+    // rebuild when the delta-log fraction crosses a threshold) and
+    // indexCurrentDf computes the signal — this row wires
+    // signal → decision and pins that the decision FLIPS at the
+    // threshold. Build ∉ {3,4} → merge slice 3 → the delta fraction is
+    // Σ slice-3 token mass / Σ frozen token mass (≈ 1/3, closed-form).
+    // indexMaintain at threshold 0.9 must stand pat (store stays fanned,
+    // delta log kept); at threshold 0.1 it must REBUILD over corpus +
+    // merged slices (delta log reset, one sorted file per bucket), after
+    // which consuming slice 4 returns dedup_incremental's exact counts —
+    // the rebuild folded slice 3 in correctly. ----
+    "dedup_index_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      incrementalIndexBuild(s, dir, 5, heldOut = Seq(3, 4))
+      incrementalIndexMerge(s, dir, 5, mergeMod = 3, stats = false).collect()
+      val frac = indexDeltaFraction(s)
+      val decBelow = indexMaintain(s, dir, threshold = 0.9, incMod = 5, heldOut = Seq(4))
+      val fannedBelow = graft.engine.Writer.bucketFileFanout(s, "graft_idx_prefix") > 1
+      val deltaKeptBelow = s.catalog.tableExists("graft_idx_df_delta")
+      val decAbove = indexMaintain(s, dir, threshold = 0.1, incMod = 5, heldOut = Seq(4))
+      val deltaReset = !s.catalog.tableExists("graft_idx_df_delta")
+      val compacted = graft.engine.Writer.bucketFileFanout(s, "graft_idx_prefix") == 1
+      val row = incrementalIndexConsume(s, dir, 5, selMod = 4).collect().head
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+        math.round(frac * 1e6) / 1e6, decBelow, decAbove,
+        fannedBelow, deltaKeptBelow, deltaReset, compacted))
+        .toDF("n_new", "n_exact_dup", "n_near_dup", "delta_fraction",
+          "decision_below", "decision_above", "fanned_when_below",
+          "delta_kept_when_below", "delta_reset_on_rebuild",
+          "compacted_on_rebuild")
     }),
 
     // ---- embedding near-dup: exact within-label cosine ≥ 0.35 (the
@@ -1877,6 +1968,19 @@ object PipelineQueries {
     "stream_indexed_dedup" -> ((s, dir) => {
       incrementalIndexBuild(s, dir, 5, heldOut = Seq(4))
       graft.streaming.IndexedDedupStream.streamedConsumeRow(s, dir)
+    }),
+
+    // r11: streaming ingestion with MERGE-BEHIND — every 2 processed
+    // micro-batches fold into the persisted store, so later batches
+    // dedup against earlier stream batches too (the store no longer
+    // drifts stale as the stream ages — r10 verdict, Missing #3). Batch
+    // membership is rank-deterministic, so the oracle states the exact
+    // totals INCLUDING the cross-batch pairs that exist only because
+    // the merge happened: batch b pairs against corpus ∪ batches
+    // [0, ⌊b/2⌋·2). ----
+    "stream_indexed_merge" -> ((s, dir) => {
+      incrementalIndexBuild(s, dir, 5, heldOut = Seq(4))
+      graft.streaming.IndexedDedupStream.streamedMergeBehindRow(s, dir)
     }),
 
     // r7: multimodal NEAR-DUP — perceptual average-hash (aHash) over the
@@ -2657,7 +2761,8 @@ object PipelineQueries {
         |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
         |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
         |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
-        |  (SELECT sum(greatest(len(shingles) - floor(0.8 * len(shingles))::int + 1, 1))
+        |  (SELECT sum(least(len(shingles),
+        |       greatest(len(shingles) - floor(0.8 * len(shingles))::int + 1, 1)))
         |     FROM sh WHERE doc_id % 5 = 3)::bigint AS n_prefix_appended,
         |  (SELECT count(DISTINCT fp) FROM f WHERE doc_id % 5 = 3
         |     AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 NOT IN (3, 4))) AS n_fp_appended,
@@ -2689,6 +2794,38 @@ object PipelineQueries {
         |  true AS merged_store_multifile,
         |  1::bigint AS max_files_per_bucket,
         |  true AS index_exchange_free""".stripMargin,
+    // maintenance trigger: the delta fraction is slice-3 token mass over
+    // frozen token mass (exact integer sums, same double division both
+    // sides); decisions/state transitions are pinned literals, and the
+    // dedup counts after the forced rebuild are dedup_incremental's
+    "dedup_index_maintenance" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |np AS (SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END AS nid
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |         AND least(len(a.shingles), len(b.shingles)) * 5 >=
+        |             greatest(len(a.shingles), len(b.shingles)) * 4
+        |       WHERE len(list_intersect(a.shingles, b.shingles))::double /
+        |             len(list_distinct(list_concat(a.shingles, b.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM f WHERE doc_id % 5 = 4) AS n_new,
+        |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
+        |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  round((SELECT sum(len(shingles)) FROM sh WHERE doc_id % 5 = 3)::double /
+        |        (SELECT sum(len(shingles)) FROM sh WHERE doc_id % 5 NOT IN (3, 4))::double,
+        |        6) AS delta_fraction,
+        |  'merge_only' AS decision_below,
+        |  'rebuild' AS decision_above,
+        |  true AS fanned_when_below,
+        |  true AS delta_kept_when_below,
+        |  true AS delta_reset_on_rebuild,
+        |  true AS compacted_on_rebuild""".stripMargin,
     // TF-IDF cosine restated term by term (same df-cap prune, natural
     // log); threshold sits in the similarity gap so last-ULP sum-order
     // differences cannot flip membership, and cos rounds to 6 dp
@@ -3148,7 +3285,41 @@ object PipelineQueries {
         |  (SELECT count(*) FROM f WHERE doc_id % 5 = 4
         |     AND fp IN (SELECT fp FROM f WHERE doc_id % 5 <> 4)) AS n_exact_dup,
         |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
-        |  5::bigint AS n_batches,
+        |  least(5, (SELECT count(*) FROM documents WHERE doc_id % 5 = 4))::bigint AS n_batches,
+        |  true AS multi_batch""".stripMargin,
+    // merge-behind: batch of a slice doc = (rank − 1) mod 5 (the Spark
+    // side assigns by sorted position); batch b pairs against the corpus
+    // PLUS slice batches < ⌊b/2⌋·2 — exact dups and near dups include
+    // the cross-batch hits that exist only because the merge folded
+    // earlier batches in. n_merges = ⌊non-empty batches / 2⌋.
+    "stream_indexed_merge" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) t),
+        |slice AS (SELECT doc_id,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) % 5 AS b
+        |  FROM documents WHERE doc_id % 5 = 4),
+        |np AS (SELECT a.doc_id AS nid
+        |       FROM sh sa JOIN slice a ON sa.doc_id = a.doc_id
+        |       JOIN sh sb ON sa.doc_id <> sb.doc_id
+        |         AND least(len(sa.shingles), len(sb.shingles)) * 5 >=
+        |             greatest(len(sa.shingles), len(sb.shingles)) * 4
+        |       LEFT JOIN slice p ON sb.doc_id = p.doc_id
+        |       WHERE (p.doc_id IS NULL OR p.b < (a.b // 2) * 2)
+        |         AND len(list_intersect(sa.shingles, sb.shingles))::double /
+        |             len(list_distinct(list_concat(sa.shingles, sb.shingles)))::double >= 0.8)
+        |SELECT (SELECT count(*) FROM slice) AS n_new,
+        |  (SELECT count(*) FROM f JOIN slice s ON f.doc_id = s.doc_id
+        |     WHERE f.fp IN (SELECT f2.fp FROM f f2 WHERE f2.doc_id % 5 <> 4)
+        |        OR f.fp IN (SELECT f3.fp FROM f f3 JOIN slice s3 ON f3.doc_id = s3.doc_id
+        |                    WHERE s3.b < (s.b // 2) * 2)) AS n_exact_dup,
+        |  (SELECT count(DISTINCT nid) FROM np) AS n_near_dup,
+        |  least(5, (SELECT count(*) FROM slice))::bigint AS n_batches,
+        |  (least(5, (SELECT count(*) FROM slice)) // 2)::bigint AS n_merges,
         |  true AS multi_batch""".stripMargin,
     // mod-4 slices: png/jpeg/gif decode to the generator dimensions;
     // the corrupt slice (truncated PNG) sniffs 'png' but must NOT decode

@@ -77,4 +77,85 @@ object IndexedDedupStream {
       rows.length.toLong, rows.length > 1))
       .toDF("n_new", "n_exact_dup", "n_near_dup", "n_batches", "multi_batch")
   }
+
+  /** Streaming ingestion WITH merge-behind (r10 verdict, Missing #3):
+    * every `mergeEvery` processed micro-batches, the batches since the
+    * last merge are folded into the persisted store via the SAME merge
+    * core the batch path runs ([[graft.queries.PipelineQueries
+    * .indexMergeDocs]] — append-only prefix/fingerprint rows under the
+    * frozen df order + the additive delta log). A long-running crawl
+    * stream therefore dedups against everything it has already ingested,
+    * not just the build-time corpus — the store no longer drifts stale
+    * as the stream ages.
+    *
+    * Order inside each batch: consume FIRST, then (maybe) merge — a
+    * batch never pairs against itself, so the pair set for batch b is
+    * b × (corpus ∪ batches merged before b) = b × (corpus ∪ batches
+    * [0, ⌊b/k⌋·k)). That boundary is deterministic because the driver
+    * row assigns docs to batches by RANK (sorted by doc_id, position
+    * mod `batches`), so the DuckDB oracle states the exact totals in
+    * closed form — including cross-batch near-dups that only exist
+    * because the merge happened.
+    *
+    * The pending batches are staged as collected rows on the driver —
+    * fixture-scale plumbing for the MemoryStream harness, same as
+    * [[streamedConsumeRow]]'s input feed; a production stream would
+    * hand each micro-batch DataFrame (or a staged parquet path) to
+    * indexMergeDocs directly.
+    */
+  def streamedMergeBehindRow(spark: SparkSession, dir: String,
+      incMod: Int = 5, selMod: Int = 4, batches: Int = 5,
+      mergeEvery: Int = 2): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = graft.queries.PipelineQueries
+
+    // RANK-deterministic batch assignment (sorted by doc_id) — the
+    // oracle's row_number() restates it exactly
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % incMod === selMod)
+      .select(col("doc_id"), col("text")).sort(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val pending = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var nMerges = 0L
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val r = P.indexConsumeDocs(spark, batch).collect().head
+          perBatch.synchronized {
+            perBatch += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+            pending ++= batch.select(col("doc_id"), col("text")).collect()
+              .map(x => (x.getLong(0), x.getString(1)))
+            if (perBatch.length % mergeEvery == 0) {
+              P.indexMergeDocs(spark,
+                pending.toSeq.toDF("doc_id", "text"), stats = false).collect()
+              nMerges += 1
+              pending.clear()
+            }
+          }
+          ()
+        }
+      }
+      .start()
+    try {
+      (0 until batches).foreach { b =>
+        val slice = docs.zipWithIndex
+          .collect { case (d, i) if i % batches == b => d }
+        if (slice.nonEmpty) {
+          input.addData(slice.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+
+    val rows = perBatch.synchronized { perBatch.toVector }
+    Seq((rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.length.toLong, nMerges, rows.length > 1))
+      .toDF("n_new", "n_exact_dup", "n_near_dup", "n_batches", "n_merges",
+        "multi_batch")
+  }
 }
