@@ -499,6 +499,33 @@ object ExtendedQueries {
         |  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
         |        floor(o_totalprice / 30000)::bigint AS bucket
         |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
+    // FILTER (WHERE ...) on a windowed aggregate under GROUPS/EXCLUDE
+    // (r11; reference SqlBase.g4 filter rule): the clause folds into the
+    // argument as CASE WHEN cond THEN arg END — exact because every
+    // supported aggregate skips NULLs. DuckDB runs FILTER + its native
+    // EXCLUDE over the dense_rank lowering.
+    "win_sql_exclude_filter" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  sum(o_orderkey) FILTER (WHERE o_orderkey % 4 = 0) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sf_group,
+        |  count(*) FILTER (WHERE o_orderkey % 4 = 0) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS cf_ties
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  (sum(o_orderkey) FILTER (WHERE o_orderkey % 4 = 0) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP))::bigint AS sf_group,
+        |  count(*) FILTER (WHERE o_orderkey % 4 = 0) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS cf_ties
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
     // GROUPS window inside a CTE body (r10 verdict, Missing #1): the
     // rewrite now restructures each WITH definition independently, so
     // the dense_rank wrapper lands inside the defining block.

@@ -148,8 +148,7 @@ object WindowFrames {
               .matcher(content).find()) {
             parseOver(content) match {
               case Some((part, order, frame, exclude)) =>
-                val fnStart = callStart(sql, i)
-                val (fn, args) = fnParts(sql, fnStart, i)
+                val (fnStart, fn, args) = parseCallBefore(sql, i)
                 calls += Call(fnStart, close + 1, fn, args, part, order, frame, exclude)
               case None => () // frame has no GROUPS/EXCLUDE after all
             }
@@ -280,23 +279,69 @@ object WindowFrames {
     -1
   }
 
-  /** Start of the `fn(args)` call that `OVER` (at `overIdx`) attaches to. */
-  private def callStart(sql: String, overIdx: Int): Int = {
+  /** Index of the '(' matching the ')' at `close`, scanning backwards. */
+  private def matchParenBack(s: String, close: Int): Int = {
+    var depth = 0; var i = close
+    while (i >= 0) {
+      s.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i -= 1
+    }
+    fail("unbalanced call before OVER")
+  }
+
+  /** Parse the `fn(args) [FILTER (WHERE cond)]` call that `OVER` (at
+    * `overIdx`) attaches to → (call start, fn, effective args). A FILTER
+    * clause (r11; reference `SqlBase.g4` filter rule) folds into the
+    * argument as `CASE WHEN cond THEN arg END` — every aggregate this
+    * lowering supports skips NULLs, so the conditional argument is
+    * exactly the FILTER multiset; `count(*)` becomes
+    * `count(CASE WHEN cond THEN 1 END)`.
+    */
+  private def parseCallBefore(sql: String, overIdx: Int): (Int, String, String) = {
     var j = overIdx - 1
     while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
     if (j < 0 || sql.charAt(j) != ')')
       fail("could not find the window function call before OVER " +
-        "(FILTER/IGNORE NULLS forms are not supported with GROUPS/EXCLUDE)")
-    var depth = 0
-    while (j >= 0) {
-      sql.charAt(j) match {
-        case ')' => depth += 1
-        case '(' => depth -= 1; if (depth == 0) { return identStart(sql, j) }
-        case _ => ()
-      }
-      j -= 1
+        "(IGNORE NULLS forms are not supported with GROUPS/EXCLUDE)")
+    val openIdx = matchParenBack(sql, j)
+    // the word before the group decides: FILTER clause or the call itself
+    var we = openIdx - 1
+    while (we >= 0 && sql.charAt(we).isWhitespace) we -= 1
+    var ws = we
+    while (ws >= 0 && (Character.isLetterOrDigit(sql.charAt(ws)) || sql.charAt(ws) == '_')) ws -= 1
+    val word = if (we >= ws + 1) sql.substring(ws + 1, we + 1) else ""
+    if (word.equalsIgnoreCase("filter")) {
+      val cond = sql.substring(openIdx + 1, j).trim
+        .replaceFirst("(?is)^WHERE\\b", "").trim
+      if (cond.isEmpty) fail("empty FILTER (WHERE ...) clause")
+      var m = ws
+      while (m >= 0 && sql.charAt(m).isWhitespace) m -= 1
+      if (m < 0 || sql.charAt(m) != ')')
+        fail("FILTER clause without a preceding aggregate call")
+      val aggOpen = matchParenBack(sql, m)
+      val fnStart = identStart(sql, aggOpen)
+      val fn = sql.substring(fnStart, aggOpen).trim
+      val rawArgs = checkArgs(fn, sql.substring(aggOpen + 1, m).trim)
+      val args =
+        if (rawArgs == "*") s"CASE WHEN $cond THEN 1 END"
+        else s"CASE WHEN $cond THEN $rawArgs END"
+      (fnStart, fn, args)
+    } else {
+      val fnStart = identStart(sql, openIdx)
+      (fnStart, sql.substring(fnStart, openIdx).trim,
+        checkArgs(sql.substring(fnStart, openIdx).trim,
+          sql.substring(openIdx + 1, j).trim))
     }
-    fail("unbalanced call before OVER")
+  }
+
+  private def checkArgs(fn: String, args: String): String = {
+    if (args.toUpperCase.startsWith("DISTINCT "))
+      fail(s"$fn(DISTINCT ...) is not supported with GROUPS/EXCLUDE frames")
+    args
   }
 
   private def identStart(sql: String, parenIdx: Int): Int = {
@@ -306,16 +351,6 @@ object WindowFrames {
     while (j >= 0 && (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j -= 1
     if (j == end) fail("window function name not found before OVER")
     j + 1
-  }
-
-  private def fnParts(sql: String, fnStart: Int, overIdx: Int): (String, String) = {
-    val open = sql.indexOf('(', fnStart)
-    val close = matchParen(sql, open)
-    val fn = sql.substring(fnStart, open).trim
-    val args = sql.substring(open + 1, close).trim
-    if (args.toUpperCase.startsWith("DISTINCT "))
-      fail(s"$fn(DISTINCT ...) is not supported with GROUPS/EXCLUDE frames")
-    (fn, args)
   }
 
   // --------------------------------------------------------------- parse

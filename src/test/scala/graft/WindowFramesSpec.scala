@@ -366,6 +366,28 @@ class WindowFramesSpec extends GraftSuite {
     assert(got === exp)
   }
 
+  test("FILTER (WHERE ...) folds into the aggregate under GROUPS EXCLUDE") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  sum(v) FILTER (WHERE v % 2 = 0) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sf,
+        |  count(*) FILTER (WHERE v % 2 = 0) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS cf
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optL(r, 1), r.getLong(2))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val sf = {
+        val vs = f.collect { case (k2, v2) if k2 != k && v2 % 2 == 0 => v2.toLong }
+        if (vs.isEmpty) None else Some(vs.sum)
+      }
+      val cf = f.count { case (k2, v2) => (k2 != k || v2 == v) && v2 % 2 == 0 }.toLong
+      v -> (sf, cf)
+    }.toMap
+    assert(got === exp)
+  }
+
   test("10+ distinct GROUPS specs lower cleanly (word-boundary g-column guard)") {
     val selectItems = (1 to 11).map(i =>
       s"sum(v) OVER (ORDER BY k$i GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s$i")
