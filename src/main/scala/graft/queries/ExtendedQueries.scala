@@ -526,6 +526,31 @@ object ExtendedQueries {
         |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
         |  FROM (SELECT o_orderkey, o_orderstatus,
         |        floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2""".stripMargin),
+    // GROUPS window inside a FROM-subquery (r11): parenthesized SELECT
+    // bodies rewrite as their own blocks, innermost-first, with
+    // g-columns unique across nesting levels.
+    "win_sql_groups_subquery" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket, rows_in_2_groups
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    count(*) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |      GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t
+        |) sub
+        |WHERE o_orderkey % 10 = 0""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket, rows_in_2_groups
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rows_in_2_groups
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, bucket,
+        |      dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |    FROM (SELECT o_orderkey, o_orderstatus,
+        |          floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t) t2
+        |) sub
+        |WHERE o_orderkey % 10 = 0""".stripMargin),
     // GROUPS window inside a CTE body (r10 verdict, Missing #1): the
     // rewrite now restructures each WITH definition independently, so
     // the dense_rank wrapper lands inside the defining block.

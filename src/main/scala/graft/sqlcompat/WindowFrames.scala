@@ -20,8 +20,10 @@ package graft.sqlcompat
   *    [LIMIT]` — top-level GROUP BY / HAVING with a GROUPS window is
   *    rejected (windows over grouped output would need the aggregation
   *    inside the wrapper; not a shape the workloads use). Each WITH
-  *    definition body and the main query restructure independently
-  *    (r11), so a GROUPS window inside a CTE body works.
+  *    definition body, each parenthesized SELECT subquery, and the main
+  *    query restructure independently (r11) — GROUPS windows inside CTE
+  *    bodies and FROM/IN subqueries work; g-column names are unique
+  *    across all blocks of one rewrite.
   *  - Named windows (r11): `WINDOW w AS (...)` definitions inline into
   *    their `OVER w` / `OVER (w ...)` references (including base-window
   *    refinement chains) before lowering, so a named definition can
@@ -83,22 +85,33 @@ object WindowFrames {
     // that body's own FROM clause instead of being rejected. Queries
     // CteMaterialize cannot parse (RECURSIVE, comments, non-WITH) fall
     // through to single-block handling, identical to the r10 behavior.
+    // g-column names are unique across ALL blocks of one rewrite (CTE
+    // bodies, subqueries, main) — two nesting levels sharing a name
+    // would trip each other's select-list guards
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     CteMaterialize.parse(masked) match {
       case Some((defs, main)) =>
-        val newDefs = defs.map(d => s"${d.name} AS (${rewriteBlock(d.body)})")
-        s"WITH ${newDefs.mkString(", ")} ${rewriteBlock(main)}"
-      case None => rewriteBlock(masked)
+        val newDefs = defs.map(d => s"${d.name} AS (${rewriteBlock(d.body, counter)})")
+        s"WITH ${newDefs.mkString(", ")} ${rewriteBlock(main, counter)}"
+      case None => rewriteBlock(masked, counter)
     }
   }
 
-  private def rewriteBlock(block: String): String = {
+  private def rewriteBlock(block: String,
+      counter: java.util.concurrent.atomic.AtomicInteger): String = {
     val probe = java.util.regex.Pattern
       .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(block)
     if (!probe.find()) return block
-    // named windows first: `WINDOW w AS (...)` + `OVER w` / `OVER (w ...)`
+    // innermost-first: parenthesized SELECT bodies (FROM-subqueries,
+    // IN/EXISTS subqueries) carrying GROUPS/EXCLUDE tokens rewrite as
+    // their own blocks — each restructures its own FROM — and their
+    // lowered text no longer carries the tokens, so this level's scan
+    // sees only its own calls (r11; previously a loud rejection)
+    val sub = rewriteSubqueries(block, counter)
+    // named windows next: `WINDOW w AS (...)` + `OVER w` / `OVER (w ...)`
     // references inline to their definition text so a named definition can
     // carry a GROUPS frame or EXCLUDE clause into the lowering below
-    val masked = inlineNamedWindows(block)
+    val masked = inlineNamedWindows(sub)
     val calls = findCalls(masked)
     if (calls.isEmpty) return masked
     // build replacement text per call; GROUPS calls additionally need a
@@ -107,7 +120,7 @@ object WindowFrames {
     def gcolFor(c: Call): String = {
       val key = (norm(c.part.getOrElse("")), norm(c.order.getOrElse(
         fail("GROUPS frame requires a window ORDER BY"))))
-      gcols.getOrElseUpdate(key, s"__graft_grp${gcols.size + 1}")
+      gcols.getOrElseUpdate(key, s"__graft_grp${counter.incrementAndGet()}")
     }
     val replacements = calls.map { c =>
       c.frame.mode match {
@@ -123,6 +136,41 @@ object WindowFrames {
     }
     if (gcols.isEmpty) out
     else restructure(out, calls.filter(_.frame.mode == "groups"), gcols)
+  }
+
+  /** Rewrite every parenthesized SELECT body that carries GROUPS/EXCLUDE
+    * tokens as its own block, innermost-first (a SELECT group recurses
+    * through [[rewriteBlock]], which calls back here for ITS
+    * subqueries). Non-SELECT paren groups (function args, predicates)
+    * are scanned through for nested subqueries; OVER clauses carry
+    * GROUPS tokens but never contain `(SELECT`, so this level's own
+    * window frames pass through untouched for [[findCalls]].
+    */
+  private def rewriteSubqueries(sql: String,
+      counter: java.util.concurrent.atomic.AtomicInteger): String = {
+    val probe = java.util.regex.Pattern
+      .compile("(?i)\\b(GROUPS|EXCLUDE)\\b")
+    if (!probe.matcher(sql).find()) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '(') {
+        val close = matchParen(sql, i)
+        if (close < 0) { out.append(sql.charAt(i)); i += 1 }
+        else {
+          val content = sql.substring(i + 1, close)
+          var j = 0
+          while (j < content.length && content.charAt(j).isWhitespace) j += 1
+          val rewritten =
+            if (wordAt(content, "SELECT", j) && probe.matcher(content).find())
+              rewriteBlock(content, counter)
+            else rewriteSubqueries(content, counter)
+          out.append('(').append(rewritten).append(')')
+          i = close + 1
+        }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
   }
 
   private def norm(s: String): String = s.trim.replaceAll("\\s+", " ").toLowerCase

@@ -388,6 +388,48 @@ class WindowFramesSpec extends GraftSuite {
     assert(got === exp)
   }
 
+  test("GROUPS window inside a FROM-subquery restructures that block (r11)") {
+    fixture()
+    val got = run(
+      """SELECT v, s FROM (
+        |  SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |  FROM wf_fixture WHERE v <= 6) sub
+        |WHERE v >= 2""".stripMargin)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val subRows = rows.filter(_._2 <= 6)
+    val subKeys = subRows.map(_._1).distinct.sorted
+    val subIdx = subKeys.zipWithIndex.toMap
+    val exp = subRows.filter(_._2 >= 2).map { case (k, v) =>
+      val gi = subIdx(k)
+      v -> subRows.filter { case (k2, _) => subIdx(k2) >= gi - 1 && subIdx(k2) <= gi }
+        .map(_._2.toLong).sum
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("GROUPS windows at two nesting levels get distinct g-columns") {
+    fixture()
+    // outer level windows over the subquery's output; both levels lower
+    val got = run(
+      """SELECT v, s,
+        |  count(*) OVER (ORDER BY s GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) AS peers
+        |FROM (
+        |  SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) AS s
+        |  FROM wf_fixture) sub""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // inner: per-row sum over its own peer group; outer: count of rows
+    // sharing that sum value (peer group of s)
+    val sums = rows.map { case (k, v) =>
+      v -> rows.filter(_._1 == k).map(_._2.toLong).sum
+    }.toMap
+    val byS = sums.values.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    assert(got.size == rows.size)
+    got.foreach { case (v, s, peers) =>
+      assert(s == sums(v), s"inner sum for v=$v")
+      assert(peers == byS(s), s"outer peer count for v=$v s=$s")
+    }
+  }
+
   test("10+ distinct GROUPS specs lower cleanly (word-boundary g-column guard)") {
     val selectItems = (1 to 11).map(i =>
       s"sum(v) OVER (ORDER BY k$i GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s$i")
