@@ -44,6 +44,11 @@ object TimeTzFunctions {
 
   private def g(i: Int) = s"nullif(regexp_extract(arg0, $Re, $i), '')"
 
+  // 'HH:MM:SS[.ffffff]' — the plain (zoneless) TIME literal spelling
+  private val PlainRe =
+    """'^(\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,6}))?$'"""
+  private def pg(i: Int) = s"nullif(regexp_extract(arg0, $PlainRe, $i), '')"
+
   private val utc0 = "pmod(arg0.us - cast(arg0.off as bigint) * 60000000, 86400000000)"
   private val utc1 = "pmod(arg1.us - cast(arg1.off as bigint) * 60000000, 86400000000)"
 
@@ -79,6 +84,28 @@ object TimeTzFunctions {
     // UTC-instant comparison (Trino TimeWithTimeZoneType.compareTo)
     "timetz_eq" -> s"$utc0 = $utc1",
     "timetz_lt" -> s"$utc0 < $utc1",
+
+    // ---- plain TIME(p≤6), no zone (r11): BIGINT microseconds-of-day.
+    // The reference's TimeType.java packs picos-of-day into one long;
+    // the micro ceiling is the same fixture/oracle precision as the
+    // TIMETZ pack. A bare bigint makes ordering/equality/grouping
+    // native — no comparison functions needed — and `TIME 'hh:mm:ss'`
+    // literals reach time_parse via the Dialect typed-literal rewrite.
+    "time_parse" -> s"""pmod((cast(${pg(1)} as bigint) * 3600
+        + cast(${pg(2)} as bigint) * 60
+        + cast(${pg(3)} as bigint)) * 1000000
+        + cast(rpad(coalesce(${pg(4)}, '0'), 6, '0') as bigint), 86400000000)""",
+    // DuckDB's canonical TIME spelling: fraction trimmed of trailing
+    // zeros, dropped entirely when zero (same formatter as TIMETZ)
+    "time_format" -> """concat(
+      format_string('%02d:%02d:%02d', arg0 div 3600000000,
+        arg0 div 60000000 % 60, arg0 div 1000000 % 60),
+      CASE WHEN arg0 % 1000000 > 0
+        THEN concat('.', regexp_replace(format_string('%06d', arg0 % 1000000), '0+$', ''))
+        ELSE '' END)""",
+    "time_hour" -> "arg0 div 3600000000",
+    "time_minute" -> "arg0 div 60000000 % 60",
+    "time_second" -> "arg0 div 1000000 % 60",
   )
 
   def register(spark: SparkSession): Unit = {

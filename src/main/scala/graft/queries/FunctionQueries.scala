@@ -48,6 +48,47 @@ object FunctionQueries {
     // are written as typed literals (TIME '12:00:00+02:00') — the r11
     // Dialect rewrite lowers them to timetz_parse, so the emulation is
     // reachable from verbatim Trino SQL (SqlBase.g4 literal rules).
+    // plain TIME(p≤6), no zone (r11 — completing the §1.3 time row):
+    // BIGINT microseconds-of-day (reference TimeType.java packs
+    // picos-of-day into one long; micro is the oracle ceiling), so
+    // ordering/equality are native. Typed literals (TIME '10:30:00')
+    // reach time_parse via the Dialect rewrite; format matches DuckDB's
+    // canonical TIME spelling (fraction trimmed, dropped when zero).
+    "fn_time_plain" -> (
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    format_string('%02d:%02d:%02d.%06d',
+        |      n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |      ((n_nationkey * 123457) % 10000) * 100) AS ts
+        |  FROM nation),
+        |t AS (SELECT id, ts, time_parse(ts) AS tm FROM src)
+        |SELECT id, ts,
+        |  time_format(tm) AS s,
+        |  cast(time_hour(tm) AS bigint) AS h,
+        |  cast(time_minute(tm) AS bigint) AS mi,
+        |  cast(time_second(tm) AS bigint) AS sec,
+        |  tm AS us_of_day,
+        |  cast(rank() OVER (ORDER BY tm) AS bigint) AS rk,
+        |  TIME '10:30:00' < TIME '10:30:00.000001' AS lt_1us,
+        |  time_format(TIME '23:59:59.999999') AS lit_max
+        |FROM t""".stripMargin,
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    printf('%02d:%02d:%02d.%06d',
+        |      n_nationkey % 24, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |      ((n_nationkey * 123457) % 10000) * 100) AS ts
+        |  FROM nation)
+        |SELECT id, ts,
+        |  (ts::TIME)::VARCHAR AS s,
+        |  extract(hour FROM ts::TIME)::bigint AS h,
+        |  extract(minute FROM ts::TIME)::bigint AS mi,
+        |  extract(second FROM ts::TIME)::bigint AS sec,
+        |  ((id % 24) * 3600 + ((id * 7) % 60) * 60 + (id * 13) % 60)::bigint * 1000000
+        |    + ((id * 123457) % 10000) * 100 AS us_of_day,
+        |  rank() OVER (ORDER BY ts::TIME) AS rk,
+        |  true AS lt_1us,
+        |  '23:59:59.999999' AS lit_max
+        |FROM src""".stripMargin),
     "fn_timetz" -> (
       """WITH src AS (
         |  SELECT n_nationkey AS id,

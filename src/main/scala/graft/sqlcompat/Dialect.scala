@@ -202,7 +202,7 @@ object Dialect {
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
   /** Typed literals for the emulated time types (r10 verdict, Missing
-    * #2): the reference accepts `TIME '10:30:00+02:00'`,
+    * #2): the reference accepts `TIME '10:30:00[+02:00]'` (zoned -> timetz_parse; plain -> time_parse),
     * `TIMESTAMP '2020-01-01 00:00:00.123456789012'` (picosecond
     * fraction) and `TIMESTAMP '2020-01-01 00:00:00 America/New_York'`
     * (zone-NAME suffix) as literals (`SqlBase.g4` literal rules,
@@ -220,6 +220,8 @@ object Dialect {
   private val TsLitRe = "(?i)\\bTIMESTAMP\\s+'\u0001(\\d+)\u0001'".r
   private val TimeTzContent =
     """\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?[+-]\d{2}(?::\d{2})?""".r
+  private val TimePlainContent =
+    """\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?""".r
   private val TsPicoContent =
     """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{7,12}""".r
   private val TsZoneContent =
@@ -229,10 +231,14 @@ object Dialect {
       re.pattern.matcher(s).matches()
     val afterTime = TimeLitRe.replaceAllIn(masked, m => {
       val content = lits(m.group(1).toInt)
-      if (full(TimeTzContent, content))
-        java.util.regex.Matcher.quoteReplacement(
-          s"timetz_parse('\u0001${m.group(1)}\u0001')")
-      else java.util.regex.Matcher.quoteReplacement(m.matched)
+      val fn =
+        if (full(TimeTzContent, content)) Some("timetz_parse")
+        else if (full(TimePlainContent, content)) Some("time_parse")
+        else None
+      java.util.regex.Matcher.quoteReplacement(fn match {
+        case Some(f) => s"$f('\u0001${m.group(1)}\u0001')"
+        case None => m.matched
+      })
     })
     TsLitRe.replaceAllIn(afterTime, m => {
       val content = lits(m.group(1).toInt)

@@ -566,13 +566,16 @@ object WindowFrames {
     val fl = fn.toLowerCase
     def aggTerms(f: String, a: String) = wins.map(w => s"$f($a) $w")
     fl match {
-      case "min" | "max" =>
+      // bool_and/bool_or are min/max over booleans (false < true), so
+      // least/greatest recombine them too — the null-skipping matches
+      case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" =>
         val terms = aggTerms(fn, args) ++ (if (withOwn) Seq(s"($args)") else Nil)
         terms match {
           case Seq() => s"CASE WHEN false THEN $full END"
           case Seq(one) => one
           case many =>
-            val f = if (fl == "min") "least" else "greatest"
+            val f = if (fl == "min" || fl == "bool_and" || fl == "every") "least"
+              else "greatest"
             s"$f(${many.mkString(", ")})" // least/greatest skip NULLs
         }
       case "sum" =>

@@ -56,4 +56,17 @@ class TimeTzSpec extends GraftSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
     assert(df.count() == 25)
   }
+
+  test("plain TIME (r11): parse/format/extract over micros-of-day, typed literal") {
+    assert(one("time_parse('10:30:00.5')") == 37800500000L)
+    assert(one("time_format(time_parse('10:30:00.500000'))") == "10:30:00.5")
+    assert(one("time_format(time_parse('23:59:59'))") == "23:59:59")
+    assert(one("time_hour(time_parse('10:30:59.999999'))") == 10L)
+    assert(one("time_minute(time_parse('10:30:59'))") == 30L)
+    assert(one("time_second(time_parse('10:30:59'))") == 59L)
+    // typed literal through the Dialect rewrite; bigint ordering is native
+    val r = spark.sql(graft.sqlcompat.Dialect.rewrite(
+      "SELECT TIME '10:30:00' < TIME '10:30:00.000001' AS lt")).collect().head
+    assert(r.getBoolean(0))
+  }
 }

@@ -430,6 +430,28 @@ class WindowFramesSpec extends GraftSuite {
     }
   }
 
+  test("bool_and/bool_or under GROUPS EXCLUDE recombine via least/greatest") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  bool_and(v % 2 = 0) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS ba,
+        |  bool_or(v % 3 = 0) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS bo
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> (optB(r, 1), optB(r, 2))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val ba = { val xs = f.collect { case (k2, v2) if k2 != k => v2 % 2 == 0 }
+        if (xs.isEmpty) None else Some(xs.forall(identity)) }
+      val bo = { val xs = f.collect { case (_, v2) if v2 != v => v2 % 3 == 0 }
+        if (xs.isEmpty) None else Some(xs.exists(identity)) }
+      v -> (ba, bo)
+    }.toMap
+    assert(got === exp)
+  }
+
+  private def optB(r: org.apache.spark.sql.Row, i: Int): Option[Boolean] =
+    if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+
   test("10+ distinct GROUPS specs lower cleanly (word-boundary g-column guard)") {
     val selectItems = (1 to 11).map(i =>
       s"sum(v) OVER (ORDER BY k$i GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s$i")
