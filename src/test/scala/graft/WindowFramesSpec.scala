@@ -452,6 +452,34 @@ class WindowFramesSpec extends GraftSuite {
   private def optB(r: org.apache.spark.sql.Row, i: Int): Option[Boolean] =
     if (r.isNullAt(i)) None else Some(r.getBoolean(i))
 
+  test("ORDER BY / LIMIT tail survives the GROUPS restructure") {
+    fixture()
+    val got = run(
+      """SELECT v, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM wf_fixture ORDER BY v LIMIT 4""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val exp = rows.sortBy(_._2).take(4).map { case (k, v) =>
+      (v, frameOf(k, 1, 0).map(_._2.toLong).sum)
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("non-aggregate window functions pass through the GROUPS lowering (no EXCLUDE)") {
+    fixture()
+    // two-key ORDER BY makes every peer group a singleton, so
+    // first_value is deterministic (ties in a multi-row group would
+    // make it order-dependent, which no engine pins)
+    val got = run(
+      """SELECT v, first_value(v) OVER (ORDER BY k, v GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS fv
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val ordered = rows.sortBy(r => (r._1, r._2)).map(_._2)
+    val exp = ordered.zipWithIndex.map { case (v, i) =>
+      v -> ordered(math.max(0, i - 1))
+    }.toMap
+    assert(got === exp)
+  }
+
   test("10+ distinct GROUPS specs lower cleanly (word-boundary g-column guard)") {
     val selectItems = (1 to 11).map(i =>
       s"sum(v) OVER (ORDER BY k$i GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s$i")
