@@ -151,13 +151,24 @@ object Writer {
     // previous DROP-then-RENAME had a window where the only copy of the
     // store was already deleted — a crash between the two statements
     // lost it permanently (DROP on a managed table deletes its data).
-    // Here every intermediate state keeps at least one complete copy;
-    // the __old name is TempArtifacts-tracked, so a crash-stranded
-    // leftover is dropped by end-of-session cleanup.
-    val old = TempArtifacts.table(table + "__old")
+    // Here every intermediate state keeps at least one complete copy.
+    // If the promote fails mid-swap, rename `__old` straight back to
+    // the live name (r11 advice: leaving both copies under tracked
+    // temp names meant end-of-session cleanup dropped BOTH — total
+    // store loss); `__old` is registered for cleanup only AFTER the
+    // promote succeeds, so a failure path never hands the surviving
+    // copy to cleanupAll.
+    val old = table + "__old"
     spark.sql(s"DROP TABLE IF EXISTS `$old`")
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    try spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    catch {
+      case promoteFailure: Throwable =>
+        try spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+        catch { case _: Throwable => () } // keep the original failure
+        throw promoteFailure
+    }
+    TempArtifacts.table(old)
     spark.sql(s"DROP TABLE `$old`")
   }
 

@@ -106,9 +106,51 @@ object TimestampFidelity {
     "tsz_lt" -> "arg0.us < arg1.us",
   )
 
+  // ---- picosecond + zone-name timestamps (r12: the last §1.3 corner) ----
+  // The reference's `timestamp(p) with time zone` for p > 6 packs both a
+  // LongTimestamp fraction and a TimeZoneKey; the emulation composes the
+  // two packs above: (us BIGINT epoch micros, ps INT picos-of-microsecond,
+  // zone STRING IANA name). Reached from verbatim SQL by the Dialect
+  // typed-literal rewrite for `TIMESTAMP '<date> <time>.<7-12 digits>
+  // <ZoneName>'`.
+
+  private val TspzRe =
+    """'^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,12}))? ([A-Za-z].*)$'"""
+
+  private val tspzFrac12 =
+    s"rpad(coalesce(nullif(regexp_extract(arg0, $TspzRe, 2), ''), '0'), 12, '0')"
+
+  private val tspzLocal = "from_utc_timestamp(timestamp_micros(arg0.us), arg0.zone)"
+
+  private val tspzTemplates: Seq[(String, String)] = Seq(
+    // 'YYYY-MM-DD HH:MM:SS[.f{1,12}] <IANA zone>' — wall clock LOCAL in
+    // the named zone; fraction digits 1-6 are micros, 7-12 picos
+    "tspz_parse" -> s"""named_struct(
+      'us', unix_micros(to_utc_timestamp(try_to_timestamp(concat(
+          regexp_extract(arg0, $TspzRe, 1), '.', substring($tspzFrac12, 1, 6))),
+          regexp_extract(arg0, $TspzRe, 3))),
+      'ps', cast(substring($tspzFrac12, 7, 6) as int),
+      'zone', regexp_extract(arg0, $TspzRe, 3))""",
+    // canonical 12-digit fraction in the LOCAL wall clock (zone offsets
+    // are whole minutes, so the sub-second fraction is zone-invariant)
+    "tspz_format" -> s"""concat(
+      date_format($tspzLocal, 'yyyy-MM-dd HH:mm:ss'),
+      '.', format_string('%06d', pmod(arg0.us, 1000000)),
+      format_string('%06d', cast(arg0.ps as bigint)),
+      ' ', arg0.zone)""",
+    // AT TIME ZONE: same instant (us, ps), the zone NAME travels
+    "tspz_at_zone" ->
+      "named_struct('us', arg0.us, 'ps', arg0.ps, 'zone', cast(arg1 as string))",
+    "tspz_utc_us" -> "arg0.us",
+    "tspz_picos" -> "cast(arg0.ps as bigint)",
+    "tspz_eq" -> "arg0.us = arg1.us AND arg0.ps = arg1.ps",
+    "tspz_lt" ->
+      "arg0.us < arg1.us OR (arg0.us = arg1.us AND arg0.ps < arg1.ps)",
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    (picoTemplates ++ tszTemplates).foreach { case (name, template) =>
+    (picoTemplates ++ tszTemplates ++ tspzTemplates).foreach { case (name, template) =>
       val tree = spark.sessionState.sqlParser.parseExpression(template)
       reg.createOrReplaceTempFunction(name, es =>
         tree.transformUp {

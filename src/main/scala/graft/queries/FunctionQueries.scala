@@ -261,6 +261,70 @@ object FunctionQueries {
         |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-01-15 12:00:00')),
         |    '%Y-%m-%d %H:%M:%S.%f') || ' America/New_York' AS dst_jan
         |FROM t""".stripMargin),
+    // picosecond + zone-name TIMESTAMP (r12 — the last §1.3 literal
+    // corner): the reference's timestamp(9..12) WITH TIME ZONE carries
+    // BOTH a LongTimestamp fraction and a TimeZoneKey. Emulated as
+    // (us, ps, zone) — the tspz pack composes the pico and zone packs —
+    // and reached from verbatim SQL via the Dialect typed-literal
+    // rewrite (a 7-12 digit fraction AND a zone name now dispatch to
+    // tspz_parse). DuckDB has neither picoseconds nor a zone-preserving
+    // type, so the oracle rides its native timestamptz for the
+    // seconds+micros part (timezone(zone, ...) consults the same IANA
+    // tzdb) and printf-appends the 6 pico digits, exactly as
+    // fn_timestamp_pico does.
+    "fn_timestamp_pico_zone" -> (
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    element_at(array('America/New_York','Asia/Kolkata','Asia/Tokyo',
+        |      'Europe/London','UTC'), n_nationkey % 5 + 1) AS zone,
+        |    concat(date_format(date_add(date'2024-01-05', n_nationkey * 29), 'yyyy-MM-dd'),
+        |      ' ', format_string('%02d:%02d:%02d',
+        |        12 + n_nationkey % 11, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60),
+        |      '.', format_string('%06d', (n_nationkey * 123457) % 1000000),
+        |      format_string('%06d', (n_nationkey * 999983) % 1000000)) AS lcl
+        |  FROM nation),
+        |t AS (SELECT id, zone, lcl, tspz_parse(concat(lcl, ' ', zone)) AS z FROM src)
+        |SELECT id, zone, lcl,
+        |  tspz_format(z) AS s,
+        |  tspz_utc_us(z) AS utc_us,
+        |  tspz_picos(z) AS ps,
+        |  tspz_format(tspz_at_zone(z, 'Asia/Tokyo')) AS at_tokyo,
+        |  cast(rank() OVER (ORDER BY tspz_utc_us(z), tspz_picos(z), id) AS bigint) AS rk,
+        |  tspz_format(TIMESTAMP '2024-07-01 12:00:00.123456789012 UTC') AS lit_s,
+        |  tspz_lt(TIMESTAMP '2024-07-01 12:00:00.123456789012 America/New_York',
+        |          TIMESTAMP '2024-07-01 12:00:00.123456789013 America/New_York') AS lit_lt,
+        |  tspz_format(tspz_at_zone(TIMESTAMP '2024-07-01 12:00:00.000000001 UTC',
+        |    'America/New_York')) AS dst_jul
+        |FROM t""".stripMargin,
+      """WITH src AS (
+        |  SELECT n_nationkey AS id,
+        |    ['America/New_York','Asia/Kolkata','Asia/Tokyo',
+        |      'Europe/London','UTC'][n_nationkey % 5 + 1] AS zone,
+        |    strftime(date '2024-01-05' + n_nationkey * 29, '%Y-%m-%d')
+        |      || ' ' || printf('%02d:%02d:%02d',
+        |        12 + n_nationkey % 11, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60)
+        |      || '.' || printf('%06d', (n_nationkey * 123457) % 1000000)
+        |      || printf('%06d', (n_nationkey * 999983) % 1000000) AS lcl,
+        |    strftime(date '2024-01-05' + n_nationkey * 29, '%Y-%m-%d')
+        |      || ' ' || printf('%02d:%02d:%02d.%06d',
+        |        12 + n_nationkey % 11, (n_nationkey * 7) % 60, (n_nationkey * 13) % 60,
+        |        (n_nationkey * 123457) % 1000000) AS lcl6,
+        |    ((n_nationkey * 999983) % 1000000)::bigint AS ps
+        |  FROM nation),
+        |t AS (SELECT id, zone, lcl, ps, timezone(zone, lcl6::TIMESTAMP) AS z FROM src)
+        |SELECT id, zone, lcl,
+        |  strftime(timezone(zone, z), '%Y-%m-%d %H:%M:%S.%f')
+        |    || printf('%06d', ps) || ' ' || zone AS s,
+        |  epoch_us(z) AS utc_us,
+        |  ps,
+        |  strftime(timezone('Asia/Tokyo', z), '%Y-%m-%d %H:%M:%S.%f')
+        |    || printf('%06d', ps) || ' Asia/Tokyo' AS at_tokyo,
+        |  rank() OVER (ORDER BY epoch_us(z), ps, id) AS rk,
+        |  '2024-07-01 12:00:00.123456789012 UTC' AS lit_s,
+        |  true AS lit_lt,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-07-01 12:00:00')),
+        |    '%Y-%m-%d %H:%M:%S.%f') || '001000' || ' America/New_York' AS dst_jul
+        |FROM t""".stripMargin),
     "fn_string" -> (
       """SELECT n_name,
         |length(n_name) AS len, lower(n_name) AS lo, upper(n_name) AS up,

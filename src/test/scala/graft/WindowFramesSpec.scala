@@ -53,23 +53,34 @@ class WindowFramesSpec extends GraftSuite {
   }
 
   test("unsound combinations are rejected with the reason, never silently lowered") {
-    // ROWS + EXCLUDE GROUP/TIES: peer group can straddle a positional edge
+    // ROWS + EXCLUDE GROUP/TIES for NON-invertible aggregates: the peer
+    // run can straddle a positional edge, so min needs data-dependent
+    // segment bounds — still rejected (invertible subtraction is r12)
     val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
-    assert(e1.getMessage.contains("ROWS"))
+      "SELECT min(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+    assert(e1.getMessage.contains("ROWS") && e1.getMessage.contains("invertible"))
     // RANGE + EXCLUDE for non-invertible aggregates
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT min(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e2.getMessage.contains("invertible"))
-    // DISTINCT inside the windowed aggregate
+    // DISTINCT outside the GROUPS collect path (RANGE EXCLUDE) and for
+    // aggregates the distinct-array fold cannot express
     val e3 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT count(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
+      "SELECT count(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3.getMessage.contains("DISTINCT"))
-    // GROUPS over a grouped query
+    val e3b = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT min(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+    assert(e3b.getMessage.contains("DISTINCT"))
+    // positional GROUP BY under the grouped-query pre-pass: the inner
+    // select list is rebuilt, so ordinals would silently regroup
     val e4 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT k, sum(s) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
-        "FROM (SELECT k, 1 AS s FROM t) GROUP BY k"))
-    assert(e4.getMessage.contains("grouped"))
+      "SELECT k, sum(sum(s)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
+        "FROM (SELECT k, 1 AS s FROM t) GROUP BY 1"))
+    assert(e4.getMessage.contains("positional"))
+    // IGNORE NULLS on an aggregate that has no null-skipping variant
+    val e5 = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT sum(v) IGNORE NULLS OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
+    assert(e5.getMessage.contains("IGNORE NULLS"))
   }
 
   // -------------------------------------------------- execution level
@@ -486,6 +497,177 @@ class WindowFramesSpec extends GraftSuite {
     val in = s"SELECT ${selectItems.mkString(", ")} FROM t"
     val out = WindowFrames.rewrite(in)
     assert(out.contains("__graft_grp11"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+  }
+
+  // ------------------------------------------------------- r12 surface
+
+  test("GROUPS window over a grouped query (degroup pre-pass) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT k, sum(v) AS t,
+        |  sum(sum(v)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rt,
+        |  count(*) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+        |FROM wf_fixture GROUP BY k HAVING count(*) >= 1""".stripMargin)
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val totals = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2.toLong).sum }
+    val exp = keys.zipWithIndex.map { case (k, i) =>
+      val prev = if (i > 0) totals(keys(i - 1)) else 0L
+      k -> (totals(k), totals(k) + prev, math.min(i + 1, 2).toLong)
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("grouped pre-pass resolves select-list aliases and expressions in GROUP BY") {
+    fixture()
+    // GROUP BY references the select alias `b` (an expression over the
+    // base table); the window orders by it and argues over an aggregate
+    val got = run(
+      """SELECT k % 20 AS b, sum(v) AS t,
+        |  cast(sum(sum(v)) OVER (ORDER BY k % 20
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS bigint) AS og
+        |FROM wf_fixture GROUP BY b""".stripMargin)
+      .map(r => r.getInt(0) -> (r.getLong(1), optL(r, 2))).toMap
+    // b=0 (k=20,40): t=4+7+8+9+10=38; b=10 (k=10,30): t=1+2+3+5+6=17
+    assert(got === Map(0 -> ((38L, Some(17L))), 10 -> ((17L, Some(38L)))))
+  }
+
+  test("ROWS frame EXCLUDE GROUP/TIES (peer-clamped subtraction) matches the model") {
+    fixture()
+    // the aggregate argument is the ORDER key itself, so every quoted
+    // value is position-determined and the result MULTISET is tie-safe
+    val got = run(
+      """SELECT k,
+        |  sum(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS sg,
+        |  sum(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS st,
+        |  count(*) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  sum(k) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING EXCLUDE GROUP) AS sf,
+        |  sum(k) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING EXCLUDE TIES) AS tf
+        |FROM wf_fixture""".stripMargin)
+      .map(r => (r.getInt(0), optL(r, 1), optL(r, 2), r.getLong(3), optL(r, 4), optL(r, 5)))
+      .sortBy(t => (t._1, t._2, t._4, t._5))
+    val ordered = rows.map(_._1).sorted
+    def window(p: Int, lo: Int, hi: Int): Seq[Int] =
+      (math.max(0, p + lo) to math.min(ordered.length - 1, p + hi)).map(ordered)
+    val exp = ordered.zipWithIndex.map { case (k, p) =>
+      val near = window(p, -2, 2); val ahead = window(p, 1, 3)
+      def sumOpt(vs: Seq[Int]) = if (vs.isEmpty) None else Some(vs.map(_.toLong).sum)
+      val nonPeers = near.filter(_ != k)
+      val aheadNP = ahead.filter(_ != k)
+      (k, sumOpt(nonPeers), Some(nonPeers.map(_.toLong).sum + k), nonPeers.size.toLong,
+        sumOpt(aheadNP),
+        // removal-only exclusion (SQL standard): the current row is
+        // OUTSIDE a pure-FOLLOWING frame, so TIES adds nothing back
+        // (DuckDB diverges here — it bridges the frame to the current
+        // position — which is why the oracle rows avoid this corner and
+        // the spec model is authoritative for it)
+        sumOpt(aheadNP))
+    }.sortBy(t => (t._1, t._2, t._4, t._5))
+    assert(got === exp)
+  }
+
+  test("DISTINCT aggregates under GROUPS frames (collect path) match the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  count(DISTINCT v % 3) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cd,
+        |  count(DISTINCT v % 3) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  cast(sum(DISTINCT v % 3) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS bigint) AS st,
+        |  sort_array(array_agg(DISTINCT v % 3) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)) AS la
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), optL(r, 3),
+        r.getSeq[Int](4).toList))).toMap
+    val exp = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      def ds(p: ((Int, Int)) => Boolean) = f.filter(p).map(_._2 % 3).distinct
+      val st = ds { case (k2, v2) => k2 != k || v2 == v }
+      v -> ((ds(_ => true).size.toLong,
+        ds { case (k2, _) => k2 != k }.size.toLong,
+        if (st.isEmpty) None else Some(st.map(_.toLong).sum),
+        ds { case (_, v2) => v2 != v }.sorted))
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("first_value/last_value IGNORE NULLS under GROUPS EXCLUDE match the model") {
+    fixture()
+    // the argument is group-constant (NULL for k divisible by 20), so
+    // positional value functions are tie-safe
+    val arg = "CASE WHEN k % 20 = 0 THEN NULL ELSE k END"
+    val got = run(
+      s"""SELECT v,
+         |  first_value($arg) IGNORE NULLS OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fp,
+         |  first_value($arg) IGNORE NULLS OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS fg,
+         |  last_value($arg) IGNORE NULLS OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS lt,
+         |  first_value($arg) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS fr
+         |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optI(r, 1), optI(r, 2), optI(r, 3), optI(r, 4)))).toMap
+    def f(k: Int): Option[Int] = if (k % 20 == 0) None else Some(k)
+    val exp = rows.map { case (k, v) =>
+      val gs = frameOf(k, 1, 1).map(_._1).distinct // frame groups in order
+      val others = gs.filter(_ != k)
+      // EXCLUDE TIES keeps the own row: value sequence in frame order is
+      // [groups before, own, groups after] (group-constant values)
+      val tiesSeq = gs.flatMap(k2 => if (k2 == k) f(k).toSeq else f(k2).toSeq)
+      v -> ((gs.flatMap(k2 => f(k2).toSeq).headOption,
+        others.flatMap(k2 => f(k2).toSeq).headOption,
+        tiesSeq.lastOption,
+        others.headOption.flatMap(f))) // RESPECT: first excluded-frame row's value
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("variance moments stay precise when the mean dwarfs the spread (pivot centering)") {
+    import spark.implicits._
+    // values ~1e8 with spread ~10: the naive q − s²/n form loses most
+    // significant digits (ulp(1e16) = 2); the pivot-centered moments stay
+    // exact to ~1e-9 relative
+    rows.map { case (k, v) => (k, 1e8 + v) }.toDF("k", "x")
+      .createOrReplaceTempView("wf_big")
+    val got = run(
+      """SELECT x,
+        |  stddev(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sd,
+        |  var_pop(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS vp
+        |FROM wf_big""".stripMargin)
+      .map(r => r.getDouble(0) -> ((optD(r, 1), optD(r, 2)))).toMap
+    def stats(vs: Seq[Double]): (Option[Double], Option[Double]) = {
+      val n = vs.size
+      val mean = if (n > 0) vs.sum / n else 0.0
+      val m2 = vs.map(x => (x - mean) * (x - mean)).sum
+      (if (n >= 2) Some(math.sqrt(m2 / (n - 1))) else None,
+        if (n >= 1) Some(m2 / n) else None)
+    }
+    rows.foreach { case (k, v) =>
+      val x = 1e8 + v
+      val sdExp = stats(frameOf(k, 1, 1).collect {
+        case (k2, v2) if k2 != k => 1e8 + v2 })._1
+      // RANGE is a VALUE range over k: keys sit 10 apart, so k±1 spans
+      // exactly the peer group; EXCLUDE CURRENT ROW leaves the other peers
+      val vpExp = stats(rows.collect {
+        case (k2, v2) if math.abs(k2 - k) <= 1 && v2 != v => 1e8 + v2 })._2
+      val (sdGot, vpGot) = got(x)
+      (sdGot, sdExp) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"sd at $v: $a vs $b")
+        case (a, b) => assert(a === b)
+      }
+      (vpGot, vpExp) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"vp at $v: $a vs $b")
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
+  test("named-window inlining stays scoped to its defining block (r11 advice)") {
+    val in =
+      """SELECT v, sum(v) OVER w AS s,
+        |  (SELECT max(c) FROM (SELECT count(*) OVER w AS c FROM t2 WINDOW w AS (PARTITION BY z)) q) AS sub
+        |FROM wf_fixture WINDOW w AS (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin
+    val out = WindowFrames.rewrite(in)
+    // the inner block keeps its own definition and reference untouched
+    assert(out.contains("WINDOW w AS (PARTITION BY z)"), out)
+    assert(out.contains("count(*) OVER w"), out)
+    // the outer reference lowered and its WINDOW clause is gone
+    assert(!out.contains("WINDOW w AS (ORDER BY k"), out)
     assert(!out.toUpperCase.contains("GROUPS"), out)
   }
 
