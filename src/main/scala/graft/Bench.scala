@@ -150,35 +150,71 @@ object Bench {
         times = times :+ run(name)
       times.length
     }
-    // name -> (median, all measured runs in time order, prewarms used)
-    val results: Seq[(String, Double, Seq[Double], Int)] =
+    // Mid-run load guard (r11 verdict, What's-wrong #1): waitForQuiet
+    // only gates the START of the bench, but the shared host runs
+    // ~10-minute load bursts — BENCH_r11's 1-min load rose 2.45→5.64
+    // DURING the run and every query inflated 28-86% while the clean-box
+    // check stayed flat. So each query's measured set samples the load
+    // before and after; a set whose window overlapped a spike is
+    // RE-MEASURED after waiting for quiet (bounded), the spiked runs
+    // kept in the artifact as evidence but not quoted. A query is
+    // flagged dirty only if every retry found the box busy.
+    val maxRequotes =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MID_RUN_RETRIES", "2").toInt
+    def measureSet(name: String): (Seq[Double], Double, Double) = {
+      val before = loadAvg()._1
+      val times = (1 to nRuns).map(_ => run(name))
+      (times, before, loadAvg()._1)
+    }
+    // name -> (median, quoted runs, prewarms, all sets with loads, dirty)
+    final case class QRes(name: String, median: Double, runs: Seq[Double],
+      warms: Int, sets: Seq[(Seq[Double], Double, Double)], dirty: Boolean)
+    val results: Seq[QRes] =
       queryList.filter(SparkEntry.queries.contains).map { name =>
         try {
           val warms = prewarm(name)
-          val times = (1 to nRuns).map(_ => run(name))
-          (name, times.sorted.apply(times.length / 2), times, warms)
+          var sets = Seq(measureSet(name))
+          def spiked(s: (Seq[Double], Double, Double)) =
+            s._2 > maxLoad || s._3 > maxLoad
+          var waits = 0
+          while (spiked(sets.last) && sets.length <= maxRequotes && waits < 3) {
+            System.err.println(s"[bench] $name measured under load " +
+              s"(${sets.last._2} -> ${sets.last._3}) — waiting for quiet, re-measuring")
+            while (loadAvg()._1 > maxLoad && waits < 3) { Thread.sleep(60000); waits += 1 }
+            sets = sets :+ measureSet(name)
+          }
+          val quoted = sets.last
+          val times = quoted._1
+          QRes(name, times.sorted.apply(times.length / 2), times, warms,
+            sets, spiked(quoted))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (name, -1.0, Seq.empty, 0)
+            QRes(name, -1.0, Seq.empty, 0, Seq.empty, dirty = false)
         }
       }
     def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { r => "\"" + r.name + "\":" + r.median }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, ts, w) =>
-      "\"" + k + "\":{\"prewarms\":" + w + ",\"runs\":[" +
-        ts.map(fmt).mkString(",") + "]}"
+    val runsJson = results.map { r =>
+      val setsJson = r.sets.map { case (ts, lb, la) =>
+        "{\"runs\":[" + ts.map(fmt).mkString(",") + s"],\"load\":[$lb,$la]}"
+      }.mkString("[", ",", "]")
+      "\"" + r.name + "\":{\"prewarms\":" + r.warms + ",\"runs\":[" +
+        r.runs.map(fmt).mkString(",") + s"],\"sets\":$setsJson" +
+        s",\"dirty\":${r.dirty}}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case r if r.median >= 0 => r.median }.sum
     val loadEnd = loadAvg()
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val dirtyCount = results.count(_.dirty)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"min_prewarms":$nWarm,""" +
       s""""load_start":[${loadStart._1},${loadStart._2},${loadStart._3}],""" +
       s""""load_end":[${loadEnd._1},${loadEnd._2},${loadEnd._3}],""" +
       s""""load_warning":$loadWarning,"load_wait_attempts":$loadWaits,""" +
-      s""""gc_drain_between_runs":true,""" +
+      s""""gc_drain_between_runs":true,"mid_run_load_guard":true,""" +
+      s""""dirty_queries":$dirtyCount,""" +
       s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
