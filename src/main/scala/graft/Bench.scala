@@ -124,19 +124,27 @@ object Bench {
           // being charged to every query's measurement)
           graft.engine.CachedPlans.releaseAll()
           graft.engine.TempArtifacts.cleanupAll(spark)
-          // GC drain between runs, outside the timed wall (r10 root cause:
-          // an oversized mostly-idle measurement heap almost never collects,
-          // uncollected RDD refs pin each run's shuffle files, ContextCleaner
-          // can't delete them, tens of GB accumulate and evict the corpus
-          // from page cache — q67 at 100× read 85/81/57/22/37 s across one
-          // session without this and 9–16 s with it, R10TPCDS_REQUOTE_r10.
-          // This harness runs 20 queries × ~8 runs in one JVM — exactly the
-          // accumulation pattern — so the gate gets the same hygiene the
-          // soaks adopted in r10.)
-          graft.tools_dev.SoakHarness.gcDrain()
         }
       elapsed
     }
+
+    // GC drain placement (r12 adjudication of the r11 gate drift): the r11
+    // harness drained INSIDE run()'s finally — a System.gc() on the gate's
+    // ~90 GB mostly-idle heap immediately before every measured run. The
+    // single-variable drain A/B (drain_ab in BENCH_AB_r12.json: same tree,
+    // alternating fresh JVMs, drain on vs off) showed that placement taxes
+    // the measured medians ~6–10%: the explicit full GC shrinks/uncommits
+    // G1 regions and the next timed run pays the re-expansion. The r10
+    // pathology the drain exists for (uncollected RDD refs pinning every
+    // run's shuffle files until tens of GB evict the corpus from page
+    // cache, R10TPCDS_REQUOTE_r10) accumulates across a SESSION, not
+    // within one query's ~8 sf0.1 runs — so drain once per query, BEFORE
+    // its prewarms: the ≥3 prewarms that follow absorb the re-expansion
+    // and the measured runs never see a fresh full-GC. Escape hatch for
+    // harness A/Bs: SPARK_GRAFT_BENCH_NO_DRAIN=1 disables it entirely.
+    val noDrain = sys.env.contains("SPARK_GRAFT_BENCH_NO_DRAIN")
+    def drainBeforeQuery(): Unit =
+      if (!noDrain) graft.tools_dev.SoakHarness.gcDrain()
 
     // Adaptive prewarm: at least nWarm runs, then keep prewarming while
     // the latest run is still >1.3× the best seen (C2 still compiling or a
@@ -172,6 +180,7 @@ object Bench {
     val results: Seq[QRes] =
       queryList.filter(SparkEntry.queries.contains).map { name =>
         try {
+          drainBeforeQuery()
           val warms = prewarm(name)
           var sets = Seq(measureSet(name))
           def spiked(s: (Seq[Double], Double, Double)) =
@@ -213,7 +222,8 @@ object Bench {
       s""""load_start":[${loadStart._1},${loadStart._2},${loadStart._3}],""" +
       s""""load_end":[${loadEnd._1},${loadEnd._2},${loadEnd._3}],""" +
       s""""load_warning":$loadWarning,"load_wait_attempts":$loadWaits,""" +
-      s""""gc_drain_between_runs":true,"mid_run_load_guard":true,""" +
+      s""""gc_drain_between_runs":false,""" +
+      s""""gc_drain_per_query":${!noDrain},"mid_run_load_guard":true,""" +
       s""""dirty_queries":$dirtyCount,""" +
       s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
       s""""sf":"$sfDir"}""")
