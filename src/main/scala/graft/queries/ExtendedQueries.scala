@@ -650,6 +650,39 @@ object ExtendedQueries {
         |    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE GROUP), 6) AS sd_group
         |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
         |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
+    // Non-invertible aggregates under ROWS EXCLUDE GROUP/TIES (r12): the
+    // excluded peer run is a contiguous slice of the positional frame, so
+    // the engine collects the frame's values and recombines from the
+    // prefix + suffix around the peer extent — min/max/first/last/collect
+    // all lower exactly (reference RowsFraming.java + frame exclusion
+    // supports every aggregate under every mode). Every aggregated value
+    // is the ORDER key itself, so each output is position-determined and
+    // the MULTISET is tie-order-safe on both engines; frames all CONTAIN
+    // the current row (DuckDB bridges on frames that don't). DuckDB
+    // executes the same text natively as the oracle.
+    "win_sql_exclude_rows_minmax" -> (
+      """SELECT o_orderstatus, bucket,
+        |  min(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS mn_group,
+        |  max(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS mx_ties,
+        |  first_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS fv_group,
+        |  last_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS lv_ties
+        |FROM (SELECT o_orderstatus, cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  min(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS mn_group,
+        |  max(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS mx_ties,
+        |  first_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS fv_group,
+        |  last_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS lv_ties
+        |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
     // DISTINCT aggregates under GROUPS frames (r11 verdict, Missing #3):
     // Spark rejects DISTINCT window aggregates outright, so the entry
     // lowers them through per-segment collect_list + array_distinct;

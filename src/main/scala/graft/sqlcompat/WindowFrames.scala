@@ -56,8 +56,14 @@ package graft.sqlcompat
   *    → subtraction against a peer-clamped positional window: the peer
   *    run is contiguous in the frame's order, so a window PARTITIONed by
   *    (partition, peer group) and ORDERed by a shared row_number with
-  *    the SAME positional bounds is exactly `peers ∩ frame` — invertible
-  *    aggregates only (reference `RowsFraming.java` + frame exclusion).
+  *    the SAME positional bounds is exactly `peers ∩ frame` — for
+  *    invertible aggregates (reference `RowsFraming.java` + frame
+  *    exclusion). The non-invertible family (min/max/bool_and/bool_or/
+  *    first_value/last_value/collect_list/array_agg) recombines instead
+  *    by slicing the frame's collected values around the peer extent
+  *    ([[sliceExcludeRows]]): the kept multiset is a prefix + suffix of
+  *    the frame in row_number order, with boundaries computed from
+  *    rank() (the peer run's first position) and a peer-size count.
   *  - EXCLUDE NO OTHERS → the frame clause minus the EXCLUDE text.
   *  - Grouped queries (r12): when a lowered window needs helper columns
   *    over a query with top-level GROUP BY/HAVING, the aggregation is
@@ -130,6 +136,24 @@ object WindowFrames {
     def pivot(part: Option[String], args: String): String =
       alloc("piv", part, args,
         () => s"avg(CAST(($args) AS DOUBLE)) OVER (${partPrefix(part).trim})")
+    /** First row_number of the current row's peer group: rank() with
+      * gaps IS that position. Independent of the other helpers (no
+      * sibling-alias references — all helper defs live in one inner
+      * select list).
+      */
+    def peerFirst(part: Option[String], order: String): String =
+      alloc("rnk", part, order,
+        () => s"rank() OVER (${partPrefix(part)}ORDER BY $order)")
+    /** Peer-group size: count over (partition, ORDER BY value exprs). */
+    def peerSize(part: Option[String], order: String): String =
+      alloc("pcnt", part, order, () => {
+        val keys = (part.toSeq :+ stripDirections(order)).mkString(", ")
+        s"count(*) OVER (PARTITION BY $keys)"
+      })
+    /** Partition row count (for clamping FOLLOWING frame edges). */
+    def partSize(part: Option[String]): String =
+      alloc("ptot", part, "",
+        () => s"count(*) OVER (${partPrefix(part).trim})")
   }
 
   private def isVarianceFn(fn: String): Boolean = fn.toLowerCase match {
@@ -1035,10 +1059,13 @@ object WindowFrames {
         // row_number, with the SAME positional bounds, is exactly that
         // intersection (within the peer run, peer-local offsets coincide
         // with global offsets). Subtraction then applies for invertible
-        // aggregates; min/max/collect/first/last stay loudly rejected
-        // (their exact segments would need data-dependent frame bounds).
+        // aggregates; the non-invertible family (min/max/bool/first/last/
+        // collect) recombines through [[sliceExcludeRows]] instead — the
+        // kept multiset is a prefix + suffix of the frame's collected
+        // values, with slice indexes computed from the peer extent.
         // Both windows order by the SAME row_number column so frame
         // positions agree under ties.
+        if (isSliceRecombined(c.fn)) return sliceExcludeRows(c, ctx, m, order)
         val g = ctx.g(c.part, order)
         val rn = ctx.rn(c.part, order)
         val fullWin =
@@ -1048,6 +1075,70 @@ object WindowFrames {
           s"OVER (PARTITION BY $peerPart ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
         subtractCombine(ctx, c.part, c.fn, c.args, fullWin, peerWin, m,
           ownInFrame = lo <= 0 && hi >= 0, frameKind = "ROWS")
+    }
+  }
+
+  private def isSliceRecombined(fn: String): Boolean = fn.toLowerCase match {
+    case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" |
+         "first_value" | "last_value" | "collect_list" | "array_agg" => true
+    case _ => false
+  }
+
+  /** Non-invertible aggregates under ROWS EXCLUDE GROUP/TIES (r12): the
+    * excluded run (`peers ∩ frame`) is a CONTIGUOUS slice of the
+    * positional frame, so the kept multiset is a prefix + suffix of the
+    * frame's values in frame order. Collect null-safe structs over the
+    * plain frame (bare `collect_list` drops NULL elements, which would
+    * shift positions), compute the slice boundaries from the peer extent
+    * — `rank()` is the peer run's first row_number, plus a peer-size
+    * count — and re-aggregate from the kept array. Exact for every
+    * aggregate at the cost of one frame-sized array per row; EXCLUDE
+    * frames are bounded in practice, and the reference's row-at-a-time
+    * framing pays the same per-row frame walk
+    * (operator/window/RowsFraming.java + frame exclusion).
+    *
+    * The three index formulas degrade uniformly when the peer run lies
+    * entirely outside the frame (possible only when the frame does not
+    * contain the current row): prefix length clamps to the full frame or
+    * zero and the suffix to the rest, so `kept = frame` with no CASE —
+    * keeping the collected window referenced only twice.
+    */
+  private def sliceExcludeRows(c: Call, ctx: BlockCtx, mode: String,
+      order: String): String = {
+    val fl = c.fn.toLowerCase
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val rn = ctx.rn(c.part, order)
+    val tot = ctx.partSize(c.part)
+    val pLo = ctx.peerFirst(c.part, order)
+    val pHi = s"($pLo + ${ctx.peerSize(c.part, order)} - 1)"
+    val lo = c.frame.lo; val hi = c.frame.hi
+    val fLo = if (lo == UNB_LO) "1" else s"greatest(1, $rn + (${lo}))"
+    val fHi = if (hi == UNB_HI) tot else s"least($tot, $rn + (${hi}))"
+    val full = s"collect_list(named_struct('v', ${c.args})) " +
+      s"OVER (${partPrefix}ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
+    val lenB = s"CAST(greatest(0, least(($fHi) + 1, $pLo) - ($fLo)) AS INT)"
+    val startA = s"CAST(greatest(1, least($fHi, $pHi) - ($fLo) + 2) AS INT)"
+    val lenA = s"CAST(greatest(0, ($fHi) - greatest($pHi, ($fLo) - 1)) AS INT)"
+    val own =
+      if (mode == "ties" && lo <= 0 && hi >= 0)
+        Seq(s"array(named_struct('v', ${c.args}))")
+      else Nil
+    // the own row's position lies INSIDE the excluded run, so in frame
+    // order the TIES-kept sequence is prefix ++ own ++ suffix (order
+    // matters for first/last/collect)
+    val kept = (Seq(s"slice($full, 1, $lenB)") ++ own ++
+      Seq(s"slice($full, $startA, $lenA)")).mkString("concat(", ", ", ")")
+    val vals = s"transform($kept, __graft_s -> __graft_s.v)"
+    fl match {
+      case "min" | "bool_and" | "every" => s"array_min($vals)"
+      case "max" | "bool_or" | "some" | "any" => s"array_max($vals)"
+      case "first_value" | "last_value" =>
+        val pos = if (fl == "first_value") "1" else "-1"
+        val src = if (c.ignoreNulls) s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
+          else vals
+        s"try_element_at($src, $pos)"
+      case _ => // collect_list | array_agg: match the aggregates' NULL-dropping
+        s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
     }
   }
 

@@ -53,11 +53,12 @@ class WindowFramesSpec extends GraftSuite {
   }
 
   test("unsound combinations are rejected with the reason, never silently lowered") {
-    // ROWS + EXCLUDE GROUP/TIES for NON-invertible aggregates: the peer
-    // run can straddle a positional edge, so min needs data-dependent
-    // segment bounds — still rejected (invertible subtraction is r12)
+    // ROWS + EXCLUDE GROUP/TIES: invertibles subtract, the min/max/
+    // first/last/collect family slice-recombines (r12) — an aggregate in
+    // NEITHER class (corr needs paired moments the slice path does not
+    // rebuild) still rejects loudly
     val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT min(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT corr(v, k) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e1.getMessage.contains("ROWS") && e1.getMessage.contains("invertible"))
     // RANGE + EXCLUDE for non-invertible aggregates
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
@@ -563,6 +564,64 @@ class WindowFramesSpec extends GraftSuite {
         // the spec model is authoritative for it)
         sumOpt(aheadNP))
     }.sortBy(t => (t._1, t._2, t._4, t._5))
+    assert(got === exp)
+  }
+
+  test("ROWS EXCLUDE GROUP/TIES non-invertible aggregates (slice recombine) match the model") {
+    fixture()
+    // every aggregated value is the ORDER key, so each output is a pure
+    // function of the row's POSITION — the multiset over all rows is
+    // tie-order-invariant and compares exactly
+    val got = run(
+      """SELECT k,
+        |  min(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS mg,
+        |  max(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS xt,
+        |  first_value(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS fg,
+        |  last_value(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS lt,
+        |  collect_list(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  min(k) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING EXCLUDE GROUP) AS mf
+        |FROM wf_fixture""".stripMargin)
+      .map(r => (r.getInt(0), optI(r, 1), optI(r, 2), optI(r, 3), optI(r, 4),
+        r.getSeq[Int](5).toList, optI(r, 6)))
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5, t._7, t._6.mkString(",")))
+    val ordered = rows.map(_._1).sorted
+    def span(p: Int, lo: Int, hi: Int): Seq[(Int, Int)] =
+      (math.max(0, p + lo) to math.min(ordered.length - 1, p + hi))
+        .map(q => (q, ordered(q)))
+    val exp = ordered.zipWithIndex.map { case (k, p) =>
+      val near = span(p, -2, 2)
+      // GROUP removes every peer (all rows valued k); TIES keeps exactly
+      // the current row's own slot
+      val grp = near.collect { case (_, v) if v != k => v }
+      val ties = near.collect { case (q, v) if v != k || q == p => v }
+      val aheadGrp = span(p, 1, 3).collect { case (_, v) if v != k => v }
+      (k, grp.minOption, ties.maxOption, grp.headOption, ties.lastOption,
+        grp.toList, aheadGrp.minOption)
+    }.sortBy(t => (t._1, t._2, t._3, t._4, t._5, t._7, t._6.mkString(",")))
+    assert(got === exp)
+  }
+
+  test("IGNORE NULLS first_value under ROWS EXCLUDE GROUP (slice path) matches the model") {
+    fixture()
+    // group-constant argument (NULL when k % 20 = 0) keeps positional
+    // value functions tie-safe
+    val arg = "CASE WHEN k % 20 = 0 THEN NULL ELSE k END"
+    val got = run(
+      s"""SELECT k,
+         |  first_value($arg) IGNORE NULLS OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS fg,
+         |  last_value($arg) IGNORE NULLS OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS lt
+         |FROM wf_fixture""".stripMargin)
+      .map(r => (r.getInt(0), optI(r, 1), optI(r, 2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val ordered = rows.map(_._1).sorted
+    def f(x: Int): Option[Int] = if (x % 20 == 0) None else Some(x)
+    val exp = ordered.zipWithIndex.map { case (k, p) =>
+      val near = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2))
+        .map(q => (q, ordered(q)))
+      val grp = near.collect { case (_, v) if v != k => v }.flatMap(f)
+      val ties = near.collect { case (q, v) if v != k || q == p => v }.flatMap(f)
+      (k, grp.headOption, ties.lastOption)
+    }.sortBy(t => (t._1, t._2, t._3))
     assert(got === exp)
   }
 
