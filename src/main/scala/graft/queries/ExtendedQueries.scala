@@ -683,6 +683,34 @@ object ExtendedQueries {
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS lv_ties
         |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
         |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
+    // RANGE EXCLUDE for non-invertible aggregates (r12): value-based
+    // frames make every output row-independent and value-deterministic
+    // (ties ARE the peers). Same slice recombination, with the peer run
+    // located by a [frame-lo, CURRENT ROW] count minus the peer size;
+    // EXCLUDE CURRENT ROW re-inserts the other peers. DuckDB native.
+    "win_sql_exclude_range_minmax" -> (
+      """SELECT o_orderstatus, bucket,
+        |  min(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS mn_group,
+        |  max(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mx_cur,
+        |  first_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS fv_ties,
+        |  last_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS lv_cur
+        |FROM (SELECT o_orderstatus, cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  min(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS mn_group,
+        |  max(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mx_cur,
+        |  first_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS fv_ties,
+        |  last_value(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS lv_cur
+        |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
     // DISTINCT aggregates under GROUPS frames (r11 verdict, Missing #3):
     // Spark rejects DISTINCT window aggregates outright, so the entry
     // lowers them through per-segment collect_list + array_distinct;

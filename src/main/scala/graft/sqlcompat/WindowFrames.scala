@@ -48,9 +48,12 @@ package graft.sqlcompat
   *    INVERTIBLE aggregates (sum/count/avg, and the moment family
   *    stddev/variance since moments are themselves sums), valid because
   *    a RANGE frame that contains the current row contains its whole
-  *    peer group (peers share the exact ORDER BY value). min/max/collect
-  *    under RANGE EXCLUDE are rejected — use a GROUPS frame, where the
-  *    two-segment recompute applies.
+  *    peer group (peers share the exact ORDER BY value). The
+  *    non-invertible family (r12) slice-recombines like the ROWS path
+  *    ([[sliceExcludeRange]]): the peer run's boundaries inside the
+  *    collected frame come from a `[frame-lo, CURRENT ROW]` count minus
+  *    the peer-group size; EXCLUDE CURRENT ROW re-inserts the OTHER
+  *    peers from two peer-partition positional windows.
   *  - EXCLUDE CURRENT ROW on a ROWS frame → positional two-segment
   *    (exact for every class). EXCLUDE GROUP/TIES on a ROWS frame (r12)
   *    → subtraction against a peer-clamped positional window: the peer
@@ -169,7 +172,12 @@ object WindowFrames {
   private def needsHelperCols(c: Call): Boolean =
     c.frame.mode == "groups" ||
       (c.frame.mode == "rows" && c.exclude.exists(m => m == "group" || m == "ties")) ||
-      (c.exclude.nonEmpty && isVarianceFn(c.fn))
+      (c.exclude.nonEmpty && isVarianceFn(c.fn)) ||
+      // RANGE EXCLUDE slice recombination uses peer-size (+ row_number
+      // for CURRENT ROW) helpers — only when the frame contains the
+      // current row (otherwise the clause is a no-op, no helpers)
+      (c.frame.mode == "range" && c.exclude.nonEmpty && isSliceRecombined(c.fn) &&
+        c.frame.lo <= 0 && c.frame.hi >= 0)
 
   def rewrite(masked: String): String = {
     val probe = java.util.regex.Pattern
@@ -914,9 +922,10 @@ object WindowFrames {
     val fullWin = s"OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
     // a RANGE frame contains the current peer group iff it contains the
     // current row (peers share the exact ORDER BY value), so outside that
-    // the EXCLUDE clause is a no-op
+    // the EXCLUDE clause is a no-op (plainFrame keeps IGNORE NULLS)
     val groupInFrame = c.frame.lo <= 0 && c.frame.hi >= 0
-    if (!groupInFrame) return s"${c.fn}(${c.args}) $fullWin"
+    if (!groupInFrame) return plainFrame(c)
+    if (isSliceRecombined(c.fn)) return sliceExcludeRange(c, ctx, mode, order)
     val orderExprs = stripDirections(order)
     val peerPart = c.part.map(p => s"$p, $orderExprs").getOrElse(orderExprs)
     val peerWin = s"OVER (PARTITION BY $peerPart)"
@@ -1128,11 +1137,71 @@ object WindowFrames {
     // matters for first/last/collect)
     val kept = (Seq(s"slice($full, 1, $lenB)") ++ own ++
       Seq(s"slice($full, $startA, $lenA)")).mkString("concat(", ", ", ")")
+    applyToKept(c, kept)
+  }
+
+  /** RANGE EXCLUDE for the non-invertible family (r12). The caller
+    * guarantees the frame contains the current row's value, so the whole
+    * peer group is in-frame (peers share the exact ORDER BY value) and
+    * occupies a contiguous run of the frame in value order. The run's
+    * boundaries come from counts, not positions: rows-at-or-below-current
+    * = `count(*)` over the sub-frame `[frame-lo, CURRENT ROW]` (value
+    * bounds, so it includes every peer), minus the peer-group size for
+    * the prefix length. EXCLUDE CURRENT ROW keeps the OTHER peers: they
+    * are re-inserted positionally from two peer-partition ROWS windows
+    * around the row (any consistent tie order is standard-valid — ties
+    * are exactly the peers, and their relative order inside a RANGE
+    * frame is unspecified).
+    */
+  private def sliceExcludeRange(c: Call, ctx: BlockCtx, mode: String,
+      order: String): String = {
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val struct = s"named_struct('v', ${c.args})"
+    val full =
+      s"collect_list($struct) OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
+    val (loTxt, _) = rangeBoundTexts(c.frame.text)
+    val cntLE = s"count(*) OVER (${partPrefix}ORDER BY $order " +
+      s"RANGE BETWEEN $loTxt AND CURRENT ROW)"
+    val cntFull = s"count(*) OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
+    val pc = ctx.peerSize(c.part, order)
+    val lenB = s"CAST(($cntLE - $pc) AS INT)"
+    val startA = s"CAST(($cntLE + 1) AS INT)"
+    val lenA = s"CAST(($cntFull - $cntLE) AS INT)"
+    val mid: Seq[String] = mode match {
+      case "group" => Nil
+      case "ties" => Seq(s"array($struct)")
+      case _ => // current: keep the other peers, positionally around the row
+        val rn = ctx.rn(c.part, order)
+        val orderVals = stripDirections(order)
+        val peerPart = c.part.map(p => s"$p, $orderVals").getOrElse(orderVals)
+        Seq(
+          s"collect_list($struct) OVER (PARTITION BY $peerPart ORDER BY $rn " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)",
+          s"collect_list($struct) OVER (PARTITION BY $peerPart ORDER BY $rn " +
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+    }
+    val kept = (Seq(s"slice($full, 1, $lenB)") ++ mid ++
+      Seq(s"slice($full, $startA, $lenA)")).mkString("concat(", ", ", ")")
+    applyToKept(c, kept)
+  }
+
+  /** `RANGE [BETWEEN a AND b | bound]` → the bound texts (shorthand form
+    * implies CURRENT ROW as the end).
+    */
+  private def rangeBoundTexts(frameText: String): (String, String) = {
+    val t = frameText.trim.replaceAll("(?is)^range\\s+", "")
+    val m = java.util.regex.Pattern
+      .compile("(?is)^between\\s+(.+?)\\s+and\\s+(.+)$").matcher(t)
+    if (m.matches()) (m.group(1).trim, m.group(2).trim) else (t, "CURRENT ROW")
+  }
+
+  /** Re-aggregate from the kept array (frame order, null-safe structs). */
+  private def applyToKept(c: Call, kept: String): String = {
     val vals = s"transform($kept, __graft_s -> __graft_s.v)"
-    fl match {
+    c.fn.toLowerCase match {
       case "min" | "bool_and" | "every" => s"array_min($vals)"
       case "max" | "bool_or" | "some" | "any" => s"array_max($vals)"
-      case "first_value" | "last_value" =>
+      case fl @ ("first_value" | "last_value") =>
         val pos = if (fl == "first_value") "1" else "-1"
         val src = if (c.ignoreNulls) s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
           else vals

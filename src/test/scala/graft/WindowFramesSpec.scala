@@ -60,9 +60,10 @@ class WindowFramesSpec extends GraftSuite {
     val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT corr(v, k) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e1.getMessage.contains("ROWS") && e1.getMessage.contains("invertible"))
-    // RANGE + EXCLUDE for non-invertible aggregates
+    // RANGE + EXCLUDE for aggregates in neither class (min/max/first/
+    // last/collect slice-recombine since r12; corr still rejects)
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT min(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT corr(v, k) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e2.getMessage.contains("invertible"))
     // DISTINCT outside the GROUPS collect path (RANGE EXCLUDE) and for
     // aggregates the distinct-array fold cannot express
@@ -598,6 +599,34 @@ class WindowFramesSpec extends GraftSuite {
       (k, grp.minOption, ties.maxOption, grp.headOption, ties.lastOption,
         grp.toList, aheadGrp.minOption)
     }.sortBy(t => (t._1, t._2, t._3, t._4, t._5, t._7, t._6.mkString(",")))
+    assert(got === exp)
+  }
+
+  test("RANGE EXCLUDE for non-invertible aggregates (slice recombine) matches the model") {
+    fixture()
+    // RANGE frames are value-based, so outputs are row-independent and
+    // value-deterministic (ties are exactly the peers, all valued k)
+    val got = run(
+      """SELECT v,
+        |  min(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE GROUP) AS mg,
+        |  max(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE CURRENT ROW) AS xc,
+        |  first_value(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE TIES) AS ft,
+        |  last_value(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE CURRENT ROW) AS lc,
+        |  collect_list(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE GROUP) AS cg
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optI(r, 1), optI(r, 2), optI(r, 3), optI(r, 4),
+        r.getSeq[Int](5).toList))).toMap
+    val ks = rows.map(_._1)
+    val exp = rows.map { case (k, v) =>
+      val frame = ks.filter(k2 => (k2 - k).abs <= 10).sorted
+      val grp = frame.filter(_ != k)
+      val below = frame.filter(_ < k); val above = frame.filter(_ > k)
+      val otherPeers = frame.count(_ == k) - 1
+      val curSeq = below ++ Seq.fill(otherPeers)(k) ++ above
+      val tiesSeq = below ++ Seq(k) ++ above
+      v -> ((grp.minOption, curSeq.maxOption, tiesSeq.headOption,
+        curSeq.lastOption, grp.toList))
+    }.toMap
     assert(got === exp)
   }
 
