@@ -711,6 +711,35 @@ object ExtendedQueries {
         |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS lv_cur
         |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
         |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
+    // DISTINCT aggregates under ROWS/RANGE EXCLUDE (r12): the kept-array
+    // slice folds through array_distinct — every exclusion mode, incl.
+    // CURRENT ROW. Arguments are bucket-derived (a ROWS frame's member
+    // VALUES are position-determined under any tie order), frames all
+    // contain the current row. DuckDB runs DISTINCT windowed aggregates
+    // with native EXCLUDE as the oracle.
+    "win_sql_exclude_rows_distinct" -> (
+      """SELECT o_orderstatus, bucket,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS cd_group,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS cd_cur,
+        |  cast(sum(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS bigint) AS sd_ties,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cd_range
+        |FROM (SELECT o_orderstatus, cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS cd_group,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS cd_cur,
+        |  (sum(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES))::bigint AS sd_ties,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cd_range
+        |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
     // DISTINCT aggregates under GROUPS frames (r11 verdict, Missing #3):
     // Spark rejects DISTINCT window aggregates outright, so the entry
     // lowers them through per-segment collect_list + array_distinct;

@@ -74,10 +74,11 @@ package graft.sqlcompat
   *    pulled out under an alias (the reference plans windows after
   *    aggregation in the same scope — `sql/planner/QueryPlanner.java`),
   *    then the ungrouped outer query lowers as usual.
-  *  - DISTINCT aggregates under GROUPS frames (r12): Spark has no
-  *    DISTINCT window aggregates, so count/sum/avg/array_agg(DISTINCT)
-  *    lower through the collect path — per-segment collect_list,
-  *    array_distinct, then size / fold / the array itself.
+  *  - DISTINCT aggregates (r12): Spark has no DISTINCT window
+  *    aggregates, so count/sum/avg/array_agg(DISTINCT) lower through
+  *    collected values + array_distinct, then size / fold / the array
+  *    itself — per-segment collects under GROUPS frames, the kept-array
+  *    slice under ROWS/RANGE EXCLUDE (every mode, incl. CURRENT ROW).
   *  - IGNORE NULLS (r12): first_value/last_value pass through as
   *    `(arg, true)` on plain GROUPS frames; under EXCLUDE they recombine
   *    as coalesce over per-segment ignore-null firsts/lasts in frame
@@ -176,8 +177,13 @@ object WindowFrames {
       // RANGE EXCLUDE slice recombination uses peer-size (+ row_number
       // for CURRENT ROW) helpers — only when the frame contains the
       // current row (otherwise the clause is a no-op, no helpers)
-      (c.frame.mode == "range" && c.exclude.nonEmpty && isSliceRecombined(c.fn) &&
-        c.frame.lo <= 0 && c.frame.hi >= 0)
+      (c.frame.mode == "range" && c.exclude.nonEmpty &&
+        (isSliceRecombined(c.fn) || c.distinct) &&
+        c.frame.lo <= 0 && c.frame.hi >= 0) ||
+      // DISTINCT under ROWS EXCLUDE folds over the kept array for every
+      // mode, incl. CURRENT ROW (the invertible path needs no helpers
+      // there, the distinct fold does)
+      (c.frame.mode == "rows" && c.exclude.nonEmpty && c.distinct)
 
   def rewrite(masked: String): String = {
     val probe = java.util.regex.Pattern
@@ -915,15 +921,25 @@ object WindowFrames {
     */
   private def lowerRangeExclude(c: Call, ctx: BlockCtx): String = {
     val mode = c.exclude.getOrElse(return plainFrame(c)) // NO OTHERS → strip
-    if (c.distinct) fail("DISTINCT aggregates under EXCLUDE are supported on " +
-      "GROUPS frames only (the collect path needs whole-group segments)")
     val order = c.order.getOrElse(fail("RANGE frame requires a window ORDER BY"))
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val fullWin = s"OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
     // a RANGE frame contains the current peer group iff it contains the
     // current row (peers share the exact ORDER BY value), so outside that
-    // the EXCLUDE clause is a no-op (plainFrame keeps IGNORE NULLS)
+    // the EXCLUDE clause is a no-op (plainFrame keeps IGNORE NULLS) —
+    // except DISTINCT, which Spark cannot run as a plain window either:
+    // it folds over the whole collected frame
     val groupInFrame = c.frame.lo <= 0 && c.frame.hi >= 0
+    if (c.distinct) { // r12: distinct folds over the kept array, any mode
+      if (!isDistinctFoldable(c.fn))
+        fail(s"${c.fn}(DISTINCT ...) is not supported under EXCLUDE " +
+          "(supported: count, sum, avg, array_agg/collect_list)")
+      val struct = s"named_struct('v', ${c.args})"
+      if (!groupInFrame)
+        return applyToKept(c,
+          s"collect_list($struct) OVER (${partPrefix}ORDER BY $order ${c.frame.text})")
+      return sliceExcludeRange(c, ctx, mode, order)
+    }
     if (!groupInFrame) return plainFrame(c)
     if (isSliceRecombined(c.fn)) return sliceExcludeRange(c, ctx, mode, order)
     val orderExprs = stripDirections(order)
@@ -1040,9 +1056,13 @@ object WindowFrames {
 
   private def lowerRowsExclude(c: Call, ctx: BlockCtx): String = {
     val mode = c.exclude.getOrElse(return plainFrame(c))
-    if (c.distinct) fail("DISTINCT aggregates under EXCLUDE are supported on " +
-      "GROUPS frames only (the collect path needs whole-group segments)")
     val order = c.order.getOrElse(fail("ROWS frame requires a window ORDER BY"))
+    if (c.distinct) { // r12: distinct folds over the kept array, any mode
+      if (!isDistinctFoldable(c.fn))
+        fail(s"${c.fn}(DISTINCT ...) is not supported under EXCLUDE " +
+          "(supported: count, sum, avg, array_agg/collect_list)")
+      return sliceExcludeRows(c, ctx, mode, order)
+    }
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val lo = c.frame.lo; val hi = c.frame.hi
     mode match {
@@ -1114,12 +1134,17 @@ object WindowFrames {
     */
   private def sliceExcludeRows(c: Call, ctx: BlockCtx, mode: String,
       order: String): String = {
-    val fl = c.fn.toLowerCase
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val rn = ctx.rn(c.part, order)
     val tot = ctx.partSize(c.part)
-    val pLo = ctx.peerFirst(c.part, order)
-    val pHi = s"($pLo + ${ctx.peerSize(c.part, order)} - 1)"
+    // excluded extent: the peer run for GROUP/TIES, the row itself for
+    // CURRENT ROW (positional frames pin the own index exactly)
+    val (pLo, pHi) =
+      if (mode == "current") (rn, rn)
+      else {
+        val first = ctx.peerFirst(c.part, order)
+        (first, s"($first + ${ctx.peerSize(c.part, order)} - 1)")
+      }
     val lo = c.frame.lo; val hi = c.frame.hi
     val fLo = if (lo == UNB_LO) "1" else s"greatest(1, $rn + (${lo}))"
     val fHi = if (hi == UNB_HI) tot else s"least($tot, $rn + (${hi}))"
@@ -1195,9 +1220,29 @@ object WindowFrames {
     if (m.matches()) (m.group(1).trim, m.group(2).trim) else (t, "CURRENT ROW")
   }
 
-  /** Re-aggregate from the kept array (frame order, null-safe structs). */
+  private def isDistinctFoldable(fn: String): Boolean = fn.toLowerCase match {
+    case "count" | "sum" | "avg" | "collect_list" | "array_agg" => true
+    case _ => false
+  }
+
+  /** Re-aggregate from the kept array (frame order, null-safe structs).
+    * DISTINCT folds through array_distinct, same discipline as the
+    * GROUPS collect path ([[combineDistinct]]).
+    */
   private def applyToKept(c: Call, kept: String): String = {
     val vals = s"transform($kept, __graft_s -> __graft_s.v)"
+    if (c.distinct) {
+      val arr = s"array_distinct(filter($vals, __graft_x -> __graft_x IS NOT NULL))"
+      def cnt = s"CAST(coalesce(size($arr), 0) AS BIGINT)"
+      def sum = s"aggregate($arr, CAST(NULL AS DOUBLE), " +
+        s"(__graft_acc, __graft_x) -> coalesce(__graft_acc, CAST(0 AS DOUBLE)) + CAST(__graft_x AS DOUBLE))"
+      return c.fn.toLowerCase match {
+        case "count" => cnt
+        case "sum" => sum
+        case "avg" => s"(($sum) / nullif(CAST(($cnt) AS DOUBLE), 0))"
+        case _ => arr // collect_list | array_agg
+      }
+    }
     c.fn.toLowerCase match {
       case "min" | "bool_and" | "every" => s"array_min($vals)"
       case "max" | "bool_or" | "some" | "any" => s"array_max($vals)"

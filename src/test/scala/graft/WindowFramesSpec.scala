@@ -65,10 +65,11 @@ class WindowFramesSpec extends GraftSuite {
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT corr(v, k) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e2.getMessage.contains("invertible"))
-    // DISTINCT outside the GROUPS collect path (RANGE EXCLUDE) and for
-    // aggregates the distinct-array fold cannot express
+    // DISTINCT for aggregates the distinct-array fold cannot express
+    // (count/sum/avg/array_agg fold over the kept array since r12 —
+    // on GROUPS, ROWS and RANGE alike)
     val e3 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT count(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT min(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3.getMessage.contains("DISTINCT"))
     val e3b = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT min(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
@@ -628,6 +629,38 @@ class WindowFramesSpec extends GraftSuite {
         curSeq.lastOption, grp.toList))
     }.toMap
     assert(got === exp)
+  }
+
+  test("DISTINCT aggregates under ROWS/RANGE EXCLUDE (kept-array fold) match the model") {
+    fixture()
+    // the argument is k-derived: a ROWS frame's member VALUES are fixed
+    // per position under any tie order (the sorted key sequence is
+    // unique), so each position's expected output is well-defined —
+    // a v-derived argument would not be
+    val got2 = run(
+      """SELECT v,
+        |  count(DISTINCT k % 3) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  count(DISTINCT k % 3) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS cc,
+        |  cast(sum(DISTINCT k % 3) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS bigint) AS st,
+        |  count(DISTINCT k % 3) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING EXCLUDE GROUP) AS rg
+        |FROM wf_fixture""".stripMargin)
+      .map(r => (r.getLong(1), r.getLong(2), optL(r, 3), r.getLong(4)))
+      .sorted
+    val ordered = rows.map(_._1).sorted
+    val ks = rows.map(_._1)
+    val exp = ordered.zipWithIndex.map { case (k, p) =>
+      val near = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2))
+        .map(q => (q, ordered(q)))
+      def d(vs: Seq[Int]) = vs.map(_ % 3).distinct
+      val grp = d(near.collect { case (_, x) if x != k => x })
+      val cur = d(near.collect { case (q, x) if q != p => x })
+      val ties = d(near.collect { case (q, x) if x != k || q == p => x })
+      val rangeGrp = d(ks.filter(x => (x - k).abs <= 10 && x != k))
+      (grp.size.toLong, cur.size.toLong,
+        if (ties.isEmpty) None else Some(ties.map(_.toLong).sum),
+        rangeGrp.size.toLong)
+    }.sorted
+    assert(got2 === exp)
   }
 
   test("IGNORE NULLS first_value under ROWS EXCLUDE GROUP (slice path) matches the model") {
