@@ -288,4 +288,18 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("TakeOrderedAndProject"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("ROWS EXCLUDE slice lowering shares one partition exchange across its windows") {
+    // the slice recombination (win_sql_exclude_rows_minmax) evaluates
+    // helper windows (row_number/rank/peer counts), the collected frame
+    // and the recombine — all partitioned by the same key, so the plan
+    // must hash-exchange on that key ONCE and sort within partitions,
+    // never re-shuffle per window (at 100 TB the exchange is the cost)
+    val df = q("win_sql_exclude_rows_minmax"); df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    val reused = s.contains("ReusedExchange")
+    assert(exchanges <= 1 || (exchanges >= 1 && reused),
+      s"expected one hash exchange (or reuse) for the slice lowering, got $exchanges:\n$s")
+  }
 }
