@@ -711,6 +711,30 @@ object ExtendedQueries {
         |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS lv_cur
         |FROM (SELECT o_orderstatus, floor(o_totalprice / 30000)::bigint AS bucket
         |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
+    // Plain DISTINCT window aggregates (r12): no GROUPS/EXCLUDE at all —
+    // Spark rejects aggregate DISTINCT in a window context outright, so
+    // the entry folds the collected frame (frameless, partition-only and
+    // running windows alike; the collect inherits the same implicit-frame
+    // rules). The running column carries a unique tiebreaker so both
+    // engines see the same frame at every row. DuckDB runs DISTINCT
+    // windowed aggregates natively as the oracle.
+    "win_sql_distinct_window" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus) AS cd_part,
+        |  cast(sum(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus) AS bigint) AS sd_part,
+        |  count(DISTINCT bucket % 7) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY bucket, o_orderkey) AS cd_run
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  count(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus) AS cd_part,
+        |  (sum(DISTINCT bucket % 5) OVER (PARTITION BY o_orderstatus))::bigint AS sd_part,
+        |  count(DISTINCT bucket % 7) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY bucket, o_orderkey) AS cd_run
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 30000)::bigint AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
     // DISTINCT aggregates under ROWS/RANGE EXCLUDE (r12): the kept-array
     // slice folds through array_distinct — every exclusion mode, incl.
     // CURRENT ROW. Arguments are bucket-derived (a ROWS frame's member

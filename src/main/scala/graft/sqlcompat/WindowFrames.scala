@@ -186,9 +186,17 @@ object WindowFrames {
       (c.frame.mode == "rows" && c.exclude.nonEmpty && c.distinct)
 
   def rewrite(masked: String): String = {
-    val probe = java.util.regex.Pattern
-      .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(masked)
-    if (!probe.find()) return masked
+    val hasGE = java.util.regex.Pattern
+      .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(masked).find()
+    val mayHaveDistinctWindow =
+      java.util.regex.Pattern.compile("(?i)\\(\\s*DISTINCT\\b").matcher(masked).find() &&
+        java.util.regex.Pattern.compile("(?i)\\bOVER\\b").matcher(masked).find()
+    if (!hasGE && !mayHaveDistinctWindow) return masked
+    if (!hasGE) return rewriteDistinctWindows(masked)
+    rewriteDistinctWindows(rewriteGroupsExclude(masked))
+  }
+
+  private def rewriteGroupsExclude(masked: String): String = {
     // Per-block rewriting (r10 verdict, Missing #1): each WITH definition
     // body and the main query are independent SELECT blocks — rewriting
     // them separately lets a GROUPS window inside a CTE body restructure
@@ -1223,6 +1231,62 @@ object WindowFrames {
   private def isDistinctFoldable(fn: String): Boolean = fn.toLowerCase match {
     case "count" | "sum" | "avg" | "collect_list" | "array_agg" => true
     case _ => false
+  }
+
+  /** Plain DISTINCT window aggregates (r12): `count(DISTINCT x) OVER
+    * (PARTITION BY ... [ORDER BY ...] [frame])` with no GROUPS/EXCLUDE
+    * involvement — Spark rejects aggregate DISTINCT in a window context
+    * outright. The foldable family lowers through the kept-array fold
+    * over the VERBATIM window spec (the collected frame inherits the
+    * same implicit-frame rules, so no frame parsing is needed — this
+    * also covers frameless and partition-only windows), and
+    * min/max/bool_and/bool_or simply drop DISTINCT (semantically
+    * identical). Runs AFTER the GROUPS/EXCLUDE machinery, which has
+    * already consumed its own DISTINCT calls. OVER clauses whose
+    * preceding text is not an aggregate call (named-window refs, plain
+    * windows) are skipped untouched.
+    */
+  private def rewriteDistinctWindows(sql: String): String = {
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < out.length && !changed) {
+        if (wordAt(out, "OVER", i)) {
+          var j = i + 4
+          while (j < out.length && out.charAt(j).isWhitespace) j += 1
+          if (j < out.length && out.charAt(j) == '(') {
+            val close = matchParen(out, j)
+            if (close < 0) return out // malformed — let Spark report it
+            val content = out.substring(j + 1, close)
+            val parsed =
+              try Some(parseCallBefore(out, i))
+              catch { case _: IllegalArgumentException => None }
+            parsed match {
+              case Some((fnStart, fn, args, true, _)) =>
+                val repl = fn.toLowerCase match {
+                  case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" =>
+                    s"$fn($args) OVER ($content)" // DISTINCT is a no-op
+                  case _ if isDistinctFoldable(fn) =>
+                    applyToKept(
+                      Call(fnStart, close + 1, fn, args, None, None,
+                        Frame("rows", 0, 0, ""), None, distinct = true),
+                      s"collect_list(named_struct('v', $args)) OVER ($content)")
+                  case other =>
+                    fail(s"$other(DISTINCT ...) is not supported as a window " +
+                      "aggregate (foldable: count, sum, avg, array_agg/" +
+                      "collect_list; DISTINCT-invariant: min, max, bool_and, bool_or)")
+                }
+                out = out.substring(0, fnStart) + repl + out.substring(close + 1)
+                changed = true
+              case _ => if (!changed) i = close + 1
+            }
+          } else i += 4
+        } else i += 1
+      }
+    }
+    out
   }
 
   /** Re-aggregate from the kept array (frame order, null-safe structs).

@@ -663,6 +663,46 @@ class WindowFramesSpec extends GraftSuite {
     assert(got2 === exp)
   }
 
+  test("plain DISTINCT windows (no GROUPS/EXCLUDE) lower through the kept-array fold") {
+    // frameless / partition-only — Spark rejects these outright
+    val out = WindowFrames.rewrite(
+      "SELECT count(DISTINCT x) OVER (PARTITION BY p) AS c FROM t")
+    assert(out.contains("collect_list(named_struct('v', x)) OVER (PARTITION BY p)"), out)
+    assert(out.contains("array_distinct"), out)
+    assert(!out.toUpperCase.contains("DISTINCT X"), out)
+    // min(DISTINCT) is DISTINCT-invariant: just drop the keyword
+    val out2 = WindowFrames.rewrite(
+      "SELECT min(DISTINCT x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert(out2.contains("min(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"), out2)
+    // untouched: plain windows, non-window DISTINCT aggregates
+    val in3 = "SELECT count(DISTINCT x) AS c, sum(y) OVER (PARTITION BY p) AS s FROM t"
+    assert(WindowFrames.rewrite(in3) == in3)
+    // aggregates in neither class reject loudly
+    val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT stddev(DISTINCT x) OVER (PARTITION BY p) FROM t"))
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
+  test("plain DISTINCT windows match the model through the SQL entry") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  count(DISTINCT k % 3) OVER (PARTITION BY k % 2) AS cp,
+        |  count(DISTINCT k % 3) OVER (ORDER BY k, v) AS cr,
+        |  cast(sum(DISTINCT k % 3) OVER (PARTITION BY k % 2) AS bigint) AS sp
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), optL(r, 3)))).toMap
+    val exp = rows.map { case (k, v) =>
+      val part = rows.map(_._1).filter(_ % 2 == k % 2).map(_ % 3).distinct
+      // default frame with ORDER BY: RANGE UNBOUNDED PRECEDING..CURRENT
+      // ROW over the (k, v) order — v unique, so the running set is exact
+      val upto = rows.sortBy(t => (t._1, t._2))
+        .takeWhile(t => t._1 < k || (t._1 == k && t._2 <= v)).map(_._1 % 3).distinct
+      v -> ((part.size.toLong, upto.size.toLong, Some(part.map(_.toLong).sum)))
+    }.toMap
+    assert(got === exp)
+  }
+
   test("IGNORE NULLS first_value under ROWS EXCLUDE GROUP (slice path) matches the model") {
     fixture()
     // group-constant argument (NULL when k % 20 = 0) keeps positional
