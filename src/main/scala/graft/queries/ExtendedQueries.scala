@@ -889,6 +889,97 @@ object ExtendedQueries {
         |        (100000000 + o_orderkey % 7)::double AS v
         |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
 
+    // corr/covar/regr under EXCLUDE (r12): the co-moment recombination —
+    // n, Σy, Σx, Σy², Σx², Σxy over pair-masked, pivot-centered values —
+    // on all three lowering paths (GROUPS segment recompute, RANGE
+    // frame-minus-peer, ROWS peer-clamped subtraction). A pair with a
+    // NULL on either side is dropped entirely (xv is NULL on every 7th
+    // key, so the mask is exercised). yv scales o_totalprice down three
+    // decades so the round-grid slack dwarfs the accumulated double
+    // error. DuckDB runs the corr family natively under its own EXCLUDE
+    // over the dense_rank lowering (GROUPS) or the verbatim frame.
+    "win_sql_exclude_corr" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 4) + 0 AS corr_group,
+        |  round(covar_samp(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES), 2) + 0 AS covs_ties,
+        |  round(covar_pop(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 2) + 0 AS covp_current,
+        |  round(regr_slope(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 6) + 0 AS sl_current,
+        |  regr_count(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS rc_ties,
+        |  round(regr_r2(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), 6) + 0 AS r2_group
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      o_totalprice / 1000 AS yv,
+        |      CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 997 END AS xv,
+        |      cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 4) + 0 AS corr_group,
+        |  round(covar_samp(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES), 2) + 0 AS covs_ties,
+        |  round(covar_pop(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 2) + 0 AS covp_current,
+        |  round(regr_slope(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 6) + 0 AS sl_current,
+        |  (regr_count(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES))::bigint AS rc_ties,
+        |  round(regr_r2(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), 6) + 0 AS r2_group
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, yv, xv, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        o_totalprice / 1000 AS yv,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 997 END AS xv,
+        |        floor(o_totalprice / 30000)::bigint AS bucket
+        |        FROM orders WHERE o_orderkey % 50 = 0) t) t2""".stripMargin),
+    // the tie-heavy ROWS legs: every argument is a function of the ORDER
+    // key (bucket), so each output is position-determined and the
+    // MULTISET is tie-order-safe; frames all CONTAIN the current row
+    // (DuckDB bridges on frames that don't). min(DISTINCT) pins the
+    // DISTINCT-invariant normalization (the engine drops the keyword and
+    // slice-recombines; DuckDB runs DISTINCT windows natively).
+    "win_sql_exclude_rows_corr" -> (
+      """SELECT o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP), 4) + 0 AS corr_group,
+        |  round(regr_slope(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 6) + 0 AS sl_ties,
+        |  regr_count(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS rc_group,
+        |  round(covar_pop(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 6) + 0 AS cp_ties,
+        |  min(DISTINCT bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS mnd_group
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv,
+        |      (bucket * bucket) % 13 AS xv
+        |      FROM (SELECT o_orderstatus,
+        |            cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP), 4) + 0 AS corr_group,
+        |  round(regr_slope(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 6) + 0 AS sl_ties,
+        |  (regr_count(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP))::bigint AS rc_group,
+        |  round(covar_pop(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 6) + 0 AS cp_ties,
+        |  min(DISTINCT bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS mnd_group
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv,
+        |      (bucket * bucket) % 13 AS xv
+        |      FROM (SELECT o_orderstatus,
+        |            floor(o_totalprice / 30000)::bigint AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

@@ -173,7 +173,7 @@ object WindowFrames {
   private def needsHelperCols(c: Call): Boolean =
     c.frame.mode == "groups" ||
       (c.frame.mode == "rows" && c.exclude.exists(m => m == "group" || m == "ties")) ||
-      (c.exclude.nonEmpty && isVarianceFn(c.fn)) ||
+      (c.exclude.nonEmpty && (isVarianceFn(c.fn) || isCorrFn(c.fn))) ||
       // RANGE EXCLUDE slice recombination uses peer-size (+ row_number
       // for CURRENT ROW) helpers — only when the frame contains the
       // current row (otherwise the clause is a no-op, no helpers)
@@ -243,7 +243,10 @@ object WindowFrames {
         (topLevelKeyword(masked, "GROUP") >= 0 || topLevelKeyword(masked, "HAVING") >= 0))
       return rewriteBlock(degroupForWindows(masked), counter)
     val ctx = new BlockCtx(counter)
-    val replacements = calls.map { c =>
+    val replacements = calls.map { c0 =>
+      // min/max/bool DISTINCT is semantically DISTINCT-free — normalize
+      // before lowering so the EXCLUDE paths take the plain route (r12)
+      val c = if (c0.distinct && isDistinctInvariant(c0.fn)) c0.copy(distinct = false) else c0
       c.frame.mode match {
         case "groups" => (c, lowerGroups(c, ctx))
         case "range"  => (c, lowerRangeExclude(c, ctx))
@@ -822,11 +825,33 @@ object WindowFrames {
         val sumE = combine(ctx, part, "sum", cArg, wins, withOwn, full)
         val sqE = combine(ctx, part, "sum", sqArg, wins, withOwn, full)
         momentVariance(fl, cntE, sumE, sqE)
+      case f if isCorrFn(f) =>
+        // Co-moment recombination (r12): corr/covar/regr are all
+        // expressible from the distributive pair moments n, Σy, Σx, Σy²,
+        // Σx², Σxy — each a plain count/sum over the segment windows, so
+        // the same machinery recombines them. A pair with a NULL on
+        // EITHER side is masked out entirely (SQL-standard binary-agg
+        // semantics; the reference ships these in
+        // aggregation/CentralMomentsAggregation.java /
+        // RegressionAggregation.java with the same pair-null rule), and
+        // both sides center on per-partition pair-masked means so the
+        // n·Σxy − Σy·Σx recompute stays well-conditioned for large means
+        // (the variance family's r11-advice fix, extended to co-moments;
+        // covariance is shift-invariant in both arguments).
+        val m = corrMoments(ctx, part, fn, args)
+        val n = combine(ctx, part, "count", m.one, wins, withOwn, "")
+        val sy = combine(ctx, part, "sum", m.cy, wins, withOwn, full)
+        val sx = combine(ctx, part, "sum", m.cx, wins, withOwn, full)
+        val syy = combine(ctx, part, "sum", s"(${m.cy} * ${m.cy})", wins, withOwn, full)
+        val sxx = combine(ctx, part, "sum", s"(${m.cx} * ${m.cx})", wins, withOwn, full)
+        val sxy = combine(ctx, part, "sum", s"(${m.cy} * ${m.cx})", wins, withOwn, full)
+        corrFromMoments(fl, n, sy, sx, syy, sxx, sxy, m.pivY, m.pivX)
       case other =>
         fail(s"aggregate $other is not supported under GROUPS/EXCLUDE lowering " +
           "(supported: sum, count, avg, min, max, collect_list/array_agg, " +
           "first_value/last_value, stddev/stddev_samp/stddev_pop, " +
-          "variance/var_samp/var_pop; count/sum/avg/array_agg take DISTINCT)")
+          "variance/var_samp/var_pop, corr/covar_samp/covar_pop/regr_*; " +
+          "count/sum/avg/array_agg take DISTINCT)")
     }
   }
 
@@ -919,6 +944,106 @@ object WindowFrames {
     val v = s"(($m2) / $denom)"
     val expr = if (isStd) s"sqrt($v)" else v
     s"CASE WHEN coalesce(($n), 0) < $minN THEN CAST(NULL AS DOUBLE) ELSE $expr END"
+  }
+
+  /** The pair-masked, pivot-centered building blocks shared by both
+    * corr-family recombination sites: `one` counts complete pairs, `cy`/
+    * `cx` are the centered sides (NULL whenever either side is NULL, so
+    * plain sums implement the SQL-standard pair mask), and the pivots are
+    * per-partition pair-masked means (coalesced to 0 so an all-NULL
+    * partition degrades to uncentered arithmetic instead of poisoning the
+    * CASE arms — its n is 0 there anyway). Argument order is the SQL
+    * standard's `(y, x)`: regr_slope(y, x) regresses y ON x, so variance
+    * denominators use the SECOND argument's moments.
+    */
+  private final case class CorrArgs(one: String, cy: String, cx: String,
+      pivY: String, pivX: String)
+
+  private def corrMoments(ctx: BlockCtx, part: Option[String], fn: String,
+      args: String): CorrArgs = {
+    val (yA, xA) = splitTopLevel(args).map(_.trim) match {
+      case Seq(a, b) => (a, b)
+      case other => fail(s"$fn takes exactly two arguments, got ${other.size}: $args")
+    }
+    val both = s"((($yA) IS NOT NULL) AND (($xA) IS NOT NULL))"
+    val pivY = s"coalesce(${ctx.pivot(part, s"CASE WHEN $both THEN ($yA) END")}, CAST(0 AS DOUBLE))"
+    val pivX = s"coalesce(${ctx.pivot(part, s"CASE WHEN $both THEN ($xA) END")}, CAST(0 AS DOUBLE))"
+    CorrArgs(
+      one = s"(CASE WHEN $both THEN 1 END)",
+      cy = s"(CASE WHEN $both THEN (CAST(($yA) AS DOUBLE) - $pivY) END)",
+      cx = s"(CASE WHEN $both THEN (CAST(($xA) AS DOUBLE) - $pivX) END)",
+      pivY = pivY, pivX = pivX)
+  }
+
+  private def isCorrFn(fn: String): Boolean = fn.toLowerCase match {
+    case "corr" | "covar_samp" | "covar_pop" | "regr_slope" | "regr_intercept" |
+         "regr_count" | "regr_avgx" | "regr_avgy" | "regr_r2" |
+         "regr_sxx" | "regr_syy" | "regr_sxy" => true
+    case _ => false
+  }
+
+  /** corr/covar/regr from accumulated pair moments. Callers pass
+    * pivot-CENTERED moments; the averages (regr_avgx/avgy and the
+    * intercept) un-center by adding the pivot back — everything else is
+    * shift-invariant. NULL discipline matches Spark, DuckDB, and
+    * PostgreSQL: NULL below the defined arity (covar_samp n<2, the rest
+    * n<1, regr_count 0), NULL on a zero-variance denominator (nullif),
+    * and regr_r2's special case var(y)=0 → 1 when var(x)≠0. The
+    * greatest(0,·) clamps absorb last-ulp negatives exactly as
+    * [[momentVariance]] does.
+    */
+  private def corrFromMoments(fl: String, n: String, sy: String, sx: String,
+      syy: String, sxx: String, sxy: String, pivY: String, pivX: String): String = {
+    val nD = s"CAST(($n) AS DOUBLE)"
+    def dbl(e: String) = s"CAST(($e) AS DOUBLE)"
+    def m2(q: String, s: String) =
+      s"greatest(CAST(0 AS DOUBLE), ${dbl(q)} - (${dbl(s)} * ${dbl(s)}) / $nD)"
+    // A RATIO function's denominator must distinguish an exactly-zero
+    // variance (DuckDB/PostgreSQL: NULL for corr/slope, the r2 special
+    // case) from a tiny real one — but when the true m2 is 0, the
+    // recombined q − s²/n leaves ~ulp-scale NOISE in numerator and
+    // denominator alike, and noise/noise is a plausible-looking O(1)
+    // garbage value that slips past nullif (caught by the n=1 corner of
+    // the oracle row: corr read −0.63 where every moment was exactly
+    // zero). Zero-test against the CANCELLATION SCALE |q| + s²/n: the
+    // recompute's own error is ~1e-12 of that scale, so 1e-9 of it
+    // cleanly separates "cancelled to zero" from any variance the
+    // moments can actually resolve. Documented bound: a true variance
+    // below 1e-9·(|Σc²| + (Σc)²/n) reads as zero.
+    def m2z(q: String, s: String) = {
+      val scale = s"(abs(${dbl(q)}) + (${dbl(s)} * ${dbl(s)}) / $nD)"
+      s"(CASE WHEN ${m2(q, s)} <= 1e-9 * $scale THEN CAST(0 AS DOUBLE) " +
+        s"ELSE ${m2(q, s)} END)"
+    }
+    val m2y = m2(syy, sy)
+    val m2x = m2(sxx, sx)
+    val m2yz = m2z(syy, sy)
+    val m2xz = m2z(sxx, sx)
+    val cyx = s"(${dbl(sxy)} - (${dbl(sy)} * ${dbl(sx)}) / $nD)"
+    val avgY = s"((${dbl(sy)} / $nD) + $pivY)"
+    val avgX = s"((${dbl(sx)} / $nD) + $pivX)"
+    val slope = s"(($cyx) / nullif(($m2xz), CAST(0 AS DOUBLE)))"
+    def guard(minN: Int, expr: String): String =
+      s"CASE WHEN coalesce(($n), 0) < $minN THEN CAST(NULL AS DOUBLE) ELSE $expr END"
+    fl match {
+      case "covar_pop" => guard(1, s"(($cyx) / $nD)")
+      case "covar_samp" => guard(2, s"(($cyx) / ($nD - 1))")
+      case "corr" =>
+        guard(1, s"(($cyx) / nullif(sqrt(($m2yz) * ($m2xz)), CAST(0 AS DOUBLE)))")
+      case "regr_count" => s"CAST(coalesce(($n), 0) AS BIGINT)"
+      case "regr_avgy" => guard(1, avgY)
+      case "regr_avgx" => guard(1, avgX)
+      case "regr_sxx" => guard(1, m2x)
+      case "regr_syy" => guard(1, m2y)
+      case "regr_sxy" => guard(1, cyx)
+      case "regr_slope" => guard(1, slope)
+      case "regr_intercept" => guard(1, s"($avgY - ($slope) * $avgX)")
+      case "regr_r2" => guard(1,
+        s"(CASE WHEN ($m2xz) = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN ($m2yz) = 0 THEN CAST(1 AS DOUBLE) " +
+          s"ELSE ((($cyx) * ($cyx)) / (($m2xz) * ($m2yz))) END)")
+      case other => fail(s"not a corr-family aggregate: $other")
+    }
   }
 
   // ----------------------------------------------- RANGE EXCLUDE lowering
@@ -1021,9 +1146,29 @@ object WindowFrames {
         val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
         val sqArg = s"($cArg * $cArg)"
         momentVariance(fl, exCnt, sumEx(cArg), sumEx(sqArg))
+      case f if isCorrFn(f) =>
+        // pair moments are invertible sums too (r12; see [[combine]]'s
+        // corr case for the pair-mask / centering discipline) — the pair
+        // COUNT rebuilds exCnt's frame-minus-excluded arithmetic over the
+        // masked 1 so NULL-sided pairs never count
+        val m = corrMoments(ctx, part, fn, args)
+        def pc(win: String) = s"count(${m.one}) $win"
+        val ownPair = s"(CASE WHEN ${m.one} IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)"
+        val pairN = mode match {
+          case "group" => s"(${pc(fullWin)} - ${pc(peerWin)})"
+          case "ties" =>
+            s"(${pc(fullWin)} - ${pc(peerWin)}" +
+              (if (ownInFrame) s" + $ownPair)" else ")")
+          case "current" =>
+            if (ownInFrame) s"(${pc(fullWin)} - $ownPair)" else s"(${pc(fullWin)})"
+        }
+        corrFromMoments(fl, pairN, sumEx(m.cy), sumEx(m.cx),
+          sumEx(s"(${m.cy} * ${m.cy})"), sumEx(s"(${m.cx} * ${m.cx})"),
+          sumEx(s"(${m.cy} * ${m.cx})"), m.pivY, m.pivX)
       case other =>
         fail(s"EXCLUDE on a $frameKind frame supports only invertible aggregates " +
-          s"(sum/count/avg and the moment family stddev/variance), got $other — " +
+          s"(sum/count/avg, the moment family stddev/variance, and the pair-moment " +
+          s"family corr/covar/regr_*), got $other — " +
           "use a GROUPS frame for min/max/collect/first/last (segment recompute applies there)")
     }
   }
@@ -1233,6 +1378,12 @@ object WindowFrames {
     case _ => false
   }
 
+  /** Aggregates on which DISTINCT is a semantic no-op. */
+  private def isDistinctInvariant(fn: String): Boolean = fn.toLowerCase match {
+    case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" => true
+    case _ => false
+  }
+
   /** Plain DISTINCT window aggregates (r12): `count(DISTINCT x) OVER
     * (PARTITION BY ... [ORDER BY ...] [frame])` with no GROUPS/EXCLUDE
     * involvement — Spark rejects aggregate DISTINCT in a window context
@@ -1266,7 +1417,7 @@ object WindowFrames {
             parsed match {
               case Some((fnStart, fn, args, true, _)) =>
                 val repl = fn.toLowerCase match {
-                  case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" =>
+                  case f if isDistinctInvariant(f) =>
                     s"$fn($args) OVER ($content)" // DISTINCT is a no-op
                   case _ if isDistinctFoldable(fn) =>
                     applyToKept(

@@ -302,4 +302,18 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 1 || (exchanges >= 1 && reused),
       s"expected one hash exchange (or reuse) for the slice lowering, got $exchanges:\n$s")
   }
+
+  test("corr-family EXCLUDE lowering shares one partition exchange across its windows") {
+    // the co-moment recombination evaluates six moment windows per call
+    // plus rn/g/pivot helpers — partitioned by (status) and the finer
+    // (status, peer-group), and HashPartitioning(status) satisfies
+    // clustering on both, so the plan must exchange ONCE; the six sums
+    // ride the same sorted partition (at 100 TB the exchange is the cost)
+    val df = q("win_sql_exclude_rows_corr"); df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    val reused = s.contains("ReusedExchange")
+    assert(exchanges <= 1 || (exchanges >= 1 && reused),
+      s"expected one hash exchange (or reuse) for the corr lowering, got $exchanges:\n$s")
+  }
 }

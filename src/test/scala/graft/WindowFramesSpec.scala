@@ -54,26 +54,30 @@ class WindowFramesSpec extends GraftSuite {
 
   test("unsound combinations are rejected with the reason, never silently lowered") {
     // ROWS + EXCLUDE GROUP/TIES: invertibles subtract, the min/max/
-    // first/last/collect family slice-recombines (r12) — an aggregate in
-    // NEITHER class (corr needs paired moments the slice path does not
-    // rebuild) still rejects loudly
+    // first/last/collect family slice-recombines, corr/covar/regr rebuild
+    // pair moments (all r12) — an aggregate in NO class (kurtosis would
+    // need 4th moments the lowering does not accumulate) rejects loudly
     val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT corr(v, k) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT kurtosis(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e1.getMessage.contains("ROWS") && e1.getMessage.contains("invertible"))
-    // RANGE + EXCLUDE for aggregates in neither class (min/max/first/
-    // last/collect slice-recombine since r12; corr still rejects)
+    // RANGE + EXCLUDE for aggregates in no class
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT corr(v, k) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT kurtosis(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e2.getMessage.contains("invertible"))
-    // DISTINCT for aggregates the distinct-array fold cannot express
-    // (count/sum/avg/array_agg fold over the kept array since r12 —
-    // on GROUPS, ROWS and RANGE alike)
+    // DISTINCT for aggregates the distinct-array fold cannot express and
+    // that are not DISTINCT-invariant (min/max/bool normalize to the
+    // plain path since r12; stddev(DISTINCT) would need a distinct-set
+    // moment recompute)
     val e3 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT min(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT stddev(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3.getMessage.contains("DISTINCT"))
     val e3b = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT min(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT stddev(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3b.getMessage.contains("DISTINCT"))
+    // corr-family arity is checked before lowering
+    val e3c = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT corr(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+    assert(e3c.getMessage.contains("two arguments"))
     // positional GROUP BY under the grouped-query pre-pass: the inner
     // select list is rebuilt, so ordinals would silently regroup
     val e4 = intercept[IllegalArgumentException](WindowFrames.rewrite(
@@ -815,6 +819,159 @@ class WindowFramesSpec extends GraftSuite {
         case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"vp at $v: $a vs $b")
         case (a, b) => assert(a === b)
       }
+    }
+  }
+
+  // corr/covar/regr model: complete pairs only (either side NULL drops
+  // the pair — SQL-standard binary-aggregate semantics), two-pass exact
+  private def pairStats(ps: Seq[(Double, Double)]): (Int, Double, Double, Double, Double, Double) = {
+    val n = ps.length
+    if (n == 0) return (0, 0, 0, 0, 0, 0)
+    val my = ps.map(_._1).sum / n
+    val mx = ps.map(_._2).sum / n
+    val m2y = ps.map(p => (p._1 - my) * (p._1 - my)).sum
+    val m2x = ps.map(p => (p._2 - mx) * (p._2 - mx)).sum
+    val cyx = ps.map(p => (p._1 - my) * (p._2 - mx)).sum
+    (n, my, mx, m2y, m2x, cyx)
+  }
+  private def closeOpt(a: Option[Double], b: Option[Double], tag: String): Unit = (a, b) match {
+    case (None, None) => ()
+    case (Some(x), Some(y)) =>
+      assert(math.abs(x - y) < 1e-9 * math.max(1.0, math.abs(y)), s"$tag: $x vs $y")
+    case _ => fail(s"$tag: $a vs $b")
+  }
+
+  test("corr/covar family under GROUPS EXCLUDE (co-moment recompute) matches the model") {
+    fixture()
+    // y is NULL on v % 4 = 0 — the pair mask must drop those rows on BOTH
+    // sides, not just in y's sum
+    val got = run(
+      """SELECT v,
+        |  corr(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, v * v % 17) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  covar_samp(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, v * v % 17) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS ct,
+        |  covar_pop(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, v * v % 17) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS cc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optD(r, 1), optD(r, 2), optD(r, 3)))).toMap
+    def pairsOf(vs: Seq[Int]): Seq[(Double, Double)] =
+      vs.collect { case v2 if v2 % 4 != 0 => (v2.toDouble, ((v2 * v2) % 17).toDouble) }
+    def corrOf(vs: Seq[Int]): Option[Double] = {
+      val (n, _, _, m2y, m2x, cyx) = pairStats(pairsOf(vs))
+      if (n < 1 || m2y * m2x == 0) None else Some(cyx / math.sqrt(m2y * m2x))
+    }
+    def covOf(vs: Seq[Int], samp: Boolean): Option[Double] = {
+      val (n, _, _, _, _, cyx) = pairStats(pairsOf(vs))
+      if (n < (if (samp) 2 else 1)) None else Some(cyx / (if (samp) n - 1 else n))
+    }
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val (gg, gt, gc) = got(v)
+      closeOpt(gg, corrOf(f.collect { case (k2, v2) if k2 != k => v2 }), s"corr at $v")
+      closeOpt(gt, covOf(f.collect { case (k2, v2) if k2 != k || v2 == v => v2 }, samp = true), s"covs at $v")
+      closeOpt(gc, covOf(f.collect { case (_, v2) if v2 != v => v2 }, samp = false), s"covp at $v")
+    }
+  }
+
+  test("regr family under ROWS/RANGE EXCLUDE (co-moment subtraction) matches the model") {
+    fixture()
+    // ROWS legs order by the UNIQUE v so per-row keying is deterministic
+    // (the tie-heavy ROWS path is pinned by the exact regr_count leg
+    // below and the DuckDB oracle row); RANGE leg keeps the tied k order
+    val got = run(
+      """SELECT v,
+        |  regr_slope(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS sl,
+        |  regr_intercept(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS ic,
+        |  regr_r2(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS r2,
+        |  regr_avgy(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS ay,
+        |  regr_avgx(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS ax,
+        |  regr_count(CASE WHEN v % 4 = 0 THEN NULL ELSE v + k END, v * v % 17) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS rc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) ->
+        ((optD(r, 1), optD(r, 2), optD(r, 3), optD(r, 4), optD(r, 5), r.getLong(6)))).toMap
+    val byV = rows.map(_.swap).toMap // v -> k (v is unique)
+    def pairsOf(vs: Seq[Int]): Seq[(Double, Double)] =
+      vs.collect { case v2 if v2 % 4 != 0 =>
+        ((v2 + byV(v2)).toDouble, ((v2 * v2) % 17).toDouble) }
+    val ordered = rows.map(_._2).sorted // positions in ORDER BY v
+    rows.foreach { case (k, v) =>
+      val p = ordered.indexOf(v)
+      // unique ORDER BY: the peer group is the row itself, so GROUP and
+      // CURRENT ROW remove exactly the own row while TIES is a no-op
+      val rowsFrameFull = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2))
+        .map(ordered)
+      val rowsFrame = rowsFrameFull.filter(_ != v)
+      val rangeF = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+      val exCur = rangeF.collect { case (_, v2) if v2 != v => v2 }
+      val exGrp = rangeF.collect { case (k2, v2) if k2 != k => v2 }
+      val exTies = rangeF.collect { case (k2, v2) if k2 != k || v2 == v => v2 }
+      def slopeOf(vs: Seq[Int]): Option[Double] = {
+        val (n, _, _, _, m2x, cyx) = pairStats(pairsOf(vs))
+        if (n < 1 || m2x == 0) None else Some(cyx / m2x)
+      }
+      def interceptOf(vs: Seq[Int]): Option[Double] = {
+        val (n, my, mx, _, m2x, cyx) = pairStats(pairsOf(vs))
+        if (n < 1 || m2x == 0) None else Some(my - (cyx / m2x) * mx)
+      }
+      def r2Of(vs: Seq[Int]): Option[Double] = {
+        val (n, _, _, m2y, m2x, cyx) = pairStats(pairsOf(vs))
+        if (n < 1 || m2x == 0) None
+        else if (m2y == 0) Some(1.0)
+        else Some(cyx * cyx / (m2x * m2y))
+      }
+      def avgOf(vs: Seq[Int], ofY: Boolean): Option[Double] = {
+        val (n, my, mx, _, _, _) = pairStats(pairsOf(vs))
+        if (n < 1) None else Some(if (ofY) my else mx)
+      }
+      val (sl, ic, r2, ay, ax, rc) = got(v)
+      closeOpt(sl, slopeOf(rowsFrame), s"slope at $v")
+      closeOpt(ic, interceptOf(rowsFrameFull), s"intercept at $v")
+      closeOpt(r2, r2Of(rowsFrame), s"r2 at $v")
+      closeOpt(ay, avgOf(exCur, ofY = true), s"avgy at $v")
+      closeOpt(ax, avgOf(exGrp, ofY = false), s"avgx at $v")
+      assert(rc === pairsOf(exTies).length.toLong, s"regr_count at $v")
+    }
+  }
+
+  test("regr_count under tie-heavy ROWS EXCLUDE is exact (multiset, args on the order key)") {
+    fixture()
+    val got = run(
+      """SELECT k,
+        |  regr_count(CASE WHEN k = 20 THEN NULL ELSE k END, k * k % 23) OVER
+        |    (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cg,
+        |  regr_count(CASE WHEN k = 20 THEN NULL ELSE k END, k * k % 23) OVER
+        |    (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS ct
+        |FROM wf_fixture""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val ordered = rows.map(_._1).sorted
+    val exp = ordered.zipWithIndex.map { case (k, p) =>
+      val near = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2)).map(ordered)
+      def n(vs: Seq[Int]) = vs.count(_ != 20).toLong
+      (k, n(near.filter(_ != k)),
+        n(near.zipWithIndex.collect { case (k2, q) if k2 != k || q + math.max(0, p - 2) == p => k2 }))
+    }.sorted
+    assert(got === exp)
+  }
+
+  test("min/max/bool DISTINCT under EXCLUDE normalize to the plain lowering (r12)") {
+    fixture()
+    val both = run(
+      """SELECT v,
+        |  min(DISTINCT k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS md,
+        |  min(k) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS mp,
+        |  max(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS xd,
+        |  max(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS xp
+        |FROM wf_fixture""".stripMargin)
+    both.foreach { r =>
+      assert(optI(r, 1) === optI(r, 2), s"min DISTINCT at ${r.getInt(0)}")
+      assert(optI(r, 3) === optI(r, 4), s"max DISTINCT at ${r.getInt(0)}")
     }
   }
 
