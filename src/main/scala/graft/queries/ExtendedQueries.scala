@@ -980,6 +980,62 @@ object ExtendedQueries {
         |            floor(o_totalprice / 30000)::bigint AS bucket
         |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin),
 
+    // skewness/kurtosis under EXCLUDE (r12): the same moment machinery
+    // one and two orders higher (S3, S4 are plain sums over the segment
+    // windows). Definitions are Spark's population g1/g2 — matching the
+    // plain-frame passthrough and the batch `agg_stats` convention — so
+    // DuckDB (whose natives are bias-corrected) recomputes the same
+    // formulas from windowed moment sums under its native EXCLUDE, with
+    // nullif giving the same NULL at n<=1 that the engine's
+    // cancellation-scale zero test produces. yv is NULL on every 7th key
+    // to exercise the non-null count discipline.
+    "win_sql_exclude_skew" -> (
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(skewness(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 4) + 0 AS sk_group,
+        |  round(kurtosis(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES), 4) + 0 AS kt_ties,
+        |  round(skewness(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 4) + 0 AS sk_current
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice / 1000 END AS yv,
+        |      cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice / 1000 END AS yv,
+        |    floor(o_totalprice / 30000)::bigint AS bucket
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |cent AS (
+        |  SELECT *, dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g,
+        |    yv - avg(yv) OVER (PARTITION BY o_orderstatus) AS c
+        |  FROM base),
+        |w AS (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    count(c) OVER wg AS ng, sum(c) OVER wg AS s1g,
+        |    sum(c*c) OVER wg AS s2g, sum(c*c*c) OVER wg AS s3g,
+        |    count(c) OVER wt AS nt, sum(c) OVER wt AS s1t, sum(c*c) OVER wt AS s2t,
+        |    sum(c*c*c) OVER wt AS s3t, sum(c*c*c*c) OVER wt AS s4t,
+        |    count(c) OVER wc AS nc, sum(c) OVER wc AS s1c,
+        |    sum(c*c) OVER wc AS s2c, sum(c*c*c) OVER wc AS s3c
+        |  FROM cent
+        |  WINDOW
+        |    wg AS (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP),
+        |    wt AS (PARTITION BY o_orderstatus ORDER BY g
+        |      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES),
+        |    wc AS (PARTITION BY o_orderstatus ORDER BY bucket
+        |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW))
+        |SELECT o_orderkey, o_orderstatus, bucket,
+        |  round(sqrt(ng) * (s3g - 3*s1g*s2g/ng + 2*s1g*s1g*s1g/(ng*ng))
+        |    / nullif(pow(s2g - s1g*s1g/ng, 1.5), 0), 4) + 0 AS sk_group,
+        |  round(nt * (s4t - 4*s1t*s3t/nt + 6*s1t*s1t*s2t/(nt*nt)
+        |      - 3*s1t*s1t*s1t*s1t/(nt*nt*nt))
+        |    / nullif((s2t - s1t*s1t/nt) * (s2t - s1t*s1t/nt), 0) - 3, 4) + 0 AS kt_ties,
+        |  round(sqrt(nc) * (s3c - 3*s1c*s2c/nc + 2*s1c*s1c*s1c/(nc*nc))
+        |    / nullif(pow(s2c - s1c*s1c/nc, 1.5), 0), 4) + 0 AS sk_current
+        |FROM w""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

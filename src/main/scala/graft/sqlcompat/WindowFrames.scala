@@ -173,7 +173,8 @@ object WindowFrames {
   private def needsHelperCols(c: Call): Boolean =
     c.frame.mode == "groups" ||
       (c.frame.mode == "rows" && c.exclude.exists(m => m == "group" || m == "ties")) ||
-      (c.exclude.nonEmpty && (isVarianceFn(c.fn) || isCorrFn(c.fn))) ||
+      (c.exclude.nonEmpty &&
+        (isVarianceFn(c.fn) || isCorrFn(c.fn) || isSkewKurtFn(c.fn))) ||
       // RANGE EXCLUDE slice recombination uses peer-size (+ row_number
       // for CURRENT ROW) helpers — only when the frame contains the
       // current row (otherwise the clause is a no-op, no helpers)
@@ -825,6 +826,17 @@ object WindowFrames {
         val sumE = combine(ctx, part, "sum", cArg, wins, withOwn, full)
         val sqE = combine(ctx, part, "sum", sqArg, wins, withOwn, full)
         momentVariance(fl, cntE, sumE, sqE)
+      case "skewness" | "kurtosis" =>
+        // same machinery one and two moments higher (r12): S3 and S4 are
+        // plain sums over the segment windows too
+        val piv = ctx.pivot(part, args)
+        val c1 = s"(CAST(($args) AS DOUBLE) - $piv)"
+        val n = combine(ctx, part, "count", args, wins, withOwn, "")
+        val s1 = combine(ctx, part, "sum", c1, wins, withOwn, full)
+        val s2 = combine(ctx, part, "sum", s"($c1 * $c1)", wins, withOwn, full)
+        val s3 = combine(ctx, part, "sum", s"($c1 * $c1 * $c1)", wins, withOwn, full)
+        val s4 = combine(ctx, part, "sum", s"($c1 * $c1 * $c1 * $c1)", wins, withOwn, full)
+        momentSkewKurt(fl, n, s1, s2, s3, s4)
       case f if isCorrFn(f) =>
         // Co-moment recombination (r12): corr/covar/regr are all
         // expressible from the distributive pair moments n, Σy, Σx, Σy²,
@@ -850,8 +862,8 @@ object WindowFrames {
         fail(s"aggregate $other is not supported under GROUPS/EXCLUDE lowering " +
           "(supported: sum, count, avg, min, max, collect_list/array_agg, " +
           "first_value/last_value, stddev/stddev_samp/stddev_pop, " +
-          "variance/var_samp/var_pop, corr/covar_samp/covar_pop/regr_*; " +
-          "count/sum/avg/array_agg take DISTINCT)")
+          "variance/var_samp/var_pop, skewness/kurtosis, " +
+          "corr/covar_samp/covar_pop/regr_*; count/sum/avg/array_agg take DISTINCT)")
     }
   }
 
@@ -944,6 +956,46 @@ object WindowFrames {
     val v = s"(($m2) / $denom)"
     val expr = if (isStd) s"sqrt($v)" else v
     s"CASE WHEN coalesce(($n), 0) < $minN THEN CAST(NULL AS DOUBLE) ELSE $expr END"
+  }
+
+  /** skewness/kurtosis from accumulated power sums S1..S4 of
+    * pivot-CENTERED values (central moments are shift-invariant, and
+    * centering keeps the Sk − f(S1..Sk−1) cancellations conditioned).
+    * Semantics match Spark's plain-window aggregates — population g1 =
+    * √n·M3/M2^1.5 and population excess g2 = n·M4/M2² − 3 — so an
+    * EXCLUDE clause never changes the statistic's definition, only its
+    * frame (the reference's `CentralMomentsAggregation.java` guards
+    * n<3/n<4 and bias-corrects kurtosis; the batch rows already pin the
+    * engine to Spark's definition via the recomputed oracle, and this
+    * follows them). A zero variance NULLs the ratio via the same
+    * cancellation-scale zero test as the corr family (Spark's NaN there
+    * is unreachable through the oracle rows — documented corner).
+    */
+  private def momentSkewKurt(fl: String, n: String, s1: String, s2: String,
+      s3: String, s4: String): String = {
+    val nD = s"CAST(($n) AS DOUBLE)"
+    def dbl(e: String) = s"CAST(($e) AS DOUBLE)"
+    val a1 = dbl(s1); val a2 = dbl(s2); val a3 = dbl(s3); val a4 = dbl(s4)
+    val m2raw = s"($a2 - ($a1 * $a1) / $nD)"
+    val scale = s"(abs($a2) + ($a1 * $a1) / $nD)"
+    val m2 = s"(CASE WHEN greatest(CAST(0 AS DOUBLE), $m2raw) <= 1e-9 * $scale " +
+      s"THEN CAST(0 AS DOUBLE) ELSE greatest(CAST(0 AS DOUBLE), $m2raw) END)"
+    val m3 = s"($a3 - 3.0D * $a1 * $a2 / $nD + 2.0D * $a1 * $a1 * $a1 / ($nD * $nD))"
+    val m4 = s"($a4 - 4.0D * $a1 * $a3 / $nD + 6.0D * $a1 * $a1 * $a2 / ($nD * $nD) " +
+      s"- 3.0D * $a1 * $a1 * $a1 * $a1 / ($nD * $nD * $nD))"
+    val expr = fl match {
+      case "skewness" =>
+        s"(sqrt($nD) * $m3 / nullif(power($m2, 1.5D), CAST(0 AS DOUBLE)))"
+      case "kurtosis" =>
+        s"(($nD * $m4) / nullif(($m2 * $m2), CAST(0 AS DOUBLE)) - 3.0D)"
+      case other => fail(s"not a higher-moment aggregate: $other")
+    }
+    s"CASE WHEN coalesce(($n), 0) < 1 THEN CAST(NULL AS DOUBLE) ELSE $expr END"
+  }
+
+  private def isSkewKurtFn(fn: String): Boolean = fn.toLowerCase match {
+    case "skewness" | "kurtosis" => true
+    case _ => false
   }
 
   /** The pair-masked, pivot-centered building blocks shared by both
@@ -1146,6 +1198,12 @@ object WindowFrames {
         val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
         val sqArg = s"($cArg * $cArg)"
         momentVariance(fl, exCnt, sumEx(cArg), sumEx(sqArg))
+      case "skewness" | "kurtosis" =>
+        // higher central moments are invertible sums too (r12)
+        val piv = ctx.pivot(part, args)
+        val c1 = s"(CAST(($args) AS DOUBLE) - $piv)"
+        momentSkewKurt(fl, exCnt, sumEx(c1), sumEx(s"($c1 * $c1)"),
+          sumEx(s"($c1 * $c1 * $c1)"), sumEx(s"($c1 * $c1 * $c1 * $c1)"))
       case f if isCorrFn(f) =>
         // pair moments are invertible sums too (r12; see [[combine]]'s
         // corr case for the pair-mask / centering discipline) — the pair
@@ -1167,8 +1225,8 @@ object WindowFrames {
           sumEx(s"(${m.cy} * ${m.cx})"), m.pivY, m.pivX)
       case other =>
         fail(s"EXCLUDE on a $frameKind frame supports only invertible aggregates " +
-          s"(sum/count/avg, the moment family stddev/variance, and the pair-moment " +
-          s"family corr/covar/regr_*), got $other — " +
+          s"(sum/count/avg, the moment family stddev/variance/skewness/kurtosis, " +
+          s"and the pair-moment family corr/covar/regr_*), got $other — " +
           "use a GROUPS frame for min/max/collect/first/last (segment recompute applies there)")
     }
   }

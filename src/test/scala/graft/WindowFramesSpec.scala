@@ -54,15 +54,16 @@ class WindowFramesSpec extends GraftSuite {
 
   test("unsound combinations are rejected with the reason, never silently lowered") {
     // ROWS + EXCLUDE GROUP/TIES: invertibles subtract, the min/max/
-    // first/last/collect family slice-recombines, corr/covar/regr rebuild
-    // pair moments (all r12) — an aggregate in NO class (kurtosis would
-    // need 4th moments the lowering does not accumulate) rejects loudly
+    // first/last/collect family slice-recombines, the moment families
+    // (variance through kurtosis, corr/covar/regr) rebuild from sums
+    // (all r12) — an aggregate in NO class (a sketch cannot be
+    // subtracted or sliced) rejects loudly
     val e1 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT kurtosis(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT approx_count_distinct(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e1.getMessage.contains("ROWS") && e1.getMessage.contains("invertible"))
     // RANGE + EXCLUDE for aggregates in no class
     val e2 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT kurtosis(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT approx_count_distinct(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e2.getMessage.contains("invertible"))
     // DISTINCT for aggregates the distinct-array fold cannot express and
     // that are not DISTINCT-invariant (min/max/bool normalize to the
@@ -937,6 +938,49 @@ class WindowFramesSpec extends GraftSuite {
       closeOpt(ay, avgOf(exCur, ofY = true), s"avgy at $v")
       closeOpt(ax, avgOf(exGrp, ofY = false), s"avgx at $v")
       assert(rc === pairsOf(exTies).length.toLong, s"regr_count at $v")
+    }
+  }
+
+  test("skewness/kurtosis under GROUPS/RANGE EXCLUDE (higher-moment recompute) match the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  skewness(CASE WHEN v % 4 = 0 THEN NULL ELSE v * v END) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sg,
+        |  kurtosis(CASE WHEN v % 4 = 0 THEN NULL ELSE v * v END) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS kt,
+        |  skewness(CASE WHEN v % 4 = 0 THEN NULL ELSE v * v END) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS sr,
+        |  kurtosis(CASE WHEN v % 4 = 0 THEN NULL ELSE v * v END) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS kr
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optD(r, 1), optD(r, 2), optD(r, 3), optD(r, 4)))).toMap
+    def vals(vs: Seq[Int]): Seq[Double] =
+      vs.collect { case v2 if v2 % 4 != 0 => (v2 * v2).toDouble }
+    def g1(vs: Seq[Int]): Option[Double] = {
+      val xs = vals(vs); val n = xs.length
+      if (n < 1) return None
+      val mu = xs.sum / n
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum
+      if (m2 == 0) None else Some(math.sqrt(n.toDouble) * m3 / math.pow(m2, 1.5))
+    }
+    def g2(vs: Seq[Int]): Option[Double] = {
+      val xs = vals(vs); val n = xs.length
+      if (n < 1) return None
+      val mu = xs.sum / n
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum
+      if (m2 == 0) None else Some(n * m4 / (m2 * m2) - 3.0)
+    }
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val rangeF = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+      val (sg, kt, sr, kr) = got(v)
+      closeOpt(sg, g1(f.collect { case (k2, v2) if k2 != k => v2 }), s"skew-g at $v")
+      closeOpt(kt, g2(f.collect { case (k2, v2) if k2 != k || v2 == v => v2 }), s"kurt-t at $v")
+      closeOpt(sr, g1(rangeF.collect { case (_, v2) if v2 != v => v2 }), s"skew-r at $v")
+      closeOpt(kr, g2(rangeF.collect { case (k2, v2) if k2 != k => v2 }), s"kurt-r at $v")
     }
   }
 
