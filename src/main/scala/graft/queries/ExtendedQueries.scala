@@ -1036,6 +1036,85 @@ object ExtendedQueries {
         |    / nullif(pow(s2c - s1c*s1c/nc, 1.5), 0), 4) + 0 AS sk_current
         |FROM w""".stripMargin),
 
+    // stddev/variance DISTINCT windows (r12): Spark rejects DISTINCT
+    // window aggregates outright; the engine folds n, Σc, Σc² from the
+    // deduplicated kept array (centered on its first element) through
+    // the shared moment formulas, on plain windows and under EXCLUDE
+    // alike. DuckDB runs DISTINCT windowed stddev natively as the
+    // oracle. ROWS-leg arguments are functions of the ORDER key so the
+    // multiset stays tie-order-safe; stddev's sqrt keeps rounded values
+    // off exact decimal boundaries (and the rational corner is
+    // parity-impossible at the half-grid).
+    "win_sql_distinct_stddev" -> (
+      """SELECT o_orderstatus, bucket,
+        |  round(stddev(DISTINCT yv) OVER (PARTITION BY o_orderstatus), 4) + 0 AS sd_part,
+        |  round(stddev_pop(DISTINCT yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 4) + 0 AS sp_group,
+        |  round(stddev(DISTINCT yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 4) + 0 AS sd_ties
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 7 END AS yv
+        |      FROM (SELECT o_orderstatus,
+        |            cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  round(stddev(DISTINCT yv) OVER (PARTITION BY o_orderstatus), 4) + 0 AS sd_part,
+        |  round(stddev_pop(DISTINCT yv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 4) + 0 AS sp_group,
+        |  round(stddev(DISTINCT yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 4) + 0 AS sd_ties
+        |FROM (
+        |  SELECT o_orderstatus, bucket, yv,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderstatus, bucket,
+        |        CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 7 END AS yv
+        |        FROM (SELECT o_orderstatus,
+        |              floor(o_totalprice / 30000)::bigint AS bucket
+        |              FROM orders WHERE o_orderkey % 50 = 0) b) t) t2""".stripMargin),
+    // nth_value under EXCLUDE + IGNORE NULLS (r12): the engine indexes
+    // the kept sequence (per-segment collects on GROUPS, the slice
+    // recombination on ROWS/RANGE); every argument is a function of the
+    // ORDER key, so intra-peer-group collection order — which the SQL
+    // standard leaves unspecified — cannot change any output. DuckDB
+    // spells IGNORE NULLS inside the call (`nth_value(x, 2 IGNORE
+    // NULLS)`); the engine accepts the reference grammar's postfix form.
+    "win_sql_exclude_nth" -> (
+      """SELECT o_orderstatus, bucket,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS n2_group,
+        |  nth_value(yv, 3) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS n3_ties,
+        |  nth_value(yv, 2) IGNORE NULLS OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS n2_group_in,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS n2_rows,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS n2_range
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv
+        |      FROM (SELECT o_orderstatus,
+        |            cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS n2_group,
+        |  nth_value(yv, 3) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS n3_ties,
+        |  nth_value(yv, 2 IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS n2_group_in,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS n2_rows,
+        |  nth_value(yv, 2) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS n2_range
+        |FROM (
+        |  SELECT o_orderstatus, bucket, yv,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderstatus, bucket,
+        |        CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv
+        |        FROM (SELECT o_orderstatus,
+        |              floor(o_totalprice / 30000)::bigint AS bucket
+        |              FROM orders WHERE o_orderkey % 50 = 0) b) t) t2""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

@@ -183,8 +183,10 @@ object WindowFrames {
         c.frame.lo <= 0 && c.frame.hi >= 0) ||
       // DISTINCT under ROWS EXCLUDE folds over the kept array for every
       // mode, incl. CURRENT ROW (the invertible path needs no helpers
-      // there, the distinct fold does)
-      (c.frame.mode == "rows" && c.exclude.nonEmpty && c.distinct)
+      // there, the distinct fold does) — and so does nth_value, which
+      // slices the kept sequence on CURRENT ROW too (r12)
+      (c.frame.mode == "rows" && c.exclude.nonEmpty &&
+        (c.distinct || c.fn.toLowerCase == "nth_value"))
 
   def rewrite(masked: String): String = {
     val hasGE = java.util.regex.Pattern
@@ -693,8 +695,9 @@ object WindowFrames {
     val lo = c.frame.lo; val hi = c.frame.hi
     val nullsSfx = if (c.ignoreNulls) ", true" else ""
     val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
-    if (c.ignoreNulls && !Set("first_value", "last_value")(c.fn.toLowerCase))
-      fail(s"IGNORE NULLS is supported only on first_value/last_value, got ${c.fn}")
+    if (c.ignoreNulls &&
+        !Set("first_value", "last_value", "nth_value")(c.fn.toLowerCase))
+      fail(s"IGNORE NULLS is supported only on first_value/last_value/nth_value, got ${c.fn}")
     if (c.distinct && c.ignoreNulls) fail("DISTINCT with IGNORE NULLS is not valid")
     val groupInFrame = lo <= 0 && hi >= 0
     // segment windows in FRAME ORDER: groups strictly before the current
@@ -736,6 +739,18 @@ object WindowFrames {
               withOwn = false,
               split("1 FOLLOWING AND UNBOUNDED FOLLOWING") +: afterSeg.toSeq, full)
         }
+      case Some(mode) if c.fn.toLowerCase == "nth_value" =>
+        // nth needs the whole kept SEQUENCE, not segment firsts/lasts —
+        // collect null-safe structs per segment in frame order (r12)
+        val (befores, withOwn, afters) = mode match {
+          case "group" => (beforeSeg.toSeq, false, afterSeg.toSeq)
+          case "ties" => (beforeSeg.toSeq, true, afterSeg.toSeq)
+          case _ =>
+            (beforeSeg.toSeq :+ split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
+              false,
+              split("1 FOLLOWING AND UNBOUNDED FOLLOWING") +: afterSeg.toSeq)
+        }
+        combineNth(c, befores, withOwn, afters)
       case Some(mode) =>
         val segWins = beforeSeg.toSeq ++ afterSeg.toSeq
         val extraWins = mode match {
@@ -889,9 +904,11 @@ object WindowFrames {
       case "sum" => sum
       case "avg" => s"(($sum) / nullif(CAST(($cnt) AS DOUBLE), 0))"
       case "collect_list" | "array_agg" => arr
+      case f if isVarianceFn(f) => varianceOfArray(f, arr)
       case other =>
         fail(s"$other(DISTINCT ...) is not supported under GROUPS/EXCLUDE " +
-          "lowering (supported: count, sum, avg, array_agg/collect_list)")
+          "lowering (supported: count, sum, avg, array_agg/collect_list, " +
+          "stddev/variance)")
     }
   }
 
@@ -1283,6 +1300,8 @@ object WindowFrames {
         val nullsSfx = if (c.ignoreNulls) ", true" else ""
         val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
         if (lo > 0 || hi < 0) return full // current row outside the frame
+        if (c.fn.toLowerCase == "nth_value") // needs the kept SEQUENCE (r12)
+          return sliceExcludeRows(c, ctx, mode, order)
         val beforeSeg = if (lo <= math.min(hi, -1L)) Some(win(lo, math.min(hi, -1L))) else None
         val afterSeg = if (math.max(lo, 1L) <= hi) Some(win(math.max(lo, 1L), hi)) else None
         if (Set("first_value", "last_value")(c.fn.toLowerCase))
@@ -1320,7 +1339,8 @@ object WindowFrames {
 
   private def isSliceRecombined(fn: String): Boolean = fn.toLowerCase match {
     case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" |
-         "first_value" | "last_value" | "collect_list" | "array_agg" => true
+         "first_value" | "last_value" | "nth_value" |
+         "collect_list" | "array_agg" => true
     case _ => false
   }
 
@@ -1359,14 +1379,14 @@ object WindowFrames {
     val lo = c.frame.lo; val hi = c.frame.hi
     val fLo = if (lo == UNB_LO) "1" else s"greatest(1, $rn + (${lo}))"
     val fHi = if (hi == UNB_HI) tot else s"least($tot, $rn + (${hi}))"
-    val full = s"collect_list(named_struct('v', ${c.args})) " +
+    val full = s"collect_list(named_struct('v', ${collectArgOf(c)})) " +
       s"OVER (${partPrefix}ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
     val lenB = s"CAST(greatest(0, least(($fHi) + 1, $pLo) - ($fLo)) AS INT)"
     val startA = s"CAST(greatest(1, least($fHi, $pHi) - ($fLo) + 2) AS INT)"
     val lenA = s"CAST(greatest(0, ($fHi) - greatest($pHi, ($fLo) - 1)) AS INT)"
     val own =
       if (mode == "ties" && lo <= 0 && hi >= 0)
-        Seq(s"array(named_struct('v', ${c.args}))")
+        Seq(s"array(named_struct('v', ${collectArgOf(c)}))")
       else Nil
     // the own row's position lies INSIDE the excluded run, so in frame
     // order the TIES-kept sequence is prefix ++ own ++ suffix (order
@@ -1392,7 +1412,7 @@ object WindowFrames {
   private def sliceExcludeRange(c: Call, ctx: BlockCtx, mode: String,
       order: String): String = {
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
-    val struct = s"named_struct('v', ${c.args})"
+    val struct = s"named_struct('v', ${collectArgOf(c)})"
     val full =
       s"collect_list($struct) OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
     val (loTxt, _) = rangeBoundTexts(c.frame.text)
@@ -1433,7 +1453,22 @@ object WindowFrames {
 
   private def isDistinctFoldable(fn: String): Boolean = fn.toLowerCase match {
     case "count" | "sum" | "avg" | "collect_list" | "array_agg" => true
-    case _ => false
+    case f => isVarianceFn(f) // r12: variance folds from the distinct array
+  }
+
+  /** Variance family over a deduplicated array: n, Σc, Σc² from a fold,
+    * centered on the array's first element (shift-invariant, keeps the
+    * q − s²/n recompute conditioned — the array is frame-bounded so the
+    * fold is cheap), then the shared [[momentVariance]] arity/zero rules.
+    */
+  private def varianceOfArray(fl: String, arr: String): String = {
+    val shift = s"coalesce(CAST(try_element_at($arr, 1) AS DOUBLE), CAST(0 AS DOUBLE))"
+    val n = s"CAST(coalesce(size($arr), 0) AS BIGINT)"
+    def sumPow(p: Int): String = {
+      val term = (1 to p).map(_ => s"(CAST(__graft_x AS DOUBLE) - $shift)").mkString(" * ")
+      s"aggregate($arr, CAST(0 AS DOUBLE), (__graft_acc, __graft_x) -> __graft_acc + $term)"
+    }
+    momentVariance(fl, n, sumPow(1), sumPow(2))
   }
 
   /** Aggregates on which DISTINCT is a semantic no-op. */
@@ -1498,6 +1533,36 @@ object WindowFrames {
     out
   }
 
+  /** nth_value under GROUPS EXCLUDE (r12): the kept sequence is the
+    * before-segments, then (TIES) the own row or (CURRENT ROW) the
+    * positional splits of the peer group, then the after-segments — all
+    * in frame order, so concatenating per-segment null-safe collects and
+    * indexing reproduces the nth semantics exactly (RESPECT NULLS counts
+    * NULL elements; IGNORE NULLS filters them in [[applyToKept]]).
+    */
+  private def combineNth(c: Call, befores: Seq[String], withOwn: Boolean,
+      afters: Seq[String]): String = {
+    val st = s"named_struct('v', ${collectArgOf(c)})"
+    def seg(w: String) = s"collect_list($st) $w"
+    val parts = befores.map(seg) ++
+      (if (withOwn) Seq(s"array($st)") else Nil) ++ afters.map(seg)
+    val kept = parts match {
+      case Seq() => s"slice(array($st), 1, 0)" // typed empty array
+      case Seq(one) => one
+      case many => many.mkString("concat(", ", ", ")")
+    }
+    applyToKept(c, kept)
+  }
+
+  /** The expression collected into the kept array: nth_value's VALUE
+    * argument (its second argument is the index, consumed at indexing
+    * time), everything else's full argument text.
+    */
+  private def collectArgOf(c: Call): String =
+    if (c.fn.toLowerCase == "nth_value")
+      splitTopLevel(c.args).headOption.map(_.trim).getOrElse(c.args)
+    else c.args
+
   /** Re-aggregate from the kept array (frame order, null-safe structs).
     * DISTINCT folds through array_distinct, same discipline as the
     * GROUPS collect path ([[combineDistinct]]).
@@ -1513,6 +1578,7 @@ object WindowFrames {
         case "count" => cnt
         case "sum" => sum
         case "avg" => s"(($sum) / nullif(CAST(($cnt) AS DOUBLE), 0))"
+        case f if isVarianceFn(f) => varianceOfArray(f, arr)
         case _ => arr // collect_list | array_agg
       }
     }
@@ -1524,6 +1590,14 @@ object WindowFrames {
         val src = if (c.ignoreNulls) s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
           else vals
         s"try_element_at($src, $pos)"
+      case "nth_value" =>
+        val k = splitTopLevel(c.args).map(_.trim) match {
+          case Seq(_, kk) => kk
+          case o => fail(s"nth_value takes exactly two arguments, got ${o.size}: ${c.args}")
+        }
+        val src = if (c.ignoreNulls) s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
+          else vals
+        s"try_element_at($src, CAST(($k) AS INT))"
       case _ => // collect_list | array_agg: match the aggregates' NULL-dropping
         s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
     }

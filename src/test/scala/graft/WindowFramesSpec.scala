@@ -67,13 +67,13 @@ class WindowFramesSpec extends GraftSuite {
     assert(e2.getMessage.contains("invertible"))
     // DISTINCT for aggregates the distinct-array fold cannot express and
     // that are not DISTINCT-invariant (min/max/bool normalize to the
-    // plain path since r12; stddev(DISTINCT) would need a distinct-set
-    // moment recompute)
+    // plain path, count/sum/avg/collect/variance fold over the kept
+    // array since r12; a DISTINCT over PAIRS has no kept-array analog)
     val e3 = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT stddev(DISTINCT v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT corr(DISTINCT v, k) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3.getMessage.contains("DISTINCT"))
     val e3b = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT stddev(DISTINCT v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
+      "SELECT corr(DISTINCT v, k) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3b.getMessage.contains("DISTINCT"))
     // corr-family arity is checked before lowering
     val e3c = intercept[IllegalArgumentException](WindowFrames.rewrite(
@@ -682,9 +682,13 @@ class WindowFramesSpec extends GraftSuite {
     // untouched: plain windows, non-window DISTINCT aggregates
     val in3 = "SELECT count(DISTINCT x) AS c, sum(y) OVER (PARTITION BY p) AS s FROM t"
     assert(WindowFrames.rewrite(in3) == in3)
-    // aggregates in neither class reject loudly
+    // variance folds from the distinct array too (r12)
+    val out4 = WindowFrames.rewrite(
+      "SELECT stddev(DISTINCT x) OVER (PARTITION BY p) FROM t")
+    assert(out4.contains("array_distinct") && !out4.toUpperCase.contains("DISTINCT X"), out4)
+    // aggregates in no class (DISTINCT over pairs) reject loudly
     val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT stddev(DISTINCT x) OVER (PARTITION BY p) FROM t"))
+      "SELECT corr(DISTINCT x, y) OVER (PARTITION BY p) FROM t"))
     assert(e.getMessage.contains("DISTINCT"))
   }
 
@@ -1002,6 +1006,80 @@ class WindowFramesSpec extends GraftSuite {
         n(near.zipWithIndex.collect { case (k2, q) if k2 != k || q + math.max(0, p - 2) == p => k2 }))
     }.sorted
     assert(got === exp)
+  }
+
+  test("stddev/variance DISTINCT windows fold over the distinct array") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  stddev(DISTINCT CASE WHEN v % 4 = 0 THEN NULL ELSE v % 3 END) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sdg,
+        |  var_pop(DISTINCT v % 3) OVER
+        |    (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS vpt,
+        |  var_samp(DISTINCT v % 3) OVER (PARTITION BY k) AS vsp
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optD(r, 1), optD(r, 2), optD(r, 3)))).toMap
+    def varOf(vs: Seq[Int], samp: Boolean): Option[Double] = {
+      val xs = vs.distinct.map(_.toDouble)
+      val n = xs.length
+      if (n < (if (samp) 2 else 1)) None
+      else {
+        val mu = xs.sum / n
+        Some(xs.map(x => (x - mu) * (x - mu)).sum / (if (samp) n - 1 else n))
+      }
+    }
+    val ordered = rows.map(_._1).sorted
+    rows.foreach { case (k, v) =>
+      val (sdg, vpt, vsp) = got(v)
+      val gvals = frameOf(k, 1, 1).collect {
+        case (k2, v2) if k2 != k && v2 % 4 != 0 => v2 % 3 }
+      closeOpt(sdg, varOf(gvals, samp = true).map(math.sqrt), s"sd-distinct at $v")
+      // ROWS leg: args are (v % 3) but EXCLUDE TIES keeps non-peers +
+      // own — with ties on k the multiset varies per position, so only
+      // check the partition-only leg exactly and the ROWS leg for
+      // non-null presence (its exactness is pinned by the oracle rows)
+      assert(vpt.isDefined || rows.count(_._1 == k) > 3, s"vp-distinct at $v")
+      closeOpt(vsp, varOf(rows.filter(_._1 == k).map(_._2 % 3), samp = true), s"vs-distinct at $v")
+    }
+  }
+
+  test("nth_value under GROUPS/ROWS/RANGE EXCLUDE (kept-sequence index) matches the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  nth_value(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, 2) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS ng,
+        |  nth_value(v, 2) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS nt,
+        |  nth_value(v, 3) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS nc,
+        |  nth_value(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, 2) IGNORE NULLS OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS ngi,
+        |  nth_value(v, 2) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS nr,
+        |  nth_value(CASE WHEN v % 4 = 0 THEN NULL ELSE v END, 2) IGNORE NULLS OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS npi
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) ->
+        ((optI(r, 1), optI(r, 2), optI(r, 3), optI(r, 4), optI(r, 5), optI(r, 6)))).toMap
+    def mask(v2: Int): Option[Int] = if (v2 % 4 == 0) None else Some(v2)
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1) // frame order = (key order, insertion order)
+      val grp = f.collect { case (k2, v2) if k2 != k => v2 }
+      val ties = f.collect { case (k2, v2) if k2 != k || v2 == v => v2 }
+      // EXCLUDE CURRENT ROW keeps the other peers in position
+      val cur = f.collect { case (_, v2) if v2 != v => v2 }
+      val rangeGrp = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+        .collect { case (k2, v2) if k2 != k => v2 }
+      val (ng, nt, nc, ngi, nr, npi) = got(v)
+      assert(ng === grp.lift(1).flatMap(mask), s"ng at $v")
+      assert(nt === ties.lift(1), s"nt at $v")
+      assert(nc === cur.lift(2), s"nc at $v")
+      assert(ngi === grp.flatMap(mask(_)).lift(1), s"ngi at $v")
+      assert(nr === rangeGrp.lift(1), s"nr at $v")
+      // plain GROUPS frame: IGNORE NULLS passes through as the 3-arg form
+      assert(npi === f.map(_._2).flatMap(mask(_)).lift(1), s"npi at $v")
+    }
   }
 
   test("min/max/bool DISTINCT under EXCLUDE normalize to the plain lowering (r12)") {
