@@ -137,9 +137,20 @@ object WindowFrames {
     def rn(part: Option[String], order: String): String =
       alloc("rn", part, order,
         () => s"row_number() OVER (${partPrefix(part)}ORDER BY $order)")
+    def pivotText(part: Option[String], args: String): String =
+      s"avg(CAST(($args) AS DOUBLE)) OVER (${partPrefix(part).trim})"
     def pivot(part: Option[String], args: String): String =
-      alloc("piv", part, args,
-        () => s"avg(CAST(($args) AS DOUBLE)) OVER (${partPrefix(part).trim})")
+      alloc("piv", part, args, () => pivotText(part, args))
+    /** A plain helper COLUMN holding a per-row value expression. The
+      * moment lowerings put their pivot-centered arguments here so the
+      * windowed sums read a column per frame row instead of re-evaluating
+      * a CASE/CAST tree per (row, frame position) — measured 8.5× → see
+      * R12MOMENT_PROBE. Defs live in one inner select list, so `expr`
+      * must not reference sibling helper aliases (inline the pivot's
+      * defining text via [[pivotText]], never its name).
+      */
+    def value(expr: String): String =
+      alloc("cval", None, expr, () => expr)
     /** First row_number of the current row's peer group: rank() with
       * gaps IS that position. Independent of the other helpers (no
       * sibling-alias references — all helper defs live in one inner
@@ -833,9 +844,10 @@ object WindowFrames {
         // accumulated over pivot-CENTERED values (r11 advice): variance is
         // shift-invariant, and centering on avg(x) over the partition
         // keeps q − s²/n from cancelling catastrophically when the mean
-        // dwarfs the spread.
-        val piv = ctx.pivot(part, args)
-        val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
+        // dwarfs the spread. The centered side is a helper COLUMN so the
+        // frame scan reads a value, not a CAST tree (R12MOMENT_PROBE).
+        val cArg = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
+          s"${ctx.pivotText(part, args)})")
         val sqArg = s"($cArg * $cArg)"
         val cntE = combine(ctx, part, "count", args, wins, withOwn, "")
         val sumE = combine(ctx, part, "sum", cArg, wins, withOwn, full)
@@ -844,8 +856,8 @@ object WindowFrames {
       case "skewness" | "kurtosis" =>
         // same machinery one and two moments higher (r12): S3 and S4 are
         // plain sums over the segment windows too
-        val piv = ctx.pivot(part, args)
-        val c1 = s"(CAST(($args) AS DOUBLE) - $piv)"
+        val c1 = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
+          s"${ctx.pivotText(part, args)})")
         val n = combine(ctx, part, "count", args, wins, withOwn, "")
         val s1 = combine(ctx, part, "sum", c1, wins, withOwn, full)
         val s2 = combine(ctx, part, "sum", s"($c1 * $c1)", wins, withOwn, full)
@@ -1035,12 +1047,22 @@ object WindowFrames {
       case other => fail(s"$fn takes exactly two arguments, got ${other.size}: $args")
     }
     val both = s"((($yA) IS NOT NULL) AND (($xA) IS NOT NULL))"
-    val pivY = s"coalesce(${ctx.pivot(part, s"CASE WHEN $both THEN ($yA) END")}, CAST(0 AS DOUBLE))"
-    val pivX = s"coalesce(${ctx.pivot(part, s"CASE WHEN $both THEN ($xA) END")}, CAST(0 AS DOUBLE))"
+    val maskY = s"CASE WHEN $both THEN ($yA) END"
+    val maskX = s"CASE WHEN $both THEN ($xA) END"
+    // the centered sides are helper COLUMNS (computed once per row; the
+    // windowed sums then read a column per frame position) — their defs
+    // inline the pivot's window text, since sibling aliases don't
+    // resolve inside one select list. The NAMED pivots are kept for the
+    // OUTER un-centering (regr_avgx/avgy/intercept), where inner aliases
+    // are in scope.
+    val pivYInl = s"coalesce(${ctx.pivotText(part, maskY)}, CAST(0 AS DOUBLE))"
+    val pivXInl = s"coalesce(${ctx.pivotText(part, maskX)}, CAST(0 AS DOUBLE))"
+    val pivY = s"coalesce(${ctx.pivot(part, maskY)}, CAST(0 AS DOUBLE))"
+    val pivX = s"coalesce(${ctx.pivot(part, maskX)}, CAST(0 AS DOUBLE))"
     CorrArgs(
-      one = s"(CASE WHEN $both THEN 1 END)",
-      cy = s"(CASE WHEN $both THEN (CAST(($yA) AS DOUBLE) - $pivY) END)",
-      cx = s"(CASE WHEN $both THEN (CAST(($xA) AS DOUBLE) - $pivX) END)",
+      one = ctx.value(s"(CASE WHEN $both THEN 1 END)"),
+      cy = ctx.value(s"(CASE WHEN $both THEN (CAST(($yA) AS DOUBLE) - $pivYInl) END)"),
+      cx = ctx.value(s"(CASE WHEN $both THEN (CAST(($xA) AS DOUBLE) - $pivXInl) END)"),
       pivY = pivY, pivX = pivX)
   }
 
@@ -1210,15 +1232,16 @@ object WindowFrames {
         // extends to the variance family (the CASE arity guard in
         // momentVariance nulls the n=0/1 corners the coalesce-0 sums
         // would otherwise mis-state); centered on the partition mean so
-        // the q − s²/n recompute stays well-conditioned (r11 advice)
-        val piv = ctx.pivot(part, args)
-        val cArg = s"(CAST(($args) AS DOUBLE) - $piv)"
+        // the q − s²/n recompute stays well-conditioned (r11 advice),
+        // and the centered side is a helper COLUMN (R12MOMENT_PROBE)
+        val cArg = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
+          s"${ctx.pivotText(part, args)})")
         val sqArg = s"($cArg * $cArg)"
         momentVariance(fl, exCnt, sumEx(cArg), sumEx(sqArg))
       case "skewness" | "kurtosis" =>
         // higher central moments are invertible sums too (r12)
-        val piv = ctx.pivot(part, args)
-        val c1 = s"(CAST(($args) AS DOUBLE) - $piv)"
+        val c1 = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
+          s"${ctx.pivotText(part, args)})")
         momentSkewKurt(fl, exCnt, sumEx(c1), sumEx(s"($c1 * $c1)"),
           sumEx(s"($c1 * $c1 * $c1)"), sumEx(s"($c1 * $c1 * $c1 * $c1)"))
       case f if isCorrFn(f) =>
