@@ -1115,6 +1115,58 @@ object ExtendedQueries {
         |              floor(o_totalprice / 30000)::bigint AS bucket
         |              FROM orders WHERE o_orderkey % 50 = 0) b) t) t2""".stripMargin),
 
+    // Order statistics + the r12 stragglers under EXCLUDE: median and
+    // percentile recombine as a linear-interpolated quantile of the kept
+    // sequence (the rule Spark's percentile and DuckDB's median/
+    // quantile_cont share), count_if delegates to the count lowering
+    // over the predicate's true-mask, and bit_xor subtracts by XOR-ing
+    // again (self-inverse). All arguments are functions of the ORDER
+    // key, so positional frames stay tie-order-safe.
+    "win_sql_exclude_orderstat" -> (
+      """SELECT o_orderstatus, bucket,
+        |  round(median(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 6) + 0 AS med_group,
+        |  round(percentile(yv, 0.25) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 6) + 0 AS p25_ties,
+        |  round(median(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 6) + 0 AS med_current,
+        |  count_if(bucket % 3 = 0) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS ci_ties,
+        |  count_if(bucket % 3 = 0) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP) AS ci_group,
+        |  bit_xor(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS bx_group,
+        |  bit_xor(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS bx_current
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv
+        |      FROM (SELECT o_orderstatus,
+        |            cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  round((median(yv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP))::double, 6) + 0 AS med_group,
+        |  round((quantile_cont(yv, 0.25) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES))::double, 6) + 0 AS p25_ties,
+        |  round((median(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW))::double, 6) + 0 AS med_current,
+        |  (count(*) FILTER (WHERE bucket % 3 = 0) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES))::bigint AS ci_ties,
+        |  (count(*) FILTER (WHERE bucket % 3 = 0) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE GROUP))::bigint AS ci_group,
+        |  bit_xor(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS bx_group,
+        |  bit_xor(yv) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS bx_current
+        |FROM (
+        |  SELECT o_orderstatus, bucket, yv,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderstatus, bucket,
+        |        CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv
+        |        FROM (SELECT o_orderstatus,
+        |              floor(o_totalprice / 30000)::bigint AS bucket
+        |              FROM orders WHERE o_orderkey % 50 = 0) b) t) t2""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

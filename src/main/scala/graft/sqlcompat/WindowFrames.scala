@@ -197,7 +197,7 @@ object WindowFrames {
       // there, the distinct fold does) — and so does nth_value, which
       // slices the kept sequence on CURRENT ROW too (r12)
       (c.frame.mode == "rows" && c.exclude.nonEmpty &&
-        (c.distinct || c.fn.toLowerCase == "nth_value"))
+        (c.distinct || isKeptSeqFn(c.fn)))
 
   def rewrite(masked: String): String = {
     val hasGE = java.util.regex.Pattern
@@ -750,9 +750,10 @@ object WindowFrames {
               withOwn = false,
               split("1 FOLLOWING AND UNBOUNDED FOLLOWING") +: afterSeg.toSeq, full)
         }
-      case Some(mode) if c.fn.toLowerCase == "nth_value" =>
-        // nth needs the whole kept SEQUENCE, not segment firsts/lasts —
-        // collect null-safe structs per segment in frame order (r12)
+      case Some(mode) if isKeptSeqFn(c.fn) =>
+        // nth_value/median/percentile need the whole kept SEQUENCE, not
+        // segment firsts/lasts — collect null-safe structs per segment
+        // in frame order (r12)
         val (befores, withOwn, afters) = mode match {
           case "group" => (beforeSeg.toSeq, false, afterSeg.toSeq)
           case "ties" => (beforeSeg.toSeq, true, afterSeg.toSeq)
@@ -805,6 +806,20 @@ object WindowFrames {
           val allNull = terms.map(t => s"$t IS NULL").mkString(" AND ")
           val added = terms.map(t => s"coalesce($t, 0)").mkString(" + ")
           s"CASE WHEN $allNull THEN NULL ELSE $added END"
+        }
+      case "count_if" => // count over the predicate's true-mask (r12)
+        combine(ctx, part, "count", s"(CASE WHEN ($args) THEN 1 END)",
+          wins, withOwn, "")
+      case "bit_xor" =>
+        // XOR is its own inverse, so segment recombination is the plain
+        // fold (and frame-minus-excluded subtraction XORs again) — NULLs
+        // skip, empty result is NULL, matching the aggregate
+        val terms = aggTerms(fn, args) ++ (if (withOwn) Seq(s"($args)") else Nil)
+        if (terms.isEmpty) s"CASE WHEN false THEN $full END"
+        else {
+          val allNull = terms.map(t => s"$t IS NULL").mkString(" AND ")
+          val folded = terms.map(t => s"coalesce($t, 0)").reduce((a, b) => s"($a ^ $b)")
+          s"CASE WHEN $allNull THEN NULL ELSE $folded END"
         }
       case "count" =>
         val star = args.trim == "*"
@@ -1238,6 +1253,19 @@ object WindowFrames {
           s"${ctx.pivotText(part, args)})")
         val sqArg = s"($cArg * $cArg)"
         momentVariance(fl, exCnt, sumEx(cArg), sumEx(sqArg))
+      case "count_if" => // count over the predicate's true-mask (r12)
+        subtractCombine(ctx, part, "count", s"(CASE WHEN ($args) THEN 1 END)",
+          fullWin, peerWin, mode, ownInFrame, frameKind)
+      case "bit_xor" => // XOR removes by re-applying (self-inverse, r12)
+        val xF = s"coalesce(bit_xor($args) $fullWin, 0)"
+        val xP = s"coalesce(bit_xor($args) $peerWin, 0)"
+        val ownX = s"coalesce(($args), 0)"
+        val folded = mode match {
+          case "group" => s"($xF ^ $xP)"
+          case "ties" => if (ownInFrame) s"(($xF ^ $xP) ^ $ownX)" else s"($xF ^ $xP)"
+          case "current" => if (ownInFrame) s"($xF ^ $ownX)" else s"($xF)"
+        }
+        s"CASE WHEN ($exCnt) = 0 THEN NULL ELSE $folded END"
       case "skewness" | "kurtosis" =>
         // higher central moments are invertible sums too (r12)
         val c1 = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
@@ -1323,7 +1351,7 @@ object WindowFrames {
         val nullsSfx = if (c.ignoreNulls) ", true" else ""
         val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
         if (lo > 0 || hi < 0) return full // current row outside the frame
-        if (c.fn.toLowerCase == "nth_value") // needs the kept SEQUENCE (r12)
+        if (isKeptSeqFn(c.fn)) // needs the kept SEQUENCE (r12)
           return sliceExcludeRows(c, ctx, mode, order)
         val beforeSeg = if (lo <= math.min(hi, -1L)) Some(win(lo, math.min(hi, -1L))) else None
         val afterSeg = if (math.max(lo, 1L) <= hi) Some(win(math.max(lo, 1L), hi)) else None
@@ -1362,7 +1390,7 @@ object WindowFrames {
 
   private def isSliceRecombined(fn: String): Boolean = fn.toLowerCase match {
     case "min" | "max" | "bool_and" | "bool_or" | "every" | "some" | "any" |
-         "first_value" | "last_value" | "nth_value" |
+         "first_value" | "last_value" | "nth_value" | "median" | "percentile" |
          "collect_list" | "array_agg" => true
     case _ => false
   }
@@ -1577,14 +1605,40 @@ object WindowFrames {
     applyToKept(c, kept)
   }
 
-  /** The expression collected into the kept array: nth_value's VALUE
-    * argument (its second argument is the index, consumed at indexing
-    * time), everything else's full argument text.
+  /** The expression collected into the kept array: the VALUE argument
+    * for nth_value/percentile (their second argument — index, fraction —
+    * is consumed at recombine time), everything else's full text.
     */
-  private def collectArgOf(c: Call): String =
-    if (c.fn.toLowerCase == "nth_value")
+  private def collectArgOf(c: Call): String = c.fn.toLowerCase match {
+    case "nth_value" | "percentile" =>
       splitTopLevel(c.args).headOption.map(_.trim).getOrElse(c.args)
-    else c.args
+    case _ => c.args
+  }
+
+  /** Aggregates recombined from the kept SEQUENCE (not segment
+    * firsts/lasts or invertible sums): positional indexing and the
+    * order statistics.
+    */
+  private def isKeptSeqFn(fn: String): Boolean = fn.toLowerCase match {
+    case "nth_value" | "median" | "percentile" => true
+    case _ => false
+  }
+
+  /** Linear-interpolated quantile of the kept array's non-null values —
+    * the rule Spark's `percentile` and DuckDB's `quantile_cont`/`median`
+    * share: pos = 1 + p·(n−1), interpolate between floor and ceil.
+    */
+  private def quantileOfKept(vals: String, p: String): String = {
+    val arr = s"array_sort(transform(filter($vals, __graft_x -> __graft_x IS NOT NULL), " +
+      s"__graft_x -> CAST(__graft_x AS DOUBLE)))"
+    val n = s"size($arr)"
+    val pos = s"(CAST(1 AS DOUBLE) + ($p) * (CAST($n AS DOUBLE) - 1))"
+    val lo = s"CAST(floor($pos) AS INT)"
+    val hi = s"CAST(ceil($pos) AS INT)"
+    s"(CASE WHEN coalesce($n, 0) = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE element_at($arr, $lo) + (($pos) - floor($pos)) * " +
+      s"(element_at($arr, $hi) - element_at($arr, $lo)) END)"
+  }
 
   /** Re-aggregate from the kept array (frame order, null-safe structs).
     * DISTINCT folds through array_distinct, same discipline as the
@@ -1621,6 +1675,14 @@ object WindowFrames {
         val src = if (c.ignoreNulls) s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
           else vals
         s"try_element_at($src, CAST(($k) AS INT))"
+      case "median" => quantileOfKept(vals, "CAST(0.5 AS DOUBLE)")
+      case "percentile" =>
+        val p = splitTopLevel(c.args).map(_.trim) match {
+          case Seq(_, pp) => s"CAST(($pp) AS DOUBLE)"
+          case o => fail(s"percentile takes exactly two arguments under the " +
+            s"window lowering, got ${o.size}: ${c.args}")
+        }
+        quantileOfKept(vals, p)
       case _ => // collect_list | array_agg: match the aggregates' NULL-dropping
         s"filter($vals, __graft_x -> __graft_x IS NOT NULL)"
     }

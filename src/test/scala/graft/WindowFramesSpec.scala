@@ -1082,6 +1082,75 @@ class WindowFramesSpec extends GraftSuite {
     }
   }
 
+  test("median/percentile under EXCLUDE (kept-sequence quantile) match the model") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  median(CASE WHEN v % 4 = 0 THEN NULL ELSE v * v END) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS mg,
+        |  percentile(v * v, 0.25) OVER
+        |    (ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS pc,
+        |  median(v * v) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS mr
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optD(r, 1), optD(r, 2), optD(r, 3)))).toMap
+    def quant(vs: Seq[Double], p: Double): Option[Double] = {
+      val xs = vs.sorted
+      if (xs.isEmpty) None
+      else {
+        val pos = p * (xs.length - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        Some(xs(lo) + (pos - lo) * (xs(hi) - xs(lo)))
+      }
+    }
+    val ordered = rows.map(_._2).sorted
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val gVals = f.collect { case (k2, v2) if k2 != k && v2 % 4 != 0 => (v2 * v2).toDouble }
+      val p = ordered.indexOf(v)
+      val rowsF = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2))
+        .map(ordered).filter(_ != v).map(x => (x * x).toDouble)
+      val rangeT = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+        .collect { case (k2, v2) if k2 != k || v2 == v => (v2 * v2).toDouble }
+      val (mg, pc, mr) = got(v)
+      closeOpt(mg, quant(gVals, 0.5), s"median-g at $v")
+      closeOpt(pc, quant(rowsF, 0.25), s"pctl at $v")
+      closeOpt(mr, quant(rangeT, 0.5), s"median-r at $v")
+    }
+  }
+
+  test("count_if and bit_xor under EXCLUDE recombine exactly") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  count_if(v % 3 = 0) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS ct,
+        |  count_if(v % 3 = 0) OVER
+        |    (ORDER BY v ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS cr,
+        |  bit_xor(CASE WHEN v % 4 = 0 THEN NULL ELSE v END) OVER
+        |    (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS xg,
+        |  bit_xor(v) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS xc
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), optI(r, 3), optI(r, 4)))).toMap
+    val ordered = rows.map(_._2).sorted
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val ties = f.collect { case (k2, v2) if k2 != k || v2 == v => v2 }
+      val p = ordered.indexOf(v)
+      val rowsF = (math.max(0, p - 2) to math.min(ordered.length - 1, p + 2))
+        .map(ordered).filter(_ != v)
+      val rangeG = rows.filter { case (k2, _) => k2 >= k - 10 && k2 <= k }
+        .collect { case (k2, v2) if k2 != k && v2 % 4 != 0 => v2 }
+      val cur = f.collect { case (_, v2) if v2 != v => v2 }
+      val (ct, cr, xg, xc) = got(v)
+      assert(ct === ties.count(_ % 3 == 0).toLong, s"count_if-t at $v")
+      assert(cr === rowsF.count(_ % 3 == 0).toLong, s"count_if-r at $v")
+      assert(xg === (if (rangeG.isEmpty) None else Some(rangeG.reduce(_ ^ _))), s"xor-g at $v")
+      assert(xc === (if (cur.isEmpty) None else Some(cur.reduce(_ ^ _))), s"xor-c at $v")
+    }
+  }
+
   test("min/max/bool DISTINCT under EXCLUDE normalize to the plain lowering (r12)") {
     fixture()
     val both = run(
