@@ -544,9 +544,32 @@ object WindowFrames {
       val fnStart = identStart(sql, aggOpen)
       val fn = sql.substring(fnStart, aggOpen).trim
       val (rawArgs, distinct) = splitDistinct(sql.substring(aggOpen + 1, m).trim)
+      // Multi-argument calls mask each VALUE argument separately (a
+      // comma inside one CASE arm is malformed SQL): for the pair-moment
+      // family a NULL on either side drops the PAIR, so per-argument
+      // masking is exactly FILTER semantics; percentile masks only its
+      // value side (the fraction must survive), and median's quantile
+      // filters NULLs before sorting. nth_value cannot fold — a
+      // masked-to-NULL value still occupies a RESPECT NULLS position.
       val args =
         if (rawArgs == "*") s"CASE WHEN $cond THEN 1 END"
-        else s"CASE WHEN $cond THEN $rawArgs END"
+        else fn.toLowerCase match {
+          case "nth_value" =>
+            fail("FILTER is not supported on nth_value under the window " +
+              "lowering (a filtered-out row would still occupy a sequence position)")
+          case "percentile" => splitTopLevel(rawArgs).map(_.trim) match {
+            case Seq(v, p) => s"CASE WHEN $cond THEN $v END, $p"
+            case o => fail(s"percentile takes exactly two arguments, got ${o.size}: $rawArgs")
+          }
+          case _ => splitTopLevel(rawArgs).map(_.trim) match {
+            case Seq(one) => s"CASE WHEN $cond THEN $one END"
+            case many if isCorrFn(fn) =>
+              many.map(a => s"CASE WHEN $cond THEN $a END").mkString(", ")
+            case _ =>
+              fail(s"FILTER on multi-argument aggregate $fn is not supported " +
+                "under the window lowering")
+          }
+        }
       (fnStart, fn, args, distinct, ignoreNulls)
     } else {
       val fnStart = identStart(sql, openIdx)
@@ -1115,7 +1138,13 @@ object WindowFrames {
     // recompute's own error is ~1e-12 of that scale, so 1e-9 of it
     // cleanly separates "cancelled to zero" from any variance the
     // moments can actually resolve. Documented bound: a true variance
-    // below 1e-9·(|Σc²| + (Σc)²/n) reads as zero.
+    // below 1e-9·(|Σc²| + (Σc)²/n) reads as zero. Known divergence: on a
+    // zero-variance frame the lowering returns NULL (PostgreSQL/DuckDB/
+    // the reference's rule) while Spark's NATIVE plain-frame corr/
+    // skewness return NaN (Spark's own nonstandard corner) — so adding
+    // an EXCLUDE clause flips NaN→NULL on degenerate frames. The
+    // reference-correct NULL wins here; plain frames pass through
+    // untouched by design.
     def m2z(q: String, s: String) = {
       val scale = s"(abs(${dbl(q)}) + (${dbl(s)} * ${dbl(s)}) / $nD)"
       s"(CASE WHEN ${m2(q, s)} <= 1e-9 * $scale THEN CAST(0 AS DOUBLE) " +
@@ -1172,7 +1201,8 @@ object WindowFrames {
     if (c.distinct) { // r12: distinct folds over the kept array, any mode
       if (!isDistinctFoldable(c.fn))
         fail(s"${c.fn}(DISTINCT ...) is not supported under EXCLUDE " +
-          "(supported: count, sum, avg, array_agg/collect_list)")
+          "(foldable: count, sum, avg, array_agg/collect_list, " +
+          "stddev/variance; DISTINCT-invariant: min, max, bool_and, bool_or)")
       val struct = s"named_struct('v', ${c.args})"
       if (!groupInFrame)
         return applyToKept(c,
@@ -1339,7 +1369,8 @@ object WindowFrames {
     if (c.distinct) { // r12: distinct folds over the kept array, any mode
       if (!isDistinctFoldable(c.fn))
         fail(s"${c.fn}(DISTINCT ...) is not supported under EXCLUDE " +
-          "(supported: count, sum, avg, array_agg/collect_list)")
+          "(foldable: count, sum, avg, array_agg/collect_list, " +
+          "stddev/variance; DISTINCT-invariant: min, max, bool_and, bool_or)")
       return sliceExcludeRows(c, ctx, mode, order)
     }
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
@@ -1571,7 +1602,8 @@ object WindowFrames {
                   case other =>
                     fail(s"$other(DISTINCT ...) is not supported as a window " +
                       "aggregate (foldable: count, sum, avg, array_agg/" +
-                      "collect_list; DISTINCT-invariant: min, max, bool_and, bool_or)")
+                      "collect_list, stddev/variance; DISTINCT-invariant: " +
+                      "min, max, bool_and, bool_or)")
                 }
                 out = out.substring(0, fnStart) + repl + out.substring(close + 1)
                 changed = true
@@ -1758,7 +1790,9 @@ object WindowFrames {
     "max_by", "min_by", "corr", "covar_pop", "covar_samp", "skewness",
     "kurtosis", "median", "mode", "listagg", "string_agg", "percentile",
     "percentile_approx", "approx_percentile", "approx_count_distinct",
-    "bit_and", "bit_or", "bit_xor", "geometric_mean", "checksum")
+    "bit_and", "bit_or", "bit_xor", "geometric_mean", "checksum",
+    "regr_slope", "regr_intercept", "regr_count", "regr_r2",
+    "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy")
 
   private def idChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'

@@ -7,7 +7,7 @@ import SoakHarness._
   * sums over the SAME sliding windows, arguments spelled (A) inline —
   * the pair-masked, pivot-centered CASE/CAST trees evaluated per frame
   * position — vs (B) as precomputed inner-select columns read per frame
-  * position. One session, alternating arms, 3 rounds each after 2
+  * position. One session, alternating arms, 4 rounds each after 2
   * prewarms; identical checksums assert result equivalence.
   */
 object R12CvalAb {

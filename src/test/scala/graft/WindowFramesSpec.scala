@@ -1151,6 +1151,58 @@ class WindowFramesSpec extends GraftSuite {
     }
   }
 
+  test("plain regr_* aggregates extract through the grouped-query pre-pass") {
+    fixture()
+    val rowsOut = run(
+      """SELECT k, regr_slope(v, v * v) AS sl,
+        |  avg(sum(v)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+        |FROM wf_fixture GROUP BY k""".stripMargin)
+    assert(rowsOut.length === rows.map(_._1).distinct.length)
+    assert(rowsOut.forall(r => !r.isNullAt(2)))
+  }
+
+  test("FILTER on two-argument aggregates masks each value argument (pair semantics)") {
+    fixture()
+    val got = run(
+      """SELECT v,
+        |  covar_pop(v + k, v * v % 17) FILTER (WHERE v % 2 = 0) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS cf,
+        |  round(percentile(v * v, 0.5) FILTER (WHERE v % 2 = 0) OVER
+        |    (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES), 9) AS pf
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optD(r, 1), optD(r, 2)))).toMap
+    val byV = rows.map(_.swap).toMap
+    rows.foreach { case (k, v) =>
+      val f = frameOf(k, 1, 1)
+      val grp = f.collect { case (k2, v2) if k2 != k && v2 % 2 == 0 =>
+        ((v2 + byV(v2)).toDouble, ((v2 * v2) % 17).toDouble) }
+      val covExp =
+        if (grp.isEmpty) None
+        else {
+          val (n, _, _, _, _, cyx) = pairStats(grp)
+          Some(cyx / n)
+        }
+      val ties = f.collect { case (k2, v2) if (k2 != k || v2 == v) && v2 % 2 == 0 =>
+        (v2 * v2).toDouble }
+      val pExp =
+        if (ties.isEmpty) None
+        else {
+          val xs = ties.sorted
+          val pos = 0.5 * (xs.length - 1)
+          val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+          Some(xs(lo) + (pos - lo) * (xs(hi) - xs(lo)))
+        }
+      val (cf, pf) = got(v)
+      closeOpt(cf, covExp, s"covar-filter at $v")
+      closeOpt(pf, pExp, s"pctl-filter at $v")
+    }
+    // nth_value cannot fold a FILTER (a masked row still holds a position)
+    val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT nth_value(v, 2) FILTER (WHERE v > 1) OVER " +
+        "(ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
+    assert(e.getMessage.contains("FILTER"))
+  }
+
   test("min/max/bool DISTINCT under EXCLUDE normalize to the plain lowering (r12)") {
     fixture()
     val both = run(
