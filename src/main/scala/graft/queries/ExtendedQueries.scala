@@ -1167,6 +1167,46 @@ object ExtendedQueries {
         |              floor(o_totalprice / 30000)::bigint AS bucket
         |              FROM orders WHERE o_orderkey % 50 = 0) b) t) t2""".stripMargin),
 
+    // PLAIN windows of the fragile families (r12): Spark's native corr
+    // throws ANSI DIVIDE_BY_ZERO on degenerate frames (empty at the
+    // partition head, single pair, zero variance) and its native
+    // median/percentile reject any ORDER BY or frame outright — so the
+    // engine lowers these even WITHOUT a GROUPS/EXCLUDE token, through
+    // the same ANSI-safe moment / kept-array forms. The r2_headless leg
+    // is the exact crash shape: a pure-preceding frame that is EMPTY for
+    // the first rows of every partition.
+    "win_sql_plain_fragile" -> (
+      """SELECT o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket), 4)
+        |    + 0 AS corr_run,
+        |  round(median(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) + 0 AS med_rows,
+        |  round(percentile(yv, 0.75) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) + 0 AS p75_range,
+        |  round(regr_r2(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 6) + 0 AS r2_headless
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv,
+        |      (bucket * bucket) % 13 AS xv
+        |      FROM (SELECT o_orderstatus,
+        |            cast(floor(o_totalprice / 30000) AS bigint) AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin,
+      """SELECT o_orderstatus, bucket,
+        |  round(corr(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket), 4)
+        |    + 0 AS corr_run,
+        |  round((median(yv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))::double, 6) + 0 AS med_rows,
+        |  round((quantile_cont(yv, 0.75) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING))::double, 6) + 0 AS p75_range,
+        |  round(regr_r2(yv, xv) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 6) + 0 AS r2_headless
+        |FROM (SELECT o_orderstatus, bucket,
+        |      CASE WHEN bucket % 5 = 0 THEN NULL ELSE bucket % 17 END AS yv,
+        |      (bucket * bucket) % 13 AS xv
+        |      FROM (SELECT o_orderstatus,
+        |            floor(o_totalprice / 30000)::bigint AS bucket
+        |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

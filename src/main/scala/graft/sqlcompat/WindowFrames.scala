@@ -182,6 +182,7 @@ object WindowFrames {
     * subquery ([[degroupForWindows]]).
     */
   private def needsHelperCols(c: Call): Boolean =
+    isCorrFn(c.fn) || // pair moments center on pivot helper columns
     c.frame.mode == "groups" ||
       (c.frame.mode == "rows" && c.exclude.exists(m => m == "group" || m == "ties")) ||
       (c.exclude.nonEmpty &&
@@ -199,14 +200,36 @@ object WindowFrames {
       (c.frame.mode == "rows" && c.exclude.nonEmpty &&
         (c.distinct || isKeptSeqFn(c.fn)))
 
+  /** Aggregates whose NATIVE window evaluation is broken or forbidden in
+    * Spark and therefore lower even WITHOUT a GROUPS/EXCLUDE token:
+    * the corr family throws ANSI DIVIDE_BY_ZERO on degenerate frames
+    * (empty, single pair, zero variance — caught by the r12 property
+    * sweep), and median/percentile reject any ORDER BY or frame
+    * (`INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC`). The lowering's
+    * moment/kept-array forms are ANSI-safe and carry the reference's
+    * NULL semantics.
+    */
+  private def isFragileFn(fn: String): Boolean =
+    isCorrFn(fn) || (fn.toLowerCase match {
+      case "median" | "percentile" => true
+      case _ => false
+    })
+
+  private val FragileProbe = java.util.regex.Pattern.compile(
+    "(?i)\\b(corr|covar_samp|covar_pop|regr_[a-z]+|median|percentile)\\s*\\(")
+  private def hasFragileWindow(s: String): Boolean =
+    FragileProbe.matcher(s).find() &&
+      java.util.regex.Pattern.compile("(?i)\\bOVER\\b").matcher(s).find()
+
   def rewrite(masked: String): String = {
     val hasGE = java.util.regex.Pattern
       .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(masked).find()
     val mayHaveDistinctWindow =
       java.util.regex.Pattern.compile("(?i)\\(\\s*DISTINCT\\b").matcher(masked).find() &&
         java.util.regex.Pattern.compile("(?i)\\bOVER\\b").matcher(masked).find()
-    if (!hasGE && !mayHaveDistinctWindow) return masked
-    if (!hasGE) return rewriteDistinctWindows(masked)
+    val hasFragile = hasFragileWindow(masked)
+    if (!hasGE && !mayHaveDistinctWindow && !hasFragile) return masked
+    if (!hasGE && !hasFragile) return rewriteDistinctWindows(masked)
     rewriteDistinctWindows(rewriteGroupsExclude(masked))
   }
 
@@ -233,7 +256,7 @@ object WindowFrames {
       counter: java.util.concurrent.atomic.AtomicInteger): String = {
     val probe = java.util.regex.Pattern
       .compile("(?i)\\b(GROUPS|EXCLUDE)\\b").matcher(block)
-    if (!probe.find()) return block
+    if (!probe.find() && !hasFragileWindow(block)) return block
     // innermost-first: parenthesized SELECT bodies (FROM-subqueries,
     // IN/EXISTS subqueries) carrying GROUPS/EXCLUDE tokens rewrite as
     // their own blocks — each restructures its own FROM — and their
@@ -287,7 +310,7 @@ object WindowFrames {
       counter: java.util.concurrent.atomic.AtomicInteger): String = {
     val probe = java.util.regex.Pattern
       .compile("(?i)\\b(GROUPS|EXCLUDE)\\b")
-    if (!probe.matcher(sql).find()) return sql
+    if (!probe.matcher(sql).find() && !hasFragileWindow(sql)) return sql
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
@@ -299,7 +322,8 @@ object WindowFrames {
           var j = 0
           while (j < content.length && content.charAt(j).isWhitespace) j += 1
           val rewritten =
-            if (wordAt(content, "SELECT", j) && probe.matcher(content).find())
+            if (wordAt(content, "SELECT", j) &&
+                (probe.matcher(content).find() || hasFragileWindow(content)))
               rewriteBlock(content, counter)
             else rewriteSubqueries(content, counter)
           out.append('(').append(rewritten).append(')')
@@ -337,6 +361,26 @@ object WindowFrames {
                 calls += Call(fnStart, close + 1, fn, args, part, order, frame,
                   exclude, distinct, ignoreNulls)
               case None => () // frame has no GROUPS/EXCLUDE after all
+            }
+          } else {
+            // fragile functions lower even on plain windows (native corr
+            // throws ANSI errors on degenerate frames; native median/
+            // percentile reject framed specs entirely — r12)
+            val parsed =
+              try Some(parseCallBefore(sql, i))
+              catch { case _: IllegalArgumentException => None }
+            parsed match {
+              case Some((fnStart, fn, args, distinct, ignoreNulls))
+                  if isFragileFn(fn) && !distinct &&
+                    (isCorrFn(fn) || topLevelKeyword(content, "ORDER") >= 0 ||
+                      topLevelKeyword(content, "ROWS") >= 0 ||
+                      topLevelKeyword(content, "RANGE") >= 0) =>
+                parseOver(content, requireTokens = false).foreach {
+                  case (part, order, frame, exclude) =>
+                    calls += Call(fnStart, close + 1, fn, args, part, order,
+                      frame, exclude, distinct, ignoreNulls)
+                }
+              case _ => ()
             }
           }
           i = close + 1
@@ -612,14 +656,19 @@ object WindowFrames {
   }
 
   /** Parse an OVER clause body → (partition, order, frame, exclude).
-    * None when the frame has neither a GROUPS mode nor an EXCLUDE clause.
+    * With `requireTokens` (the default), None when the frame has neither
+    * a GROUPS mode nor an EXCLUDE clause; without it, any window body
+    * parses — an absent frame clause synthesizes the implicit default
+    * (empty text: the plain reconstruction emits the original implicit
+    * form verbatim) for the fragile-function lowering (r12).
     */
-  private def parseOver(content: String)
+  private def parseOver(content: String, requireTokens: Boolean = true)
       : Option[(Option[String], Option[String], Frame, Option[String])] = {
     val frameIdx = Seq("ROWS", "RANGE", "GROUPS")
       .map(k => k -> topLevelKeyword(content, k))
       .filter(_._2 >= 0).sortBy(_._2).headOption
-    val (mode, fIdx) = frameIdx.getOrElse(return None)
+    if (frameIdx.isEmpty && requireTokens) return None
+    val (mode, fIdx) = frameIdx.getOrElse(("", content.length))
     val head = content.substring(0, fIdx)
     var frameAndExclude = content.substring(fIdx)
     val exclIdx = topLevelKeyword(frameAndExclude, "EXCLUDE")
@@ -636,7 +685,8 @@ object WindowFrames {
           case other => fail(s"unrecognized EXCLUDE clause: $other")
         }
       }
-    if (mode.toLowerCase != "groups" && exclude.isEmpty && exclIdx < 0) return None
+    if (requireTokens && mode.toLowerCase != "groups" &&
+      exclude.isEmpty && exclIdx < 0) return None
     // head: [PARTITION BY ...] [ORDER BY ...]
     val obIdx = {
       var i = 0; var depth = 0; var found = -1
@@ -667,7 +717,14 @@ object WindowFrames {
         val o = head.substring(obIdx).replaceFirst("(?is)^ORDER\\s+BY", "").trim
         if (o.isEmpty) fail("empty window ORDER BY") else Some(o)
       }
-    val frame = parseFrame(mode.toLowerCase, frameAndExclude)
+    val frame =
+      if (mode.isEmpty) {
+        // SQL's implicit default: a framed window over [start, current
+        // peer group] with ORDER BY, the whole partition without. Empty
+        // text = reconstruct the implicit form verbatim.
+        if (order.isDefined) Frame("range", UNB_LO, 0L, "")
+        else Frame("rows", UNB_LO, UNB_HI, "")
+      } else parseFrame(mode.toLowerCase, frameAndExclude)
     Some((part, order, frame, exclude))
   }
 
@@ -756,9 +813,10 @@ object WindowFrames {
       return combineDistinct(ctx, c.fn, c.args, wins, withOwn)
     }
     c.exclude match {
-      case None => full
+      case None => plainOrFragile(c, ctx, win(lo, hi), full)
       case Some(_) if !groupInFrame =>
-        full // removal-only exclusion: nothing of the group is in frame
+        // removal-only exclusion: nothing of the group is in frame
+        plainOrFragile(c, ctx, win(lo, hi), full)
       case Some(mode) if Set("first_value", "last_value")(c.fn.toLowerCase) =>
         mode match {
           case "group" =>
@@ -988,6 +1046,11 @@ object WindowFrames {
       }
       if (terms.size == 1) terms.head else s"coalesce(${terms.mkString(", ")})"
     } else {
+      // the own row leading the walk means every other segment is behind
+      // it: the result IS the own value (a zero-WHEN `CASE ELSE ... END`
+      // is a parse error — caught by the r12 property sweep on
+      // `GROUPS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE TIES`)
+      if (walk.head.isEmpty) return s"($args)"
       val sb = new StringBuilder("CASE")
       var terminated = false
       walk.foreach {
@@ -1188,7 +1251,7 @@ object WindowFrames {
     * peer group — RANGE peers share the exact ORDER BY value).
     */
   private def lowerRangeExclude(c: Call, ctx: BlockCtx): String = {
-    val mode = c.exclude.getOrElse(return plainFrame(c)) // NO OTHERS → strip
+    val mode = c.exclude.getOrElse(return plainFrameOrFragile(c, ctx)) // NO OTHERS → strip
     val order = c.order.getOrElse(fail("RANGE frame requires a window ORDER BY"))
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
     val fullWin = s"OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
@@ -1209,7 +1272,7 @@ object WindowFrames {
           s"collect_list($struct) OVER (${partPrefix}ORDER BY $order ${c.frame.text})")
       return sliceExcludeRange(c, ctx, mode, order)
     }
-    if (!groupInFrame) return plainFrame(c)
+    if (!groupInFrame) return plainFrameOrFragile(c, ctx)
     if (isSliceRecombined(c.fn)) return sliceExcludeRange(c, ctx, mode, order)
     val orderExprs = stripDirections(order)
     val peerPart = c.part.map(p => s"$p, $orderExprs").getOrElse(orderExprs)
@@ -1334,7 +1397,32 @@ object WindowFrames {
     val orderPrefix = c.order.map(o => s"ORDER BY $o ").getOrElse("")
     val d = if (c.distinct) "DISTINCT " else ""
     val n = if (c.ignoreNulls) ", true" else ""
-    s"${c.fn}($d${c.args}$n) OVER (${partPrefix}$orderPrefix${c.frame.text})"
+    s"${c.fn}($d${c.args}$n) OVER (${partPrefix}$orderPrefix${c.frame.text})".trim
+  }
+
+  /** A no-exclusion window for a FRAGILE aggregate (see [[isFragileFn]]):
+    * the corr family computes from pair moments over the verbatim window
+    * (ANSI-safe guards, reference NULL semantics) and median/percentile
+    * from the collected kept array; everything else stays native.
+    */
+  private def plainOrFragile(c: Call, ctx: BlockCtx, win: String,
+      full: String): String = {
+    val fl = c.fn.toLowerCase
+    if (c.distinct) full // DISTINCT routes through the dedicated paths
+    else if (isCorrFn(fl))
+      combine(ctx, c.part, c.fn, c.args, Seq(win), withOwn = false, full)
+    else if (fl == "median" || fl == "percentile")
+      applyToKept(c, s"collect_list(named_struct('v', ${collectArgOf(c)})) $win")
+    else full
+  }
+
+  /** [[plainOrFragile]] over the call's own (reconstructed) window. */
+  private def plainFrameOrFragile(c: Call, ctx: BlockCtx): String = {
+    val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val orderPrefix = c.order.map(o => s"ORDER BY $o ").getOrElse("")
+    val win = s"OVER (${partPrefix}$orderPrefix${c.frame.text})"
+      .replaceAll("\\s+\\)$", ")")
+    plainOrFragile(c, ctx, win, plainFrame(c))
   }
 
   /** Drop ASC/DESC/NULLS FIRST|LAST from each top-level ORDER BY item. */
@@ -1364,7 +1452,7 @@ object WindowFrames {
   // ------------------------------------------------ ROWS EXCLUDE lowering
 
   private def lowerRowsExclude(c: Call, ctx: BlockCtx): String = {
-    val mode = c.exclude.getOrElse(return plainFrame(c))
+    val mode = c.exclude.getOrElse(return plainFrameOrFragile(c, ctx))
     val order = c.order.getOrElse(fail("ROWS frame requires a window ORDER BY"))
     if (c.distinct) { // r12: distinct folds over the kept array, any mode
       if (!isDistinctFoldable(c.fn))
@@ -1381,7 +1469,8 @@ object WindowFrames {
           s"OVER (${partPrefix}ORDER BY $order ROWS BETWEEN ${render(l)} AND ${render(h)})"
         val nullsSfx = if (c.ignoreNulls) ", true" else ""
         val full = s"${c.fn}(${c.args}$nullsSfx) ${win(lo, hi)}"
-        if (lo > 0 || hi < 0) return full // current row outside the frame
+        if (lo > 0 || hi < 0) // current row outside the frame: removal no-op
+          return plainOrFragile(c, ctx, win(lo, hi), full)
         if (isKeptSeqFn(c.fn)) // needs the kept SEQUENCE (r12)
           return sliceExcludeRows(c, ctx, mode, order)
         val beforeSeg = if (lo <= math.min(hi, -1L)) Some(win(lo, math.min(hi, -1L))) else None
