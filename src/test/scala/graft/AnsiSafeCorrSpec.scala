@@ -1,0 +1,58 @@
+package graft
+
+/** The corr override (GraftExtensions): Spark's native Corr is the one
+  * statistical aggregate that throws ANSI DIVIDE_BY_ZERO on degenerate
+  * groups; the engine re-registers it as an ANSI-safe composition with
+  * the reference's NULL semantics. covar/regr/skew/kurt guard natively —
+  * pinned here so a Spark upgrade that breaks another one is caught.
+  */
+class AnsiSafeCorrSpec extends GraftSuite {
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    Seq((1, Some(1.0), Some(2.0)), (2, Some(3.0), Some(4.0)), (2, Some(5.0), Some(7.0)),
+      (3, Some(2.0), Some(2.0)), (3, Some(9.0), Some(2.0)),
+      (4, None: Option[Double], Some(1.0)), (4, Some(4.0), None: Option[Double]))
+      .toDF("k", "y", "x").createOrReplaceTempView("asc_fixture")
+  }
+
+  test("corr returns NULL (not an ANSI error) on degenerate groups") {
+    fixture()
+    val got = spark.sql(
+      "SELECT k, corr(y, x) AS c FROM asc_fixture GROUP BY k ORDER BY k")
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1) === None) // single pair: zero variance both sides
+    assert(got(2).exists(c => math.abs(c - 1.0) < 1e-12)) // two collinear pairs
+    assert(got(3) === None) // zero x-variance
+    assert(got(4) === None) // no complete pair at all
+  }
+
+  test("corr values match the two-pass formula on healthy groups") {
+    fixture()
+    import spark.implicits._
+    val ys = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 31.0)
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0)
+    ys.zip(xs).toDF("y", "x").createOrReplaceTempView("asc_healthy")
+    val got = spark.sql("SELECT corr(y, x) FROM asc_healthy").head().getDouble(0)
+    val n = ys.length
+    val my = ys.sum / n; val mx = xs.sum / n
+    val cyx = ys.zip(xs).map { case (a, b) => (a - my) * (b - mx) }.sum
+    val m2y = ys.map(a => (a - my) * (a - my)).sum
+    val m2x = xs.map(b => (b - mx) * (b - mx)).sum
+    val exp = cyx / math.sqrt(m2y * m2x)
+    assert(math.abs(got - exp) < 1e-12, s"$got vs $exp")
+  }
+
+  test("the other statistical aggregates guard degenerate groups natively") {
+    fixture()
+    val row = spark.sql(
+      """SELECT covar_samp(y, x), regr_slope(y, x), regr_r2(y, x),
+        |  skewness(y), kurtosis(y), var_samp(y)
+        |FROM asc_fixture WHERE k = 1""".stripMargin).head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    // skew/kurt on a single value: Spark yields NULL or NaN, never a throw
+    assert(row.isNullAt(3) || row.getDouble(3).isNaN)
+    assert(row.isNullAt(4) || row.getDouble(4).isNaN)
+    assert(row.isNullAt(5))
+  }
+}
