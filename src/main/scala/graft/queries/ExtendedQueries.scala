@@ -1207,6 +1207,27 @@ object ExtendedQueries {
         |            floor(o_totalprice / 30000)::bigint AS bucket
         |            FROM orders WHERE o_orderkey % 50 = 0) b) t""".stripMargin),
 
+    // Degenerate BATCH corr (r12): Spark's native Corr throws ANSI
+    // DIVIDE_BY_ZERO on a single pair or zero variance; the engine's
+    // corr override (GraftExtensions) returns the reference's NULL.
+    // DuckDB runs the same text natively as the oracle — the row exists
+    // because it CRASHED before the override.
+    "agg_corr_degenerate" -> (
+      """SELECT
+        |  round(corr(CASE WHEN o_orderkey = 350 THEN o_totalprice END,
+        |             o_orderkey % 97), 4) + 0 AS single_pair,
+        |  round(corr(o_totalprice, 0.0 * o_orderkey), 4) + 0 AS zero_var,
+        |  round(corr(o_totalprice / 1000, o_orderkey % 97), 4) + 0 AS healthy,
+        |  round(corr(CAST(NULL AS DOUBLE), o_orderkey), 4) + 0 AS all_null
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+      """SELECT
+        |  round(corr(CASE WHEN o_orderkey = 350 THEN o_totalprice END,
+        |             o_orderkey % 97), 4) + 0 AS single_pair,
+        |  round(corr(o_totalprice, 0.0 * o_orderkey), 4) + 0 AS zero_var,
+        |  round(corr(o_totalprice / 1000, o_orderkey % 97), 4) + 0 AS healthy,
+        |  round(corr(CAST(NULL AS DOUBLE), o_orderkey), 4) + 0 AS all_null
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs
