@@ -22,6 +22,13 @@ import SoakHarness._
   *
   * Usage: SPARK_DRIVER_MEM=24g runMain graft.tools_dev.R12MomentProbe
   * Output: one JSON line → R12MOMENT_PROBE_r12.json (builder-curated).
+  *
+  * NOTE (post-fragile-routing): `corr_plain` passed through natively
+  * when the committed artifact was quoted; the tree now lowers EVERY
+  * corr window (native throws ANSI DIVIDE_BY_ZERO on degenerate
+  * frames), so a re-run's corr_plain measures the lowered form — see
+  * R12FRAGILE_AB_r12.json for the native-vs-lowered quote on the
+  * final tree.
   */
 object R12MomentProbe {
   def main(args: Array[String]): Unit = {

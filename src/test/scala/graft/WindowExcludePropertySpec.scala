@@ -300,6 +300,47 @@ class WindowExcludePropertySpec extends GraftSuite {
       runBatch(b, "ku", r => r.x.map(_.toDouble)))
   }
 
+  test("48 random FILTER / IGNORE NULLS cases, unique order keys") {
+    fixture()
+    spark.sql("SELECT p, ku, kt, CAST(x AS DOUBLE) AS xv FROM wep_fixture")
+      .createOrReplaceTempView("wep_fixture")
+    // FILTER masks the aggregated multiset (per-argument for the pair
+    // family); IGNORE NULLS applies to the positional family. The model
+    // composes the same masks over the kept rows.
+    val pred = "xv > 0"
+    def masked(r: MRow): Option[Double] = r.arg.filter(_ > 0)
+    val fAggs: Seq[(String, Agg)] = Seq(
+      "sum_f" -> Agg(a => s"sum($a) FILTER (WHERE $pred)", (r, k, _) => {
+        val v = k.flatMap(j => masked(r(j))); if (v.isEmpty) None else Some(v.sum) }),
+      "count_f" -> Agg(a => s"count($a) FILTER (WHERE $pred)",
+        (r, k, _) => Some(k.flatMap(j => masked(r(j))).length.toLong)),
+      "stddev_f" -> Agg(a => s"stddev($a) FILTER (WHERE $pred)", (r, k, _) => {
+        val (n, _, m2, _, _) = moments(k.flatMap(j => masked(r(j))))
+        if (n < 2) None else Some(math.sqrt(m2 / (n - 1))) }),
+      "covar_pop_f" -> Agg(a => s"covar_pop($a, ($a)*($a) % 13) FILTER (WHERE $pred)",
+        (r, k, _) => {
+          val ps = k.flatMap(j => masked(r(j))).map(d => (d, x2(d)))
+          val n = ps.length
+          if (n < 1) None else {
+            val my = ps.map(_._1).sum / n; val mx = ps.map(_._2).sum / n
+            Some(ps.map(q => (q._1 - my) * (q._2 - mx)).sum / n)
+          } }),
+      "first_in" -> Agg(a => s"first_value($a) IGNORE NULLS",
+        (r, k, _) => Some(k.flatMap(j => r(j).arg).headOption)),
+      "last_in" -> Agg(a => s"last_value($a) IGNORE NULLS",
+        (r, k, _) => Some(k.flatMap(j => r(j).arg).lastOption)),
+      "nth_in" -> Agg(a => s"nth_value($a, 2) IGNORE NULLS", (r, k, _) => {
+        val nn = k.flatMap(j => r(j).arg); Some(nn.lift(1)) }))
+    val cs = (0 until 48).map { _ =>
+      val (name, agg) = fAggs(rnd.nextInt(fAggs.length))
+      val (fk, _) = frames(rnd.nextInt(frames.length))
+      val (ex, _) = modes(rnd.nextInt(modes.length))
+      val (lo, hi) = randBounds()
+      Case(name, agg.sql("xv"), agg.model, fk, lo, hi, ex)
+    }
+    cs.grouped(12).foreach(b => runBatch(b, "ku", r => r.x.map(_.toDouble)))
+  }
+
   test("96 random cases over tie-heavy order keys (multiset, args on the order key)") {
     fixture()
     // args are a function of the TIE order key so positional frames stay
