@@ -30,26 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // groups (a single pair, zero variance — covar/regr/skew/kurt all
     // guard; probed on 4.1.2, caught by the r12 window property sweep's
     // batch follow-up). The reference returns NULL there
-    // (aggregation/CentralMomentsAggregation.java), so corr re-registers
-    // as covar_pop(y', x') / nullif(stddev_pop(y')·stddev_pop(x'), 0)
-    // over PAIR-MASKED sides — identical values on healthy groups,
-    // NULL instead of a crash on degenerate ones. Window uses never
-    // reach this builder: the SQL entry lowers every corr window to
-    // moment sums (WindowFrames fragile routing).
-    inject("corr", es => {
-      import org.apache.spark.sql.catalyst.expressions._
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{CovPopulation, StddevPop}
-      import org.apache.spark.sql.types.DoubleType
-      val Seq(y0, x0) = es.toSeq
-      val both = And(IsNotNull(y0), IsNotNull(x0))
-      val nullD = Literal.create(null, DoubleType)
-      val y = If(both, Cast(y0, DoubleType), nullD)
-      val x = If(both, Cast(x0, DoubleType), nullD)
-      val cov = new CovPopulation(y, x, true).toAggregateExpression()
-      val sy = new StddevPop(y, true).toAggregateExpression()
-      val sx = new StddevPop(x, true).toAggregateExpression()
-      new Divide(cov, new NullIf(new Multiply(sy, sx), Literal(0.0d)))
-    })
+    // (aggregation/CentralMomentsAggregation.java). r13 (advice): the
+    // override is a REAL AggregateFunction — Spark's own co-moment
+    // buffer with a guarded final evaluation — so FILTER, DISTINCT,
+    // and window attachment all still resolve (the prior covar/stddev
+    // Divide composite computed the same values but broke those forms).
+    // SQL-text corr WINDOWS still lower to moment sums before analysis
+    // (WindowFrames fragile routing); this builder carries the
+    // DataFrame-API / expr() / named-window-free paths.
+    inject("corr", es =>
+      org.apache.spark.sql.graft.AnsiSafeCorr(es(0), es(1)))
     // reduce_agg needs parse-time resolution — see GraftSqlParser scaladoc
     ext.injectParser((_, parser) => new org.apache.spark.sql.graft.GraftSqlParser(parser))
   }

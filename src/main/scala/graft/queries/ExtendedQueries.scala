@@ -1228,6 +1228,34 @@ object ExtendedQueries {
         |  round(corr(CAST(NULL AS DOUBLE), o_orderkey), 4) + 0 AS all_null
         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin),
 
+    // corr FILTER / DISTINCT (r13, advice closure): the override is a
+    // real AggregateFunction now (sql.graft.AnsiSafeCorr — Spark's own
+    // co-moment buffer, guarded evaluation), so the forms only a true
+    // aggregate can carry resolve again: FILTER (including a FILTER
+    // that leaves a degenerate single-pair group → NULL, not an ANSI
+    // throw), and DISTINCT pair dedup. DuckDB runs FILTER natively;
+    // the DISTINCT leg's oracle dedups pairs in a subquery (same
+    // multiset by construction).
+    "agg_corr_filter" -> (
+      """SELECT
+        |  round(corr(o_totalprice, o_orderkey % 97)
+        |    FILTER (WHERE o_orderkey % 3 = 0), 4) + 0 AS corr_filtered,
+        |  round(corr(o_totalprice, o_orderkey % 97)
+        |    FILTER (WHERE o_orderkey = 350), 4) + 0 AS corr_filter_degenerate,
+        |  round(corr(DISTINCT cast(o_orderkey % 7 AS double),
+        |             cast(o_orderkey % 5 AS double)), 4) + 0 AS corr_distinct
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+      """SELECT
+        |  round(corr(o_totalprice, o_orderkey % 97)
+        |    FILTER (WHERE o_orderkey % 3 = 0), 4) + 0 AS corr_filtered,
+        |  round(corr(o_totalprice, o_orderkey % 97)
+        |    FILTER (WHERE o_orderkey = 350), 4) + 0 AS corr_filter_degenerate,
+        |  (SELECT round(corr(a, b), 4) + 0 FROM
+        |     (SELECT DISTINCT (o_orderkey % 7)::double AS a,
+        |             (o_orderkey % 5)::double AS b
+        |      FROM orders WHERE o_orderkey % 50 = 0) d) AS corr_distinct
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin),
+
     // WITH RECURSIVE as input text through the engine SQL entry
     // (reference: SqlBase.g4:172 `WITH RECURSIVE?`, bounded expansion in
     // StatementAnalyzer/QueryPlanner). Spark 4 executes recursive CTEs

@@ -43,6 +43,56 @@ class AnsiSafeCorrSpec extends GraftSuite {
     assert(math.abs(got - exp) < 1e-12, s"$got vs $exp")
   }
 
+  // r13 (advice): the override is a REAL AggregateFunction now, so the
+  // forms the analyzer can only hang off a true aggregate — FILTER,
+  // DISTINCT, window attachment outside the SQL-text lowering — must all
+  // resolve AND stay ANSI-safe on degenerate inputs.
+  test("corr(y, x) FILTER (WHERE …) resolves and matches the two-pass formula") {
+    fixture()
+    import spark.implicits._
+    val rows = Seq((1.0, 3.0, true), (2.0, 1.0, true), (4.0, 4.0, true),
+      (8.0, 1.0, true), (16.0, 5.0, false), (31.0, 9.0, false))
+    rows.toDF("y", "x", "keep").createOrReplaceTempView("asc_filter")
+    val got = spark.sql(
+      "SELECT corr(y, x) FILTER (WHERE keep) AS c FROM asc_filter").head().getDouble(0)
+    val kept = rows.filter(_._3)
+    val n = kept.length
+    val my = kept.map(_._1).sum / n; val mx = kept.map(_._2).sum / n
+    val cyx = kept.map { case (a, b, _) => (a - my) * (b - mx) }.sum
+    val m2y = kept.map(r => (r._1 - my) * (r._1 - my)).sum
+    val m2x = kept.map(r => (r._2 - mx) * (r._2 - mx)).sum
+    assert(math.abs(got - cyx / math.sqrt(m2y * m2x)) < 1e-12)
+    // FILTER leaving a degenerate group: NULL, not an ANSI throw
+    val deg = spark.sql(
+      "SELECT corr(y, x) FILTER (WHERE y = 1.0) AS c FROM asc_filter").head()
+    assert(deg.isNullAt(0))
+  }
+
+  test("corr(DISTINCT y, x) resolves and deduplicates pairs") {
+    import spark.implicits._
+    Seq((1.0, 2.0), (1.0, 2.0), (1.0, 2.0), (3.0, 4.0), (5.0, 7.0), (5.0, 7.0))
+      .toDF("y", "x").createOrReplaceTempView("asc_distinct")
+    val got = spark.sql("SELECT corr(DISTINCT y, x) AS c FROM asc_distinct").head().getDouble(0)
+    val exp = spark.sql(
+      "SELECT corr(y, x) AS c FROM (SELECT DISTINCT y, x FROM asc_distinct)").head().getDouble(0)
+    assert(math.abs(got - exp) < 1e-12, s"$got vs $exp")
+  }
+
+  test("corr attaches to a window through the DataFrame API, ANSI-safe") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val df = Seq((1, 1.0, 2.0), (1, 3.0, 5.0), (1, 4.0, 7.0),
+      (2, 6.0, 6.0), (2, 8.0, 6.0)) // k=2: zero x-variance — native corr throws here
+      .toDF("k", "y", "x")
+    val w = Window.partitionBy($"k")
+    val out = df.withColumn("c", expr("corr(y, x)").over(w))
+      .select($"k", $"c").distinct().collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1).exists(c => c > 0.99 && c <= 1.0 + 1e-12))
+    assert(out(2) === None) // degenerate frame: NULL, not DIVIDE_BY_ZERO
+  }
+
   test("the other statistical aggregates guard degenerate groups natively") {
     fixture()
     val row = spark.sql(
