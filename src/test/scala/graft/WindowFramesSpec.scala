@@ -79,12 +79,19 @@ class WindowFramesSpec extends GraftSuite {
     val e3c = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT corr(v) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t"))
     assert(e3c.getMessage.contains("two arguments"))
-    // positional GROUP BY under the grouped-query pre-pass: the inner
-    // select list is rebuilt, so ordinals would silently regroup
+    // positional GROUP BY resolves (r13) — but an out-of-range ordinal
+    // still rejects loudly instead of silently regrouping
     val e4 = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT k, sum(sum(s)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
-        "FROM (SELECT k, 1 AS s FROM t) GROUP BY 1"))
-    assert(e4.getMessage.contains("positional"))
+        "FROM (SELECT k, 1 AS s FROM t) GROUP BY 7"))
+    assert(e4.getMessage.contains("out of range"))
+    // a window at the top level of GROUP BY/HAVING is pre-aggregation —
+    // illegal SQL (the reference rejects it too); without the guard the
+    // degroup pre-pass would recurse forever
+    val e4b = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT k FROM t GROUP BY k " +
+        "HAVING sum(v) > avg(v) OVER (ORDER BY k GROUPS 1 PRECEDING)"))
+    assert(e4b.getMessage.contains("HAVING"))
     // IGNORE NULLS on an aggregate that has no null-skipping variant
     val e5 = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT sum(v) IGNORE NULLS OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
@@ -1216,6 +1223,82 @@ class WindowFramesSpec extends GraftSuite {
       assert(optI(r, 1) === optI(r, 2), s"min DISTINCT at ${r.getInt(0)}")
       assert(optI(r, 3) === optI(r, 4), s"max DISTINCT at ${r.getInt(0)}")
     }
+  }
+
+  test("lowered windows work in ORDER BY position (r13)") {
+    fixture()
+    // ungrouped: order the rows by a GROUPS-frame average, observable
+    // through LIMIT (multiset compares would not see pure ordering)
+    val got = run(
+      """SELECT v FROM wf_fixture
+        |ORDER BY avg(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, v DESC
+        |LIMIT 4""".stripMargin).map(_.getInt(0)).toSeq
+    // model: per row, avg of v over peer groups [g-1, g]
+    val keyed = rows.map { case (k, v) =>
+      val f = frameOf(k, 1, 0).map(_._2)
+      (f.sum.toDouble / f.size, v)
+    }
+    val exp = keyed.sortBy { case (a, v) => (-a, -v) }.take(4).map(_._2)
+    assert(got === exp)
+    // grouped: the degroup pre-pass extracts sum(v) from the ORDER BY
+    // tail too, and the lowered window orders the aggregated rows
+    val g2 = run(
+      """SELECT k, sum(v) AS sv FROM wf_fixture GROUP BY k
+        |ORDER BY sum(sum(v)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, k
+        |LIMIT 2""".stripMargin).map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val sums = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum.toLong).toMap
+    val e2 = keys.map(k => (k, sums(k)))
+      .sortBy { case (k, _) =>
+        val gi = gIdx(k)
+        val w = keys.filter(k2 => gIdx(k2) >= gi - 1 && gIdx(k2) <= gi).map(sums).sum
+        (-w, k)
+      }.take(2)
+    assert(g2 === e2)
+    // a lowered window in WHERE stays a loud rejection (illegal SQL)
+    val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT k FROM t WHERE avg(v) OVER (ORDER BY k GROUPS 1 PRECEDING) > 2"))
+    assert(e.getMessage.contains("SELECT list and ORDER BY"))
+  }
+
+  test("positional GROUP BY resolves under the degroup pre-pass (r13)") {
+    fixture()
+    def q(gb: String) = run(
+      s"""SELECT k, sum(v) AS sv,
+         |  avg(sum(v)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+         |FROM wf_fixture GROUP BY $gb""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(q("1") === q("k"))
+    // ordinal resolving to an aliased expression: GROUP BY 1 = `k + 1 AS a`
+    val viaOrdinal = run(
+      """SELECT k + 1 AS a, sum(v) AS sv,
+        |  sum(sum(v)) OVER (ORDER BY k + 1 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+        |FROM wf_fixture GROUP BY 1""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val viaExpr = run(
+      """SELECT k + 1 AS a, sum(v) AS sv,
+        |  sum(sum(v)) OVER (ORDER BY k + 1 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+        |FROM wf_fixture GROUP BY k + 1""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viaOrdinal === viaExpr)
+  }
+
+  test("grouped-expression folding is boundary-aware (r12 advice: x+1 must not mangle x+10)") {
+    fixture()
+    // GROUP BY k+1 with k+10 in the select list: the old String.replace
+    // fold would mangle `k+10` into `<alias>0` (loud undefined-alias
+    // error); boundary-aware substitution lowers it correctly
+    val got = run(
+      """SELECT k + 1 AS a, max(k + 10) AS b,
+        |  sum(sum(v)) OVER (ORDER BY k + 1 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+        |FROM wf_fixture GROUP BY k + 1, k + 10""".stripMargin)
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val sums = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum.toLong).toMap
+    val exp = keys.map { k =>
+      val gi = gIdx(k)
+      val w = keys.filter(k2 => gIdx(k2) >= gi - 1 && gIdx(k2) <= gi).map(sums).sum
+      (k + 1, k + 10, w)
+    }
+    assert(got === exp)
   }
 
   test("named-window inlining stays scoped to its defining block (r11 advice)") {
