@@ -1302,6 +1302,27 @@ object ExtendedQueries {
         |  round(corr(CAST(NULL AS DOUBLE), o_orderkey), 4) + 0 AS all_null
         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin),
 
+    // FILTER on nth_value under the window lowering (r12 verdict,
+    // Missing #3): the condition cannot fold into the argument (a
+    // masked-to-NULL value would still hold a RESPECT NULLS position),
+    // so it travels as a boolean field of the collected struct and masks
+    // the kept sequence AFTER the exclusion slice. DuckDB has no FILTER
+    // on non-aggregate window functions, so the oracle states the same
+    // semantics explicitly: list_filter over its native EXCLUDE frame
+    // collect, indexed 1-based. ORDER key unique → positions exact.
+    "win_sql_nth_filter" -> (
+      """SELECT o_orderkey,
+        |  nth_value(val, 2) FILTER (WHERE val % 2 = 0) OVER (ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS nf
+        |FROM (SELECT o_orderkey, (o_orderkey * 7) % 19 AS val
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin,
+      """SELECT o_orderkey,
+        |  list_filter(list(val) OVER (ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW),
+        |    x -> x % 2 = 0)[2] AS nf
+        |FROM (SELECT o_orderkey, (o_orderkey * 7) % 19 AS val
+        |      FROM orders WHERE o_orderkey % 50 = 0) t""".stripMargin),
+
     // corr FILTER / DISTINCT (r13, advice closure): the override is a
     // real AggregateFunction now (sql.graft.AnsiSafeCorr — Spark's own
     // co-moment buffer, guarded evaluation), so the forms only a true

@@ -106,7 +106,13 @@ object WindowFrames {
     fn: String, args: String,
     part: Option[String], order: Option[String],
     frame: Frame, exclude: Option[String],
-    distinct: Boolean = false, ignoreNulls: Boolean = false)
+    distinct: Boolean = false, ignoreNulls: Boolean = false,
+    // FILTER condition kept UNFOLDED (r13): only for kept-sequence
+    // functions (nth_value), whose positional slicing must run over the
+    // full frame — the mask travels in the collected struct and applies
+    // after the exclusion slice, which is exactly FILTER's input-multiset
+    // semantics. Every other aggregate folds FILTER into its argument.
+    filter: Option[String] = None)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"GROUPS/EXCLUDE window rewrite: $msg")
@@ -386,9 +392,10 @@ object WindowFrames {
               .matcher(content).find()) {
             parseOver(content) match {
               case Some((part, order, frame, exclude)) =>
-                val (fnStart, fn, args, distinct, ignoreNulls) = parseCallBefore(sql, i)
+                val (fnStart, fn, args, distinct, ignoreNulls, filt) =
+                  parseCallBefore(sql, i)
                 calls += Call(fnStart, close + 1, fn, args, part, order, frame,
-                  exclude, distinct, ignoreNulls)
+                  exclude, distinct, ignoreNulls, filt)
               case None => () // frame has no GROUPS/EXCLUDE after all
             }
           } else {
@@ -399,7 +406,7 @@ object WindowFrames {
               try Some(parseCallBefore(sql, i))
               catch { case _: IllegalArgumentException => None }
             parsed match {
-              case Some((fnStart, fn, args, distinct, ignoreNulls))
+              case Some((fnStart, fn, args, distinct, ignoreNulls, filt))
                   if isFragileFn(fn) && !distinct &&
                     (isCorrFn(fn) || topLevelKeyword(content, "ORDER") >= 0 ||
                       topLevelKeyword(content, "ROWS") >= 0 ||
@@ -407,7 +414,7 @@ object WindowFrames {
                 parseOver(content, requireTokens = false).foreach {
                   case (part, order, frame, exclude) =>
                     calls += Call(fnStart, close + 1, fn, args, part, order,
-                      frame, exclude, distinct, ignoreNulls)
+                      frame, exclude, distinct, ignoreNulls, filt)
                 }
               case _ => ()
             }
@@ -581,7 +588,7 @@ object WindowFrames {
     * the ignoreNulls flag for first_value/last_value.
     */
   private def parseCallBefore(sql: String, overIdx: Int)
-      : (Int, String, String, Boolean, Boolean) = {
+      : (Int, String, String, Boolean, Boolean, Option[String]) = {
     var j = overIdx - 1
     while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
     // optional `IGNORE NULLS` / `RESPECT NULLS` between the call and OVER
@@ -628,8 +635,11 @@ object WindowFrames {
         if (rawArgs == "*") s"CASE WHEN $cond THEN 1 END"
         else fn.toLowerCase match {
           case "nth_value" =>
-            fail("FILTER is not supported on nth_value under the window " +
-              "lowering (a filtered-out row would still occupy a sequence position)")
+            // cannot fold into the argument (a masked-to-NULL value would
+            // still occupy a RESPECT NULLS position) — the condition
+            // travels unfolded and masks the kept sequence after the
+            // exclusion slice (r13; see Call.filter)
+            rawArgs
           case "percentile" => splitTopLevel(rawArgs).map(_.trim) match {
             case Seq(v, p) => s"CASE WHEN $cond THEN $v END, $p"
             case o => fail(s"percentile takes exactly two arguments, got ${o.size}: $rawArgs")
@@ -643,11 +653,12 @@ object WindowFrames {
                 "under the window lowering")
           }
         }
-      (fnStart, fn, args, distinct, ignoreNulls)
+      val filt = if (fn.equalsIgnoreCase("nth_value")) Some(cond) else None
+      (fnStart, fn, args, distinct, ignoreNulls, filt)
     } else {
       val fnStart = identStart(sql, openIdx)
       val (args, distinct) = splitDistinct(sql.substring(openIdx + 1, j).trim)
-      (fnStart, sql.substring(fnStart, openIdx).trim, args, distinct, ignoreNulls)
+      (fnStart, sql.substring(fnStart, openIdx).trim, args, distinct, ignoreNulls, None)
     }
   }
 
@@ -1137,7 +1148,10 @@ object WindowFrames {
     val a1 = dbl(s1); val a2 = dbl(s2); val a3 = dbl(s3); val a4 = dbl(s4)
     val m2raw = s"($a2 - ($a1 * $a1) / $nD)"
     val scale = s"(abs($a2) + ($a1 * $a1) / $nD)"
-    val m2 = s"(CASE WHEN greatest(CAST(0 AS DOUBLE), $m2raw) <= 1e-9 * $scale " +
+    // frame-count-aware zero clamp — same bound as the corr family's
+    // m2z (r13 advice): min(1e-9, n·1e-12)·scale
+    val factor = s"least(CAST(1e-9 AS DOUBLE), greatest($nD, CAST(1 AS DOUBLE)) * 1e-12)"
+    val m2 = s"(CASE WHEN greatest(CAST(0 AS DOUBLE), $m2raw) <= $factor * $scale " +
       s"THEN CAST(0 AS DOUBLE) ELSE greatest(CAST(0 AS DOUBLE), $m2raw) END)"
     val m3 = s"($a3 - 3.0D * $a1 * $a2 / $nD + 2.0D * $a1 * $a1 * $a1 / ($nD * $nD))"
     val m4 = s"($a4 - 4.0D * $a1 * $a3 / $nD + 6.0D * $a1 * $a1 * $a2 / ($nD * $nD) " +
@@ -1226,20 +1240,29 @@ object WindowFrames {
     // denominator alike, and noise/noise is a plausible-looking O(1)
     // garbage value that slips past nullif (caught by the n=1 corner of
     // the oracle row: corr read −0.63 where every moment was exactly
-    // zero). Zero-test against the CANCELLATION SCALE |q| + s²/n: the
-    // recompute's own error is ~1e-12 of that scale, so 1e-9 of it
-    // cleanly separates "cancelled to zero" from any variance the
-    // moments can actually resolve. Documented bound: a true variance
-    // below 1e-9·(|Σc²| + (Σc)²/n) reads as zero. Known divergence: on a
-    // zero-variance frame the lowering returns NULL (PostgreSQL/DuckDB/
-    // the reference's rule) while Spark's NATIVE plain-frame corr/
-    // skewness return NaN (Spark's own nonstandard corner) — so adding
-    // an EXCLUDE clause flips NaN→NULL on degenerate frames. The
-    // reference-correct NULL wins here; plain frames pass through
-    // untouched by design.
+    // zero). Zero-test against the CANCELLATION SCALE |q| + s²/n.
+    // The threshold is FRAME-COUNT-AWARE (r13 advice): summation error
+    // grows like n·ε·scale (ε = 2⁻⁵², so ~n·2.2e-16), and the r12 flat
+    // 1e-9 factor silently zeroed genuinely resolvable variance whenever
+    // the frame's local mean sat far from the partition pivot (a frame
+    // at offset d from the pivot inflates scale to ~2n·d², so any true
+    // variance below 1e-9·2d² read as zero — worked example in
+    // WindowFramesSpec: offset 1e5, n=10, true m2 = 20.6 vs the old
+    // clamp at 200). min(1e-9, n·1e-12)·scale keeps a ≥4500× margin
+    // above the n·ε error bound at every n while resolving up to 1000×
+    // smaller variances on small frames; the 1e-9 cap preserves the r12
+    // behavior for frames beyond ~1000 rows. Documented bound: a true
+    // variance below min(1e-9, n·1e-12)·(|Σc²| + (Σc)²/n) reads as
+    // zero. Known divergence: on a zero-variance frame the lowering
+    // returns NULL (PostgreSQL/DuckDB/the reference's rule) while
+    // Spark's NATIVE plain-frame corr/skewness return NaN (Spark's own
+    // nonstandard corner) — so adding an EXCLUDE clause flips NaN→NULL
+    // on degenerate frames. The reference-correct NULL wins here; plain
+    // frames pass through untouched by design.
     def m2z(q: String, s: String) = {
       val scale = s"(abs(${dbl(q)}) + (${dbl(s)} * ${dbl(s)}) / $nD)"
-      s"(CASE WHEN ${m2(q, s)} <= 1e-9 * $scale THEN CAST(0 AS DOUBLE) " +
+      val factor = s"least(CAST(1e-9 AS DOUBLE), greatest($nD, CAST(1 AS DOUBLE)) * 1e-12)"
+      s"(CASE WHEN ${m2(q, s)} <= $factor * $scale THEN CAST(0 AS DOUBLE) " +
         s"ELSE ${m2(q, s)} END)"
     }
     val m2y = m2(syy, sy)
@@ -1441,7 +1464,12 @@ object WindowFrames {
     else if (isCorrFn(fl))
       combine(ctx, c.part, c.fn, c.args, Seq(win), withOwn = false, full)
     else if (fl == "median" || fl == "percentile")
-      applyToKept(c, s"collect_list(named_struct('v', ${collectArgOf(c)})) $win")
+      applyToKept(c, s"collect_list(${keptStruct(c)}) $win")
+    else if (isKeptSeqFn(fl) && c.filter.nonEmpty)
+      // nth_value with FILTER on a frame where exclusion is a no-op:
+      // still needs the kept-sequence path (native Spark has no FILTER
+      // on window functions), masking the collected frame (r13)
+      applyToKept(c, s"collect_list(${keptStruct(c)}) $win")
     else full
   }
 
@@ -1579,14 +1607,14 @@ object WindowFrames {
     val lo = c.frame.lo; val hi = c.frame.hi
     val fLo = if (lo == UNB_LO) "1" else s"greatest(1, $rn + (${lo}))"
     val fHi = if (hi == UNB_HI) tot else s"least($tot, $rn + (${hi}))"
-    val full = s"collect_list(named_struct('v', ${collectArgOf(c)})) " +
+    val full = s"collect_list(${keptStruct(c)}) " +
       s"OVER (${partPrefix}ORDER BY $rn ROWS BETWEEN ${render(lo)} AND ${render(hi)})"
     val lenB = s"CAST(greatest(0, least(($fHi) + 1, $pLo) - ($fLo)) AS INT)"
     val startA = s"CAST(greatest(1, least($fHi, $pHi) - ($fLo) + 2) AS INT)"
     val lenA = s"CAST(greatest(0, ($fHi) - greatest($pHi, ($fLo) - 1)) AS INT)"
     val own =
       if (mode == "ties" && lo <= 0 && hi >= 0)
-        Seq(s"array(named_struct('v', ${collectArgOf(c)}))")
+        Seq(s"array(${keptStruct(c)})")
       else Nil
     // the own row's position lies INSIDE the excluded run, so in frame
     // order the TIES-kept sequence is prefix ++ own ++ suffix (order
@@ -1612,7 +1640,7 @@ object WindowFrames {
   private def sliceExcludeRange(c: Call, ctx: BlockCtx, mode: String,
       order: String): String = {
     val partPrefix = c.part.map(p => s"PARTITION BY $p ").getOrElse("")
-    val struct = s"named_struct('v', ${collectArgOf(c)})"
+    val struct = keptStruct(c)
     val full =
       s"collect_list($struct) OVER (${partPrefix}ORDER BY $order ${c.frame.text})"
     val (loTxt, _) = rangeBoundTexts(c.frame.text)
@@ -1708,7 +1736,7 @@ object WindowFrames {
               try Some(parseCallBefore(out, i))
               catch { case _: IllegalArgumentException => None }
             parsed match {
-              case Some((fnStart, fn, args, true, _)) =>
+              case Some((fnStart, fn, args, true, _, _)) =>
                 val repl = fn.toLowerCase match {
                   case f if isDistinctInvariant(f) =>
                     s"$fn($args) OVER ($content)" // DISTINCT is a no-op
@@ -1743,7 +1771,7 @@ object WindowFrames {
     */
   private def combineNth(c: Call, befores: Seq[String], withOwn: Boolean,
       afters: Seq[String]): String = {
-    val st = s"named_struct('v', ${collectArgOf(c)})"
+    val st = keptStruct(c)
     def seg(w: String) = s"collect_list($st) $w"
     val parts = befores.map(seg) ++
       (if (withOwn) Seq(s"array($st)") else Nil) ++ afters.map(seg)
@@ -1763,6 +1791,20 @@ object WindowFrames {
     case "nth_value" | "percentile" =>
       splitTopLevel(c.args).headOption.map(_.trim).getOrElse(c.args)
     case _ => c.args
+  }
+
+  /** The null-safe struct collected per frame row. A kept-sequence
+    * FILTER (r13) travels as a boolean field: the struct itself is never
+    * NULL, so positions survive collection and the exclusion slice; the
+    * mask applies in [[applyToKept]] AFTER slicing — exactly FILTER's
+    * input-multiset semantics (the excluded rows were never aggregate
+    * input either way, and the remaining sequence is the filtered frame
+    * in frame order).
+    */
+  private def keptStruct(c: Call): String = c.filter match {
+    case Some(cond) =>
+      s"named_struct('v', ${collectArgOf(c)}, 'f', coalesce(($cond), false))"
+    case None => s"named_struct('v', ${collectArgOf(c)})"
   }
 
   /** Aggregates recombined from the kept SEQUENCE (not segment
@@ -1795,7 +1837,13 @@ object WindowFrames {
     * GROUPS collect path ([[combineDistinct]]).
     */
   private def applyToKept(c: Call, kept: String): String = {
-    val vals = s"transform($kept, __graft_s -> __graft_s.v)"
+    // kept-sequence FILTER (r13): the mask travelled in the struct so
+    // positions survived the slice; apply it before reading values
+    val kept0 = c.filter match {
+      case Some(_) => s"filter($kept, __graft_s -> __graft_s.f)"
+      case None => kept
+    }
+    val vals = s"transform($kept0, __graft_s -> __graft_s.v)"
     if (c.distinct) {
       val arr = s"array_distinct(filter($vals, __graft_x -> __graft_x IS NOT NULL))"
       def cnt = s"CAST(coalesce(size($arr), 0) AS BIGINT)"

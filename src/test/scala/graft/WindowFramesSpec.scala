@@ -1203,11 +1203,44 @@ class WindowFramesSpec extends GraftSuite {
       closeOpt(cf, covExp, s"covar-filter at $v")
       closeOpt(pf, pExp, s"pctl-filter at $v")
     }
-    // nth_value cannot fold a FILTER (a masked row still holds a position)
-    val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
-      "SELECT nth_value(v, 2) FILTER (WHERE v > 1) OVER " +
-        "(ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
-    assert(e.getMessage.contains("FILTER"))
+  }
+
+  test("FILTER on nth_value masks the kept sequence after the exclusion slice (r13)") {
+    fixture()
+    // ORDER BY the unique v: positions are fully deterministic, so the
+    // kept sequence (frame minus current row, filtered to evens, in
+    // frame order) is a closed-form model
+    val got = run(
+      """SELECT v,
+        |  nth_value(v, 2) FILTER (WHERE v % 2 = 0) OVER (ORDER BY v
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS nf,
+        |  nth_value(v, 1) FILTER (WHERE v % 2 = 0) OVER (ORDER BY v
+        |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ng
+        |FROM wf_fixture""".stripMargin)
+      .map(r => r.getInt(0) -> ((optI(r, 1), optI(r, 2)))).toMap
+    val vs = rows.map(_._2).sorted // 1..10, unique
+    val byV = rows.map(_.swap).toMap
+    rows.foreach { case (_, v) =>
+      val i = vs.indexOf(v)
+      val kept = vs.slice(math.max(0, i - 2), math.min(vs.length, i + 3))
+        .filter(x => x != v && x % 2 == 0)
+      val expRows = kept.lift(1)
+      // GROUPS path (no exclusion): peer groups of v's key within ±1
+      // group of the current one, filtered to evens, first element —
+      // deterministic because the first kept element's GROUP is ordered
+      // even if intra-group order is not (values checked via set below)
+      val k = byV(v)
+      val gf = frameOf(k, 1, 1).map(_._2).filter(_ % 2 == 0)
+      val (nf, ng) = got(v)
+      assert(nf === expRows, s"nth-filter ROWS at v=$v")
+      // first element of the filtered GROUPS frame: the minimum kept v
+      // of the earliest contributing group — assert set membership and
+      // group identity rather than intra-group position
+      ng match {
+        case Some(x) => assert(gf.contains(x), s"nth-filter GROUPS at v=$v")
+        case None => assert(gf.isEmpty, s"nth-filter GROUPS empty at v=$v")
+      }
+    }
   }
 
   test("min/max/bool DISTINCT under EXCLUDE normalize to the plain lowering (r12)") {
@@ -1299,6 +1332,31 @@ class WindowFramesSpec extends GraftSuite {
       (k + 1, k + 10, w)
     }
     assert(got === exp)
+  }
+
+  test("cancellation clamp is frame-count-aware: far-offset frames resolve small real variance (r13 advice)") {
+    // The centering pivot is the PARTITION mean; a frame whose local
+    // mean sits d ≈ 1e5 away inflates the cancellation scale to
+    // |Σc²| + (Σc)²/n ≈ 2n·d² ≈ 2e11. The r12 flat 1e-9 clamp zeroed
+    // any true frame variance below 1e-9·2e11 = 200 — here the real
+    // m2 is 20.6 (values stepping by 0.5), so corr silently read NULL.
+    // The n-aware threshold min(1e-9, n·1e-12)·scale = 1e-11·2e11 = 2
+    // resolves it, still ~450× above the n·ε·scale ≈ 4.4e-4 rounding
+    // bound. Cluster A (ten zeros) exists only to drag the pivot.
+    import spark.implicits._
+    val data = (0 until 10).map(i => (i, 0.0, 0.0)) ++
+      (0 until 10).map(i => (10 + i, 200000.0 + 0.5 * i, (10 + i).toDouble))
+    data.toDF("i", "y", "x").createOrReplaceTempView("wf_offset")
+    val got = run(
+      """SELECT i, corr(y, x) OVER (ORDER BY i
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c
+        |FROM wf_offset""".stripMargin)
+      .map(r => r.getInt(0) -> optD(r, 1)).toMap
+    // at i=19 the frame is exactly cluster B: y rises 0.5 per unit x
+    assert(got(19).exists(c => math.abs(c - 1.0) < 1e-6), s"got ${got(19)}")
+    // the clamp still catches exact-zero variance (constant y over the
+    // all-zero frame): NULL, never noise/noise garbage
+    assert(got(9) === None, s"got ${got(9)}")
   }
 
   test("named-window inlining stays scoped to its defining block (r11 advice)") {
