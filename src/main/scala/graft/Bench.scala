@@ -217,7 +217,7 @@ object Bench {
     val loadEnd = loadAvg()
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val dirtyCount = results.count(_.dirty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"min_prewarms":$nWarm,""" +
       s""""load_start":[${loadStart._1},${loadStart._2},${loadStart._3}],""" +
       s""""load_end":[${loadEnd._1},${loadEnd._2},${loadEnd._3}],""" +
@@ -226,7 +226,21 @@ object Bench {
       s""""gc_drain_per_query":${!noDrain},"mid_run_load_guard":true,""" +
       s""""dirty_queries":$dirtyCount,""" +
       s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // The driver's gate artifact (BENCH_r{N}.json) stores only a
+    // 2,000-char TAIL of the run's output, so per-query data was lost
+    // each round (r12 verdict #8: only 8 of 20 queries recoverable).
+    // Also write the full JSON to a stable path inside the repo so the
+    // round harness — and the next round's analysis — can read every
+    // query's runs/sets/loads.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_raw/BENCH_FULL_latest.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-JSON write failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
   }
 }
