@@ -222,6 +222,22 @@ object WindowFrames {
       case _ => false
     })
 
+  /** Fragile functions whose PLAIN (no GROUPS/EXCLUDE) windows must still
+    * lower to moment sums. `corr` itself is exempt since r13: the session
+    * re-registers it as `AnsiSafeCorr` (GraftExtensions), a real
+    * AggregateFunction whose window evaluation is ANSI-safe with the same
+    * NULL-on-degenerate semantics — so plain corr windows run NATIVE,
+    * recovering the measured 2.18×/2.65× routing cost
+    * (`R12FRAGILE_AB_r12.json`) and the per-frame recompute's exact
+    * numerics. covar/regr keep the lowering (their native window
+    * evaluation can still hit ANSI division corners on empty/degenerate
+    * frames), as do median/percentile (Spark rejects framed specs).
+    * Under GROUPS/EXCLUDE every family still lowers — Spark has no
+    * exclusion at all.
+    */
+  private def lowersOnPlainWindow(fn: String): Boolean =
+    isFragileFn(fn) && fn.toLowerCase != "corr"
+
   private val FragileProbe = java.util.regex.Pattern.compile(
     "(?i)\\b(corr|covar_samp|covar_pop|regr_[a-z]+|median|percentile)\\s*\\(")
   private def hasFragileWindow(s: String): Boolean =
@@ -407,7 +423,7 @@ object WindowFrames {
               catch { case _: IllegalArgumentException => None }
             parsed match {
               case Some((fnStart, fn, args, distinct, ignoreNulls, filt))
-                  if isFragileFn(fn) && !distinct &&
+                  if lowersOnPlainWindow(fn) && !distinct &&
                     (isCorrFn(fn) || topLevelKeyword(content, "ORDER") >= 0 ||
                       topLevelKeyword(content, "ROWS") >= 0 ||
                       topLevelKeyword(content, "RANGE") >= 0) =>
@@ -1461,6 +1477,7 @@ object WindowFrames {
       full: String): String = {
     val fl = c.fn.toLowerCase
     if (c.distinct) full // DISTINCT routes through the dedicated paths
+    else if (fl == "corr") full // native AnsiSafeCorr is ANSI-safe (r13)
     else if (isCorrFn(fl))
       combine(ctx, c.part, c.fn, c.args, Seq(win), withOwn = false, full)
     else if (fl == "median" || fl == "percentile")

@@ -1337,25 +1337,28 @@ class WindowFramesSpec extends GraftSuite {
   test("cancellation clamp is frame-count-aware: far-offset frames resolve small real variance (r13 advice)") {
     // The centering pivot is the PARTITION mean; a frame whose local
     // mean sits d ≈ 1e5 away inflates the cancellation scale to
-    // |Σc²| + (Σc)²/n ≈ 2n·d² ≈ 2e11. The r12 flat 1e-9 clamp zeroed
-    // any true frame variance below 1e-9·2e11 = 200 — here the real
-    // m2 is 20.6 (values stepping by 0.5), so corr silently read NULL.
-    // The n-aware threshold min(1e-9, n·1e-12)·scale = 1e-11·2e11 = 2
-    // resolves it, still ~450× above the n·ε·scale ≈ 4.4e-4 rounding
-    // bound. Cluster A (ten zeros) exists only to drag the pivot.
+    // |Σc²| + (Σc)²/n ≈ 2n·d² ≈ 1.8e11. The r12 flat 1e-9 clamp zeroed
+    // any true frame variance below 1e-9·1.8e11 = 180 — here the real
+    // m2 is 15 (values stepping by 0.5), so corr silently read NULL.
+    // The n-aware threshold min(1e-9, n·1e-12)·scale = 9e-12·1.8e11 ≈
+    // 1.6 resolves it, still ≥4000× above the n·ε·scale ≈ 3.6e-4
+    // rounding bound. Cluster A (ten zeros) drags the pivot; EXCLUDE
+    // CURRENT ROW forces the LOWERED path (plain corr windows run
+    // native AnsiSafeCorr since r13 and never touch the clamp).
     import spark.implicits._
     val data = (0 until 10).map(i => (i, 0.0, 0.0)) ++
       (0 until 10).map(i => (10 + i, 200000.0 + 0.5 * i, (10 + i).toDouble))
     data.toDF("i", "y", "x").createOrReplaceTempView("wf_offset")
     val got = run(
       """SELECT i, corr(y, x) OVER (ORDER BY i
-        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS c
         |FROM wf_offset""".stripMargin)
       .map(r => r.getInt(0) -> optD(r, 1)).toMap
-    // at i=19 the frame is exactly cluster B: y rises 0.5 per unit x
+    // at i=19 the kept rows are cluster B minus the row itself: nine
+    // collinear points (y rises 0.5 per unit x) → corr 1
     assert(got(19).exists(c => math.abs(c - 1.0) < 1e-6), s"got ${got(19)}")
     // the clamp still catches exact-zero variance (constant y over the
-    // all-zero frame): NULL, never noise/noise garbage
+    // all-zero kept frame): NULL, never noise/noise garbage
     assert(got(9) === None, s"got ${got(9)}")
   }
 
