@@ -317,4 +317,33 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 1,
       s"expected one hash exchange for the corr lowering, got $exchanges:\n$s")
   }
+
+  test("the ORDER BY-position window lift adds no exchange beyond the select-list form (r13)") {
+    // the lift wraps the query in one projection layer (inner select
+    // carries the window under an alias, outer drops it) — Catalyst
+    // collapses the projections, so the physical plan must be the same
+    // exchange/sort/window pipeline as the equivalent select-list query
+    // plus the top-k sort (at 100 TB an accidental second shuffle here
+    // would double the query's cost)
+    import graft.engine.Tables
+    def exchanges(sql: String): Int = {
+      val df = Tables.sql(spark, sfTiny, sql); df.collect()
+      val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      "Exchange ".r.findAllIn(s).length
+    }
+    val lifted = exchanges(
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY sum(o_orderkey % 97) OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_orderkey GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, o_orderkey
+        |LIMIT 5""".stripMargin)
+    val selectList = exchanges(
+      """SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    sum(o_orderkey % 97) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+        |  FROM orders) t
+        |ORDER BY w DESC, o_orderkey LIMIT 5""".stripMargin)
+    assert(lifted == selectList,
+      s"lift grew the exchange count: lifted=$lifted selectList=$selectList")
+  }
 }

@@ -341,6 +341,53 @@ class WindowExcludePropertySpec extends GraftSuite {
     cs.grouped(12).foreach(b => runBatch(b, "ku", r => r.x.map(_.toDouble)))
   }
 
+  test("36 random ORDER BY-position window cases (r13 lift) match the model ordering") {
+    fixture()
+    spark.sql("SELECT p, ku, kt, CAST(x AS DOUBLE) AS xv FROM wep_fixture")
+      .createOrReplaceTempView("wep_fixture")
+    // exact-valued aggregates only (integer sums/counts/min/max and the
+    // single-division avg are bit-identical between engine and model),
+    // so the ORDER is fully determined and LIMIT picks a closed-form
+    // row set; ASC NULLS FIRST pins the null placement; (p, ku) breaks
+    // every remaining tie
+    val exact = aggs.filter { case (n, _) => Set("sum", "count", "min", "max", "avg")(n) }
+    val parts: Map[Int, Vector[MRow]] = data.groupBy(_.p).map { case (p, rs) =>
+      p -> rs.sortBy(_.ku).map(r => MRow(r.ku, r.x.map(_.toDouble))).toVector
+    }
+    (0 until 36).foreach { _ =>
+      val (name, agg) = exact(rnd.nextInt(exact.length))
+      val (fk, fTxt) = frames(rnd.nextInt(frames.length))
+      val (ex, eTxt) = modes(rnd.nextInt(modes.length))
+      val (lo, hi) = randBounds()
+      val sql =
+        s"SELECT p, ku FROM wep_fixture ORDER BY ${agg.sql("xv")} OVER " +
+          s"(PARTITION BY p ORDER BY ku $fTxt BETWEEN ${bound(lo)} AND ${bound(hi)} $eTxt) " +
+          "ASC NULLS FIRST, p, ku LIMIT 9"
+      val got = spark.sql(Dialect.rewrite(sql)).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val keyed = parts.toSeq.flatMap { case (p, rows) =>
+        rows.indices.map { i =>
+          val frame = framesOf(rows, i, fk, lo, hi)
+          val kept = if (ex == "no others") frame else keptOf(rows, i, frame, ex)
+          val m = agg.model(rows, kept, i) match {
+            case Some(o: Option[_]) => o
+            case other => other
+          }
+          val key: Option[Double] = m.map {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case v => v.toString.toDouble
+          }
+          (key, p, rows(i).ord.toInt)
+        }
+      }
+      val exp = keyed.sortBy { case (k, p, ku) => (k.isDefined, k.getOrElse(0.0), p, ku) }
+        .take(9).map(t => (t._2, t._3))
+      assert(got === exp,
+        s"orderby-lift $name $fk [$lo,$hi] $ex:\n got=$got\n exp=$exp")
+    }
+  }
+
   test("96 random cases over tie-heavy order keys (multiset, args on the order key)") {
     fixture()
     // args are a function of the TIE order key so positional frames stay
