@@ -2006,6 +2006,14 @@ object WindowFrames {
     val obIdx = topLevelKeyword(main, "ORDER")
     val fromIdx = topLevelKeyword(main, "FROM")
     if (fromIdx < 0 || fromIdx > obIdx) return block
+    // a set operation's trailing ORDER BY orders the COMBINED rows; the
+    // lift would graft the window onto the first branch only (a
+    // confusing column-count error downstream) — reject loudly instead
+    Seq("UNION", "INTERSECT", "EXCEPT").foreach { op =>
+      if (topLevelKeyword(main, op) >= 0)
+        fail(s"windows in ORDER BY position are not supported directly " +
+          s"over a set operation ($op) — wrap the set operation in a subquery")
+    }
     val tailEnd = Seq("LIMIT", "OFFSET")
       .map(k => topLevelKeyword(main, k)).filter(i => i > obIdx)
       .minOption.getOrElse(main.length)

@@ -1291,6 +1291,28 @@ class WindowFramesSpec extends GraftSuite {
     val e = intercept[IllegalArgumentException](WindowFrames.rewrite(
       "SELECT k FROM t WHERE avg(v) OVER (ORDER BY k GROUPS 1 PRECEDING) > 2"))
     assert(e.getMessage.contains("SELECT list and ORDER BY"))
+    // over a set operation the lift would graft onto branch 1 only — loud
+    val eSet = intercept[IllegalArgumentException](WindowFrames.rewrite(
+      "SELECT k FROM t UNION ALL SELECT k FROM t2 " +
+        "ORDER BY sum(k) OVER (ORDER BY k ROWS 1 PRECEDING)"))
+    assert(eSet.getMessage.contains("set operation"))
+    // DISTINCT window aggregates lift and then fold over the kept array
+    val d = run(
+      """SELECT v FROM wf_fixture
+        |ORDER BY count(DISTINCT k) OVER (ORDER BY k
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) DESC, v DESC
+        |LIMIT 3""".stripMargin).map(_.getInt(0)).toSeq
+    // running distinct-count of k over rows ordered by k: row with the
+    // largest v in the last key group sorts first
+    assert(d === Seq(10, 9, 8), s"got $d")
+    // inside a CTE body the lift restructures that block only
+    val c = run(
+      """WITH ranked AS (
+        |  SELECT k, v FROM wf_fixture
+        |  ORDER BY avg(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, v DESC
+        |  LIMIT 4)
+        |SELECT count(*) AS n, max(v) AS mv FROM ranked""".stripMargin)
+    assert(c.head.getLong(0) === 4L)
   }
 
   test("positional GROUP BY resolves under the degroup pre-pass (r13)") {
