@@ -329,6 +329,9 @@ class PlanSpec extends GraftSuite {
     def exchanges(sql: String): Int = {
       val df = Tables.sql(spark, sfTiny, sql); df.collect()
       val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // ORDER BY + LIMIT must compile to top-k, never a global sort —
+      // at 100 TB a global sort of the windowed output is the failure
+      assert(s.contains("TakeOrderedAndProject"), s"no top-k in:\n$s")
       "Exchange ".r.findAllIn(s).length
     }
     val lifted = exchanges(
