@@ -42,7 +42,7 @@ class EntryNonInterferenceSpec extends GraftSuite {
       "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn FROM nation"
   }
 
-  private def rndQuery(): String = rnd.nextInt(4) match {
+  private def rndQuery(): String = rnd.nextInt(6) match {
     case 0 => rndBase()
     case 1 => // single-ref WITH (materializer must leave it inline or be equivalent)
       s"WITH b AS (${rndBase()}) SELECT * FROM b WHERE 1 = 1"
@@ -50,10 +50,23 @@ class EntryNonInterferenceSpec extends GraftSuite {
       s"WITH b AS (${rndBase()}) " +
         "SELECT x.cnt + y.cnt AS t FROM (SELECT count(*) AS cnt FROM b) x " +
         "CROSS JOIN (SELECT count(*) AS cnt FROM b) y"
-    case _ => // chained WITH where the second definition reads the first, twice
+    case 3 => // chained WITH where the second definition reads the first, twice
       s"WITH a AS (${rndBase()}), b AS (SELECT * FROM a), " +
         "c AS (SELECT * FROM a) " +
         "SELECT (SELECT count(*) FROM b) + (SELECT count(*) FROM c) AS t"
+    case 4 => // two select-list windows + a plain final ORDER BY: 'ORDER'
+      // appears inside the first OVER clause BEFORE the second OVER, so
+      // the r13 loose ORDER..OVER probe fires on a fully native query —
+      // the per-block machinery must pass it through untouched
+      "SELECT n_nationkey, " +
+        "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn, " +
+        "sum(n_nationkey) OVER (ORDER BY n_nationkey " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s " +
+        s"FROM nation WHERE ${rndFilter()} ORDER BY n_nationkey LIMIT 15"
+    case _ => // native window + ORDER BY over a plain select alias
+      "SELECT n_nationkey, n_name, " +
+        "rank() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rk " +
+        "FROM nation ORDER BY rk, n_nationkey"
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
