@@ -1958,7 +1958,19 @@ object WindowFrames {
     val innerPart = main.substring(fromIdx, tailIdx).trim // `FROM ... [WHERE ...]`
     val tail = main.substring(tailIdx)
     val gdefs = ctx.defs.map { case (name, expr) => s"$expr AS $name" }.mkString(", ")
-    s"${prefix}SELECT $selectList FROM (SELECT *, $gdefs $innerPart) __graft_ge $tail".trim
+    // a bare `*` in the select list would otherwise pick up the injected
+    // helper columns from __graft_ge — a silently WIDENED schema (r13;
+    // surfaced by the star ORDER BY lift). Spark 4's `* EXCEPT (…)`
+    // drops them; qualified stars (`t.*`) fail loudly downstream since
+    // the original FROM aliases no longer exist at this level.
+    val selectListOut = {
+      val items = splitTopLevel(selectList).map(_.trim)
+      if (items.contains("*"))
+        items.map(i => if (i == "*") s"* EXCEPT (${ctx.defs.keys.mkString(", ")})" else i)
+          .mkString(", ")
+      else selectList
+    }
+    s"${prefix}SELECT $selectListOut FROM (SELECT *, $gdefs $innerPart) __graft_ge $tail".trim
   }
 
   // ------------------------------------------- ORDER BY-position windows
@@ -1989,10 +2001,11 @@ object WindowFrames {
     * (the outer projection preserves select order). The caller re-enters
     * the rebuilt text, so a lifted GROUPS/EXCLUDE/fragile window lowers
     * inside the new subquery's select list. Works for plain windows too —
-    * Spark rejects those in ORDER BY as well. Loud rejections: DISTINCT
-    * select lists (an extra inner column would change the dedup) and
-    * select items the outer projection cannot name (`*`, unaliased
-    * expressions).
+    * Spark rejects those in ORDER BY as well — and for `SELECT *` (the
+    * outer projection drops the lifted aliases via Spark's
+    * `* EXCEPT (…)`). Loud rejections: DISTINCT select lists (an extra
+    * inner column would change the dedup), set operations, and select
+    * items the outer projection cannot name (unaliased expressions).
     */
   private def liftOrderByWindows(block: String,
       counter: java.util.concurrent.atomic.AtomicInteger): String = {
@@ -2031,13 +2044,18 @@ object WindowFrames {
     val AliasRe = java.util.regex.Pattern
       .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$")
     val Ident = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
-    val names = splitTopLevel(selectList).map(_.trim).map { item =>
-      val m = AliasRe.matcher(item)
-      if (m.matches()) m.group(2)
-      else if (item.matches(Ident)) item.substring(item.lastIndexOf('.') + 1)
-      else fail("windows in ORDER BY position need every select item to " +
-        s"be a column or carry an alias (cannot re-project `$item`)")
-    }
+    // `SELECT *` re-projects via star-except (Spark 4: `* EXCEPT (…)`
+    // drops the lifted aliases); otherwise every item must be nameable
+    val isStar = selectList.trim == "*"
+    val names: Seq[String] =
+      if (isStar) Nil
+      else splitTopLevel(selectList).map(_.trim).map { item =>
+        val m = AliasRe.matcher(item)
+        if (m.matches()) m.group(2)
+        else if (item.matches(Ident)) item.substring(item.lastIndexOf('.') + 1)
+        else fail("windows in ORDER BY position need every select item to " +
+          s"be a column or carry an alias (cannot re-project `$item`)")
+      }
     val nameSet = names.map(_.toLowerCase).toSet
     def splitDir(item: String): (String, String) = {
       var expr = item; var dir = ""
@@ -2050,22 +2068,29 @@ object WindowFrames {
       (expr.trim, dir)
     }
     val lifted = scala.collection.mutable.ArrayBuffer[String]()
+    val liftedAliases = scala.collection.mutable.ArrayBuffer[String]()
     val newItems = items.map { item =>
       val (expr, dir) = splitDir(item)
+      // under a star select every input column survives to the outer
+      // block, so bare identifiers always keep there
       val keep = expr.matches("\\d+") ||
-        (expr.matches(Ident) && nameSet.contains(
-          expr.substring(expr.lastIndexOf('.') + 1).toLowerCase))
+        (expr.matches(Ident) && (isStar || nameSet.contains(
+          expr.substring(expr.lastIndexOf('.') + 1).toLowerCase)))
       if (keep) item
       else {
         val alias = s"__graft_ord${counter.incrementAndGet()}"
         lifted += s"$expr AS $alias"
+        liftedAliases += alias
         alias + dir
       }
     }
     val innerFromPart = main.substring(fromIdx, obIdx).trim
     val limitPart =
       if (tailEnd < main.length) " " + main.substring(tailEnd).trim else ""
-    s"${prefix}SELECT ${names.mkString(", ")} FROM (SELECT ${selectList.trim}, " +
+    val outerSel =
+      if (isStar) s"* EXCEPT (${liftedAliases.mkString(", ")})"
+      else names.mkString(", ")
+    s"${prefix}SELECT $outerSel FROM (SELECT ${selectList.trim}, " +
       s"${lifted.mkString(", ")} $innerFromPart) __graft_ob " +
       s"ORDER BY ${newItems.mkString(", ")}$limitPart"
   }

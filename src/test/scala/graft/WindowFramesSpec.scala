@@ -1305,6 +1305,23 @@ class WindowFramesSpec extends GraftSuite {
     // running distinct-count of k over rows ordered by k: row with the
     // largest v in the last key group sorts first
     assert(d === Seq(10, 9, 8), s"got $d")
+    // a bare star with a lowered window must NOT widen the schema with
+    // the injected helper columns (pre-existing leak surfaced by the
+    // star lift — restructure now star-excepts them)
+    val direct = run(
+      """SELECT *, count(*) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+        |FROM wf_fixture""".stripMargin)
+    assert(direct.head.schema.fieldNames.toSeq === Seq("k", "v", "c"),
+      s"schema widened: ${direct.head.schema.fieldNames.toSeq}")
+    // SELECT * lifts via star-except: the outer projection drops the
+    // generated alias with Spark's `* EXCEPT (…)`
+    val st = run(
+      """SELECT * FROM wf_fixture
+        |ORDER BY sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, v DESC
+        |LIMIT 3""".stripMargin)
+    assert(st.map(_.length).toSet === Set(2), "star lift leaked the alias column")
+    assert(st.map(_.getInt(1)).toSeq === Seq(10, 9, 8), s"got ${st.toSeq}")
     // inside a CTE body the lift restructures that block only
     val c = run(
       """WITH ranked AS (
