@@ -223,20 +223,26 @@ object WindowFrames {
     })
 
   /** Fragile functions whose PLAIN (no GROUPS/EXCLUDE) windows must still
-    * lower to moment sums. `corr` itself is exempt since r13: the session
-    * re-registers it as `AnsiSafeCorr` (GraftExtensions), a real
-    * AggregateFunction whose window evaluation is ANSI-safe with the same
-    * NULL-on-degenerate semantics — so plain corr windows run NATIVE,
-    * recovering the measured 2.18×/2.65× routing cost
-    * (`R12FRAGILE_AB_r12.json`) and the per-frame recompute's exact
-    * numerics. covar/regr keep the lowering (their native window
-    * evaluation can still hit ANSI division corners on empty/degenerate
-    * frames), as do median/percentile (Spark rejects framed specs).
+    * lower. Only `median` remains (r13): Spark rejects any ordered or
+    * framed median window outright. Everything else runs NATIVE on plain
+    * windows — `corr` because the session re-registers it as
+    * `AnsiSafeCorr` (a real AggregateFunction with ANSI-safe, NULL-on-
+    * degenerate evaluation), covar/regr because their native window
+    * evaluation is fully guarded on Spark 4.1.2 (empty frames, single
+    * pairs, zero variance on either side — probed shape by shape and
+    * PINNED in `AnsiSafeCorrSpec` so a Spark upgrade that breaks one is
+    * caught), and percentile because its native framed evaluation works
+    * and shares the lowering's interpolation rule. This recovers the
+    * measured 2.18×/2.65× routing cost (`R12FRAGILE_AB_r12.json`,
+    * parity re-measured in `R13CORR_NATIVE_r13.json`) and the per-frame
+    * recompute's exact numerics. A folded FILTER clause still forces
+    * interception for the whole family (native window aggregates reject
+    * FILTER; the fold rewrites the arguments, which requires a Call).
     * Under GROUPS/EXCLUDE every family still lowers — Spark has no
-    * exclusion at all.
+    * frame exclusion at all.
     */
   private def lowersOnPlainWindow(fn: String): Boolean =
-    isFragileFn(fn) && fn.toLowerCase != "corr"
+    fn.toLowerCase == "median"
 
   private val FragileProbe = java.util.regex.Pattern.compile(
     "(?i)\\b(corr|covar_samp|covar_pop|regr_[a-z]+|median|percentile)\\s*\\(")
@@ -408,7 +414,7 @@ object WindowFrames {
               .matcher(content).find()) {
             parseOver(content) match {
               case Some((part, order, frame, exclude)) =>
-                val (fnStart, fn, args, distinct, ignoreNulls, filt) =
+                val (fnStart, fn, args, distinct, ignoreNulls, filt, _) =
                   parseCallBefore(sql, i)
                 calls += Call(fnStart, close + 1, fn, args, part, order, frame,
                   exclude, distinct, ignoreNulls, filt)
@@ -422,9 +428,11 @@ object WindowFrames {
               try Some(parseCallBefore(sql, i))
               catch { case _: IllegalArgumentException => None }
             parsed match {
-              case Some((fnStart, fn, args, distinct, ignoreNulls, filt))
-                  if lowersOnPlainWindow(fn) && !distinct &&
-                    (isCorrFn(fn) || topLevelKeyword(content, "ORDER") >= 0 ||
+              case Some((fnStart, fn, args, distinct, ignoreNulls, filt, hadFilter))
+                  if isFragileFn(fn) &&
+                    (lowersOnPlainWindow(fn) || hadFilter) && !distinct &&
+                    (isCorrFn(fn) || hadFilter ||
+                      topLevelKeyword(content, "ORDER") >= 0 ||
                       topLevelKeyword(content, "ROWS") >= 0 ||
                       topLevelKeyword(content, "RANGE") >= 0) =>
                 parseOver(content, requireTokens = false).foreach {
@@ -604,7 +612,7 @@ object WindowFrames {
     * the ignoreNulls flag for first_value/last_value.
     */
   private def parseCallBefore(sql: String, overIdx: Int)
-      : (Int, String, String, Boolean, Boolean, Option[String]) = {
+      : (Int, String, String, Boolean, Boolean, Option[String], Boolean) = {
     var j = overIdx - 1
     while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
     // optional `IGNORE NULLS` / `RESPECT NULLS` between the call and OVER
@@ -670,11 +678,12 @@ object WindowFrames {
           }
         }
       val filt = if (fn.equalsIgnoreCase("nth_value")) Some(cond) else None
-      (fnStart, fn, args, distinct, ignoreNulls, filt)
+      (fnStart, fn, args, distinct, ignoreNulls, filt, true)
     } else {
       val fnStart = identStart(sql, openIdx)
       val (args, distinct) = splitDistinct(sql.substring(openIdx + 1, j).trim)
-      (fnStart, sql.substring(fnStart, openIdx).trim, args, distinct, ignoreNulls, None)
+      (fnStart, sql.substring(fnStart, openIdx).trim, args, distinct, ignoreNulls,
+        None, false)
     }
   }
 
@@ -1468,24 +1477,24 @@ object WindowFrames {
     s"${c.fn}($d${c.args}$n) OVER (${partPrefix}$orderPrefix${c.frame.text})".trim
   }
 
-  /** A no-exclusion window for a FRAGILE aggregate (see [[isFragileFn]]):
-    * the corr family computes from pair moments over the verbatim window
-    * (ANSI-safe guards, reference NULL semantics) and median/percentile
-    * from the collected kept array; everything else stays native.
+  /** A no-exclusion window for a FRAGILE aggregate (see
+    * [[lowersOnPlainWindow]]): since r13 the corr family and percentile
+    * run NATIVE over the (possibly rewritten) window — corr through the
+    * registered `AnsiSafeCorr`, covar/regr/percentile through Spark's
+    * own guarded natives (pinned in AnsiSafeCorrSpec); a folded FILTER
+    * rides along inside the masked arguments, which native aggregates
+    * honor by skipping the NULLed side(s). Only median collects the kept
+    * array (Spark rejects ordered/framed median), and nth_value with an
+    * UNFOLDED FILTER masks the collected frame (native window functions
+    * take no FILTER).
     */
   private def plainOrFragile(c: Call, ctx: BlockCtx, win: String,
       full: String): String = {
     val fl = c.fn.toLowerCase
     if (c.distinct) full // DISTINCT routes through the dedicated paths
-    else if (fl == "corr") full // native AnsiSafeCorr is ANSI-safe (r13)
-    else if (isCorrFn(fl))
-      combine(ctx, c.part, c.fn, c.args, Seq(win), withOwn = false, full)
-    else if (fl == "median" || fl == "percentile")
+    else if (fl == "median")
       applyToKept(c, s"collect_list(${keptStruct(c)}) $win")
     else if (isKeptSeqFn(fl) && c.filter.nonEmpty)
-      // nth_value with FILTER on a frame where exclusion is a no-op:
-      // still needs the kept-sequence path (native Spark has no FILTER
-      // on window functions), masking the collected frame (r13)
       applyToKept(c, s"collect_list(${keptStruct(c)}) $win")
     else full
   }
@@ -1753,7 +1762,7 @@ object WindowFrames {
               try Some(parseCallBefore(out, i))
               catch { case _: IllegalArgumentException => None }
             parsed match {
-              case Some((fnStart, fn, args, true, _, _)) =>
+              case Some((fnStart, fn, args, true, _, _, _)) =>
                 val repl = fn.toLowerCase match {
                   case f if isDistinctInvariant(f) =>
                     s"$fn($args) OVER ($content)" // DISTINCT is a no-op

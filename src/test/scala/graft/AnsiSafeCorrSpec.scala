@@ -93,6 +93,46 @@ class AnsiSafeCorrSpec extends GraftSuite {
     assert(out(2) === None) // degenerate frame: NULL, not DIVIDE_BY_ZERO
   }
 
+  // r13: plain covar/regr/percentile windows run NATIVE (the lowering
+  // intercepts them only under GROUPS/EXCLUDE or a FILTER clause), so
+  // this pins their guarded evaluation on every degenerate frame shape —
+  // empty at the partition head, single pair, zero variance on either or
+  // both sides, sliding RANGE — against a Spark upgrade regression. corr
+  // is covered by the AnsiSafeCorr tests above; median MUST keep
+  // rejecting ordered windows (the lowering exists for it).
+  test("native window covar/regr/percentile guard every degenerate frame shape") {
+    import spark.implicits._
+    Seq((1, 1.0, 2.0), (2, 3.0, 4.0), (3, 5.0, 5.0), (4, 5.0, 6.0))
+      .toDF("k", "y", "x").createOrReplaceTempView("asc_win")
+    val shapes = Seq(
+      "covar_pop(y, x)", "covar_samp(y, x)", "regr_slope(y, x)",
+      "regr_intercept(y, x)", "regr_r2(y, x)", "regr_sxx(y, x)",
+      "regr_sxy(y, x)", "regr_syy(y, x)", "regr_avgx(y, x)",
+      "regr_avgy(y, x)", "regr_count(y, x)",
+      "regr_slope(y, 1.0)", "regr_r2(1.0, x)", "regr_intercept(y, 1.0)",
+      "covar_samp(1.0, 1.0)", "percentile(y, 0.5)")
+    shapes.foreach { f =>
+      // pure-preceding: EMPTY for the first row, a single pair next —
+      // the exact shapes that made native corr throw under ANSI
+      spark.sql(s"SELECT k, $f OVER (ORDER BY k ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING) AS v FROM asc_win").collect()
+      spark.sql(s"SELECT k, $f OVER (ORDER BY k RANGE BETWEEN " +
+        "1 PRECEDING AND 1 FOLLOWING) AS v FROM asc_win").collect()
+    }
+    // the zero-variance y special case keeps the reference value
+    val r2 = spark.sql("SELECT regr_r2(1.0, x) OVER (ORDER BY k ROWS BETWEEN " +
+      "1 PRECEDING AND CURRENT ROW) AS v FROM asc_win WHERE k > 1").collect()
+    // head frame is a single row: zero x-variance → NULL (guarded);
+    // every 2-row frame: zero y-variance, nonzero x-variance → 1.0
+    assert(r2.head.isNullAt(0))
+    assert(r2.drop(1).forall(r => r.getDouble(0) == 1.0))
+    // median still rejects ordered/framed windows — the lowering covers it
+    val e = intercept[Exception](
+      spark.sql("SELECT median(y) OVER (ORDER BY k) FROM asc_win").collect())
+    assert(e.getMessage.contains("INVALID_WINDOW_SPEC") ||
+      e.getMessage.toLowerCase.contains("window"))
+  }
+
   test("the other statistical aggregates guard degenerate groups natively") {
     fixture()
     val row = spark.sql(
