@@ -892,7 +892,8 @@ object ExtendedQueries {
         |FROM (SELECT o_orderkey, o_orderstatus, bucket,
         |      CASE WHEN bucket % 3 = 0 THEN NULL ELSE bucket * 10 END AS nv
         |      FROM (SELECT o_orderkey, o_orderstatus,
-        |            cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) b) t""".stripMargin,
+        |            cast(floor(o_totalprice / 100000) AS bigint) AS bucket FROM orders) b) t
+        |ORDER BY o_orderkey""".stripMargin,
       """SELECT o_orderkey, o_orderstatus, bucket,
         |  first_value(nv IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY g
         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS fp,
@@ -908,7 +909,8 @@ object ExtendedQueries {
         |  FROM (SELECT o_orderkey, o_orderstatus, bucket,
         |        CASE WHEN bucket % 3 = 0 THEN NULL ELSE bucket * 10 END AS nv
         |        FROM (SELECT o_orderkey, o_orderstatus,
-        |              floor(o_totalprice / 100000)::bigint AS bucket FROM orders) b) t) t2""".stripMargin),
+        |              floor(o_totalprice / 100000)::bigint AS bucket FROM orders) b) t) t2
+        |ORDER BY o_orderkey""".stripMargin),
     // Pivot-centered moments (r11 advice #3): values ~1e8 with spread ~3
     // — the naive Σx² − (Σx)²/n recompute loses most significant digits
     // at this scale (ulp(1e16) = 2); centering on avg(x) over the
