@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DataFrame-API / expr() / named-window-free paths.
     inject("corr", es =>
       org.apache.spark.sql.graft.AnsiSafeCorr(es(0), es(1)))
+    // reference-parity moments (r13 verdict #6): `skewness`/`kurtosis`
+    // keep Spark's population g1/g2 (batch/window self-consistency, a
+    // documented divergence); these registered variants give a parity
+    // user the reference's n<3/n<4 NULL guards and bias-corrected
+    // kurtosis without hand-rolling the closed-form correction
+    inject("skewness_ref", es => org.apache.spark.sql.graft.RefSkewness(es.head))
+    inject("kurtosis_ref", es => org.apache.spark.sql.graft.RefKurtosis(es.head))
     // reduce_agg needs parse-time resolution — see GraftSqlParser scaladoc
     ext.injectParser((_, parser) => new org.apache.spark.sql.graft.GraftSqlParser(parser))
   }

@@ -124,6 +124,27 @@ object Tables {
     // MATCH_RECOGNIZE clauses can't become Spark SQL text — they lower
     // to the row-pattern operator and re-enter the query as a temp view
     val afterMr = graft.sqlcompat.MatchRecognizeSql.rewrite(spark, query)
-    spark.sql(graft.sqlcompat.Dialect.rewrite(afterMr))
+    val rewritten = graft.sqlcompat.Dialect.rewrite(afterMr)
+    // Registration-coupling guard (r13 advice): plain corr windows stay
+    // NATIVE since r13 (WindowFrames.lowersOnPlainWindow) and are only
+    // ANSI-safe through the AnsiSafeCorr override that GraftExtensions
+    // injects — in a vanilla session a degenerate frame (single pair,
+    // zero variance) would throw ANSI DIVIDE_BY_ZERO at runtime. Fail
+    // loudly at submit time instead of surfacing Spark's opaque error.
+    corrWindowGuard(spark, rewritten)
+    spark.sql(rewritten)
   }
+
+  private val CorrWindowProbe = java.util.regex.Pattern.compile(
+    "(?is)\\bcorr\\s*\\((?:(?!\\bover\\b).)*\\)\\s*over\\b")
+
+  private[graft] def corrWindowGuard(spark: SparkSession, rewritten: String): Unit =
+    if (CorrWindowProbe.matcher(rewritten).find() &&
+        !spark.sessionState.functionRegistry
+          .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier("corr"))
+          .exists(_.getClassName == "graft.functions"))
+      throw new IllegalStateException(
+        "corr window functions need the ANSI-safe corr override: build the " +
+          "session with .withExtensions(new graft.engine.GraftExtensions) " +
+          "(degenerate frames would otherwise throw ANSI DIVIDE_BY_ZERO)")
 }

@@ -685,6 +685,32 @@ object ExtendedQueries {
         |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) DESC,
         |  o_orderkey
         |LIMIT 10""".stripMargin),
+    // Qualified star under the GROUPS/EXCLUDE lowering (r13 verdict,
+    // Missing #2): the restructure wraps the FROM in a subquery, so the
+    // engine preserves a single-relation FROM's alias on the wrapper and
+    // re-projects `t.* EXCEPT (helpers)` — the user-visible schema is
+    // exactly t's columns plus the window. EXCLUDE TIES here keeps the
+    // current row and drops its bucket peers; the frame contains the
+    // current row, so DuckDB's EXCLUDE agrees with the standard, and the
+    // sum depends only on bucket values (tie-order-safe). Total ORDER BY
+    // on the unique key keeps the dump order-deterministic end to end.
+    "win_sql_qualified_star" -> (
+      """SELECT t.*, cast(sum(bucket) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS bigint) AS s
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |      cast(floor(o_totalprice / 100000) AS bigint) AS bucket
+        |      FROM orders WHERE o_orderkey % 10 = 0) t
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  (sum(bucket) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES))::bigint AS s
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS g
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |        floor(o_totalprice / 100000)::bigint AS bucket
+        |        FROM orders WHERE o_orderkey % 10 = 0) t) t2
+        |ORDER BY o_orderkey""".stripMargin),
     // EXCLUDE GROUP/TIES on ROWS frames (r11 verdict, Missing #2): the
     // peer run is contiguous in the frame order, so subtraction against a
     // peer-clamped positional window is exact for invertible aggregates.

@@ -214,6 +214,21 @@ object OperatorQueries {
         regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
         regr_intercept(col("l_extendedprice"), col("l_quantity")).as("intercept"))
     }),
+    // reference-parity moments (r13 verdict #6): skewness_ref/kurtosis_ref
+    // carry the reference's n<3/n<4 NULL guards and bias-corrected
+    // kurtosis (CentralMomentsAggregation.java:58-86). The mod-600 groups
+    // over the filtered orders land at n≈1..8, so both guards and both
+    // live formulas are exercised; the oracle recomputes the same
+    // quantities two-pass from a window mean (the agg_stats convention).
+    "agg_moments_ref" -> ((s, dir) => {
+      graft.engine.Tables.sql(s, dir,
+        """SELECT g, count(*) AS n,
+          |  skewness_ref(v) AS sk, kurtosis_ref(v) AS ku
+          |FROM (SELECT o_orderkey % 600 AS g, o_totalprice / 1000 AS v
+          |      FROM orders WHERE o_orderkey % 7 = 0) t
+          |GROUP BY g
+          |ORDER BY g""".stripMargin)
+    }),
     // geometric_mean (GeometricMeanAggregations.java) = exp(avg(ln x))
     "agg_geometric_mean" -> ((s, dir) => {
       t(s, dir, "lineitem").filter(col("l_quantity") > 0)
@@ -572,6 +587,23 @@ object OperatorQueries {
         |regr_slope(l_extendedprice, l_quantity) AS slope,
         |regr_intercept(l_extendedprice, l_quantity) AS intercept
         |FROM lineitem""".stripMargin,
+    "agg_moments_ref" ->
+      """SELECT g, count(*) AS n,
+        |  CASE WHEN count(*) >= 3 THEN
+        |    sqrt(count(*)) * sum(pow(v - mu, 3)) / pow(sum(pow(v - mu, 2)), 1.5)
+        |  END AS sk,
+        |  CASE WHEN count(*) >= 4 THEN
+        |    (count(*) - 1) * count(*) * (count(*) + 1)
+        |      / ((count(*) - 2) * (count(*) - 3))
+        |      * sum(pow(v - mu, 4)) / pow(sum(pow(v - mu, 2)), 2)
+        |    - 3.0 * (count(*) - 1) * (count(*) - 1)
+        |      / ((count(*) - 2) * (count(*) - 3))
+        |  END AS ku
+        |FROM (SELECT o_orderkey % 600 AS g, o_totalprice / 1000 AS v,
+        |      avg(o_totalprice / 1000) OVER (PARTITION BY o_orderkey % 600) AS mu
+        |      FROM orders WHERE o_orderkey % 7 = 0) t
+        |GROUP BY g
+        |ORDER BY g""".stripMargin,
     "agg_geometric_mean" ->
       """SELECT l_linestatus, exp(avg(ln(l_quantity))) AS geomean_qty
         |FROM lineitem WHERE l_quantity > 0 GROUP BY l_linestatus""".stripMargin,

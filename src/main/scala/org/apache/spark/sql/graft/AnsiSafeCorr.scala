@@ -39,9 +39,17 @@ case class AnsiSafeCorr(x: Expression, y: Expression)
     val nullD = Literal.create(null, DoubleType)
     val zero = Literal(0.0d)
     val degenerate = Or(LessThanOrEqual(xMk, zero), LessThanOrEqual(yMk, zero))
+    val res = Divide(ck, Sqrt(Multiply(xMk, yMk)), EvalMode.LEGACY)
+    // NaN/Infinity INPUTS poison the moments (NaN fails every <= test, so
+    // the degenerate guard passes it through): the reference emits corr
+    // only when `Double.isFinite(result)` and NULL otherwise
+    // (DoubleCorrelationAggregation.java:52) — gate the final value the
+    // same way (r13 advice)
+    val nonFinite = Or(IsNaN(res),
+      Or(EqualTo(res, Literal(Double.PositiveInfinity)),
+        EqualTo(res, Literal(Double.NegativeInfinity))))
     If(LessThan(n, Literal(1.0d)), nullD,
-      If(degenerate, nullD,
-        Divide(ck, Sqrt(Multiply(xMk, yMk)), EvalMode.LEGACY)))
+      If(degenerate, nullD, If(nonFinite, nullD, res)))
   }
 
   override def withNewChildrenInternal(

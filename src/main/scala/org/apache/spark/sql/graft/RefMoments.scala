@@ -1,0 +1,64 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg
+import org.apache.spark.sql.types.DoubleType
+
+/** Reference-parity skewness/kurtosis (r13 verdict #6, documented
+  * divergence (b)): the engine's `skewness`/`kurtosis` keep Spark's
+  * population g1/g2 at every n≥1 for batch/window self-consistency; the
+  * reference instead returns NULL below the minimum sample size and
+  * bias-corrects kurtosis (`CentralMomentsAggregation.java:58-86`):
+  *
+  *  - skewness: NULL for n<3, else `√n·m3 / m2^1.5` (the same population
+  *    g1 Spark computes — only the guard differs),
+  *  - kurtosis: NULL for n<4, else the sample-corrected excess
+  *    `(n−1)n(n+1)/((n−2)(n−3)) · m4/m2² − 3(n−1)²/((n−2)(n−3))`.
+  *
+  * Registered as `skewness_ref`/`kurtosis_ref` so a reference-parity user
+  * doesn't hand-roll the closed-form correction. Real AggregateFunctions
+  * over Spark's own central-moment buffer (same pattern as
+  * [[AnsiSafeCorr]]), so FILTER/DISTINCT/window attachment resolve. The
+  * divisions are LEGACY mode: a constant input (m2 = 0) yields NaN at
+  * n≥3/n≥4 exactly as the reference's Java double arithmetic does (no
+  * `isFinite` gate exists on these two in the reference).
+  */
+case class RefSkewness(child: Expression)
+    extends CentralMomentAgg(child, true) {
+
+  override def prettyName: String = "skewness_ref"
+  override def momentOrder: Int = 3
+
+  override val evaluateExpression: Expression = {
+    val nullD = Literal.create(null, DoubleType)
+    If(LessThan(n, Literal(3.0d)), nullD,
+      Divide(Multiply(Sqrt(n), m3),
+        Sqrt(Multiply(Multiply(m2, m2), m2)), EvalMode.LEGACY))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RefSkewness =
+    copy(child = newChild)
+}
+
+case class RefKurtosis(child: Expression)
+    extends CentralMomentAgg(child, true) {
+
+  override def prettyName: String = "kurtosis_ref"
+  override def momentOrder: Int = 4
+
+  override val evaluateExpression: Expression = {
+    val nullD = Literal.create(null, DoubleType)
+    val one = Literal(1.0d)
+    val nm1 = Subtract(n, one)
+    val denom = Multiply(Subtract(n, Literal(2.0d)), Subtract(n, Literal(3.0d)))
+    val term1 = Multiply(
+      Divide(Multiply(Multiply(nm1, n), Add(n, one)), denom, EvalMode.LEGACY),
+      Divide(m4, Multiply(m2, m2), EvalMode.LEGACY))
+    val term2 = Divide(Multiply(Literal(3.0d), Multiply(nm1, nm1)),
+      denom, EvalMode.LEGACY)
+    If(LessThan(n, Literal(4.0d)), nullD, Subtract(term1, term2))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RefKurtosis =
+    copy(child = newChild)
+}

@@ -27,6 +27,95 @@ class AnsiSafeCorrSpec extends GraftSuite {
     assert(got(4) === None) // no complete pair at all
   }
 
+  test("corr returns NULL on NaN/Infinity inputs, matching the reference's isFinite gate (r13 advice)") {
+    // NaN or Infinity inputs poison the co-moments; the <=0 degenerate
+    // guards evaluate false on NaN, so without the non-finite gate the
+    // result would be NaN where the reference emits NULL
+    // (DoubleCorrelationAggregation.java:52 Double.isFinite)
+    import spark.implicits._
+    Seq((1, Double.NaN, 2.0), (1, 3.0, 4.0), (1, 5.0, 7.0),
+      (2, Double.PositiveInfinity, 1.0), (2, 3.0, 4.0), (2, 5.0, 7.0),
+      (3, 1.0, Double.NegativeInfinity), (3, 3.0, 4.0), (3, 5.0, 7.0),
+      (4, 1.0, 2.0), (4, 3.0, 4.0), (4, 5.0, 7.0))
+      .toDF("k", "y", "x").createOrReplaceTempView("asc_nonfinite")
+    val got = spark.sql(
+      "SELECT k, corr(y, x) AS c FROM asc_nonfinite GROUP BY k ORDER BY k")
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1) === None, s"NaN input: ${got(1)}")
+    assert(got(2) === None, s"+Inf input: ${got(2)}")
+    assert(got(3) === None, s"-Inf input: ${got(3)}")
+    assert(got(4).exists(c => c > 0.9 && c <= 1.0), s"healthy group: ${got(4)}")
+  }
+
+  test("the SQL path fails loudly when a corr window runs without the AnsiSafeCorr registration (r13 advice)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // extended session: guard passes silently
+    graft.engine.Tables.corrWindowGuard(spark,
+      "SELECT corr(y, x) OVER (ORDER BY k) FROM t")
+    // doctored session without the override: loud IllegalStateException
+    // instead of a runtime ANSI DIVIDE_BY_ZERO on degenerate frames
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(FunctionIdentifier("corr"))
+    val e = intercept[IllegalStateException](graft.engine.Tables.corrWindowGuard(
+      bare, "SELECT corr(y, x) OVER (ORDER BY k) FROM t"))
+    assert(e.getMessage.contains("GraftExtensions"))
+    // non-window corr (batch aggregate) is out of the guard's scope —
+    // batch corr on a vanilla session is Spark-native behavior
+    graft.engine.Tables.corrWindowGuard(bare, "SELECT corr(y, x) FROM t")
+    // nested call arguments still probe through to the OVER
+    val e2 = intercept[IllegalStateException](graft.engine.Tables.corrWindowGuard(
+      bare, "SELECT corr(abs(y), x + 1) OVER (PARTITION BY p ORDER BY k) FROM t"))
+    assert(e2.getMessage.contains("GraftExtensions"))
+  }
+
+  test("skewness_ref/kurtosis_ref carry the reference's guards and bias-corrected kurtosis (r13 verdict #6)") {
+    import spark.implicits._
+    // group sizes 2 / 3 / 6: n=2 → both NULL; n=3 → skewness live
+    // (population g1 per the reference formula), kurtosis still NULL;
+    // n=6 → both live, kurtosis bias-corrected
+    val data = Seq((2, 1.0), (2, 4.0),
+      (3, 1.0), (3, 2.0), (3, 7.0),
+      (6, 1.0), (6, 2.0), (6, 4.0), (6, 8.0), (6, 16.0), (6, 31.0))
+    data.toDF("k", "v").createOrReplaceTempView("ref_moments")
+    val got = spark.sql(
+      "SELECT k, skewness_ref(v) AS sk, kurtosis_ref(v) AS ku " +
+        "FROM ref_moments GROUP BY k ORDER BY k").collect()
+      .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    def moments(vs: Seq[Double]): (Int, Double, Double, Double) = {
+      val n = vs.length; val mu = vs.sum / n
+      (n, vs.map(x => math.pow(x - mu, 2)).sum,
+        vs.map(x => math.pow(x - mu, 3)).sum,
+        vs.map(x => math.pow(x - mu, 4)).sum)
+    }
+    def refSk(vs: Seq[Double]): Double = {
+      val (n, m2, m3, _) = moments(vs)
+      math.sqrt(n.toDouble) * m3 / math.pow(m2, 1.5)
+    }
+    def refKu(vs: Seq[Double]): Double = {
+      val (ni, m2, _, m4) = moments(vs); val n = ni.toDouble
+      (n - 1) * n * (n + 1) / ((n - 2) * (n - 3)) * m4 / (m2 * m2) -
+        3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    }
+    assert(got(2) === ((None, None)))
+    val g3 = data.filter(_._1 == 3).map(_._2)
+    assert(got(3)._1.exists(s => math.abs(s - refSk(g3)) < 1e-12), s"n=3 sk ${got(3)}")
+    assert(got(3)._2 === None, "n=3 kurtosis must be NULL")
+    val g6 = data.filter(_._1 == 6).map(_._2)
+    assert(got(6)._1.exists(s => math.abs(s - refSk(g6)) < 1e-12), s"n=6 sk ${got(6)}")
+    assert(got(6)._2.exists(k => math.abs(k - refKu(g6)) < 1e-12), s"n=6 ku ${got(6)}")
+    // real AggregateFunctions: FILTER and window attachment resolve
+    val f = spark.sql(
+      "SELECT skewness_ref(v) FILTER (WHERE k = 6) AS s, " +
+        "kurtosis_ref(v) FILTER (WHERE k = 6) AS u FROM ref_moments").head()
+    assert(math.abs(f.getDouble(0) - refSk(g6)) < 1e-12)
+    assert(math.abs(f.getDouble(1) - refKu(g6)) < 1e-12)
+    val w = spark.sql(
+      "SELECT k, skewness_ref(v) OVER (PARTITION BY k) AS s FROM ref_moments " +
+        "WHERE k = 6 LIMIT 1").head()
+    assert(math.abs(w.getDouble(1) - refSk(g6)) < 1e-12)
+  }
+
   test("corr values match the two-pass formula on healthy groups") {
     fixture()
     import spark.implicits._
