@@ -711,6 +711,60 @@ object ExtendedQueries {
         |        floor(o_totalprice / 100000)::bigint AS bucket
         |        FROM orders WHERE o_orderkey % 10 = 0) t) t2
         |ORDER BY o_orderkey""".stripMargin),
+    // Windowed reference-parity moments (r14, extends r13 verdict #6):
+    // skewness_ref/kurtosis_ref attach to plain ROWS frames natively
+    // (DeclarativeAggregate over the central-moment buffer). The 5-row
+    // ramp frames exercise n=1..5, so both n-guards, both live formulas,
+    // and the constant-frame NaN (reference Java 0/0) all appear. v is a
+    // small integer, so the oracle recomputes the moments from
+    // INTEGER-EXACT window power sums (M2 = n·s2−s1², M3 = n²s3−3n·s1·s2
+    // +2s1³, M4 = n³s4−4n²s1·s3+6n·s1²s2−3s1⁴; sk = M3/M2^1.5,
+    // ku·(n−2)(n−3) terms fold the n's) — no catastrophic cancellation
+    // at any frame, per the win_sql_stddev_pivot lesson.
+    // Both spellings clamp |x| < 1e-10 to +0.0: a symmetric frame's true
+    // sk is exactly 0, which the oracle certificate hits while Spark's
+    // Welford leaves a ~1e-15 residual that renders as -0.0 after the
+    // driver's rounding; the smallest possible NONZERO values are
+    // ≥ 7.7e-7 (sk) / ~1.1e-9 (ku) for this integer fixture, so the
+    // clamp cannot touch a live value. NULL/NaN pass through the CASE.
+    "win_sql_moments_ref" -> (
+      """SELECT o_orderkey, g,
+        |  CASE WHEN abs(sk0) < 1e-10 THEN cast(0.0 AS double) ELSE sk0 END AS sk,
+        |  CASE WHEN abs(ku0) < 1e-10 THEN cast(0.0 AS double) ELSE ku0 END AS ku
+        |FROM (SELECT o_orderkey, g,
+        |  skewness_ref(v) OVER (PARTITION BY g ORDER BY o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sk0,
+        |  kurtosis_ref(v) OVER (PARTITION BY g ORDER BY o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ku0
+        |FROM (SELECT o_orderkey, o_orderkey % 20 AS g,
+        |      cast(o_orderkey % 23 AS double) AS v
+        |      FROM orders WHERE o_orderkey % 7 = 0) t) z
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, g,
+        |  CASE WHEN abs(sk0) < 1e-10 THEN 0.0 ELSE sk0 END AS sk,
+        |  CASE WHEN abs(ku0) < 1e-10 THEN 0.0 ELSE ku0 END AS ku
+        |FROM (SELECT o_orderkey, g,
+        |  CASE WHEN n >= 3 THEN
+        |    CASE WHEN n*s2 - s1*s1 <= 0 THEN 'NaN'::DOUBLE
+        |         ELSE (n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1)
+        |              / pow(n*s2 - s1*s1, 1.5) END
+        |  END AS sk0,
+        |  CASE WHEN n >= 4 THEN
+        |    CASE WHEN n*s2 - s1*s1 <= 0 THEN 'NaN'::DOUBLE
+        |         ELSE (n-1)*(n+1)/((n-2)*(n-3))
+        |              * (n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1)
+        |              / ((n*s2 - s1*s1)*(n*s2 - s1*s1))
+        |           - 3.0*(n-1)*(n-1)/((n-2)*(n-3)) END
+        |  END AS ku0
+        |FROM (SELECT o_orderkey, g,
+        |      count(*) OVER w AS n,
+        |      sum(v) OVER w AS s1, sum(v*v) OVER w AS s2,
+        |      sum(v*v*v) OVER w AS s3, sum(v*v*v*v) OVER w AS s4
+        |  FROM (SELECT o_orderkey, o_orderkey % 20 AS g, o_orderkey % 23 AS v
+        |        FROM orders WHERE o_orderkey % 7 = 0) t
+        |  WINDOW w AS (PARTITION BY g ORDER BY o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) m) z
+        |ORDER BY o_orderkey""".stripMargin),
     // EXCLUDE GROUP/TIES on ROWS frames (r11 verdict, Missing #2): the
     // peer run is contiguous in the frame order, so subtraction against a
     // peer-clamped positional window is exact for invertible aggregates.

@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.DoubleType
   * Registered as `skewness_ref`/`kurtosis_ref` so a reference-parity user
   * doesn't hand-roll the closed-form correction. Real AggregateFunctions
   * over Spark's own central-moment buffer (same pattern as
-  * [[AnsiSafeCorr]]), so FILTER/DISTINCT/window attachment resolve. The
-  * divisions are LEGACY mode: a constant input (m2 = 0) yields NaN at
-  * n≥3/n≥4 exactly as the reference's Java double arithmetic does (no
-  * `isFinite` gate exists on these two in the reference).
+  * [[AnsiSafeCorr]]), so FILTER/DISTINCT/window attachment resolve. A
+  * constant input (m2 = 0) past the n-guard emits an explicit NaN —
+  * the reference's Java arithmetic produces 0/0 = NaN and
+  * `writeDouble`s it with no isFinite gate on these two; Spark's LEGACY
+  * division would instead return NULL on the zero denominator, so the
+  * NaN is spelled out rather than left to the division.
   */
 case class RefSkewness(child: Expression)
     extends CentralMomentAgg(child, true) {
@@ -32,8 +34,9 @@ case class RefSkewness(child: Expression)
   override val evaluateExpression: Expression = {
     val nullD = Literal.create(null, DoubleType)
     If(LessThan(n, Literal(3.0d)), nullD,
-      Divide(Multiply(Sqrt(n), m3),
-        Sqrt(Multiply(Multiply(m2, m2), m2)), EvalMode.LEGACY))
+      If(LessThanOrEqual(m2, Literal(0.0d)), Literal(Double.NaN),
+        Divide(Multiply(Sqrt(n), m3),
+          Sqrt(Multiply(Multiply(m2, m2), m2)), EvalMode.LEGACY)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): RefSkewness =
@@ -56,7 +59,9 @@ case class RefKurtosis(child: Expression)
       Divide(m4, Multiply(m2, m2), EvalMode.LEGACY))
     val term2 = Divide(Multiply(Literal(3.0d), Multiply(nm1, nm1)),
       denom, EvalMode.LEGACY)
-    If(LessThan(n, Literal(4.0d)), nullD, Subtract(term1, term2))
+    If(LessThan(n, Literal(4.0d)), nullD,
+      If(LessThanOrEqual(m2, Literal(0.0d)), Literal(Double.NaN),
+        Subtract(term1, term2)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): RefKurtosis =

@@ -114,6 +114,16 @@ class AnsiSafeCorrSpec extends GraftSuite {
       "SELECT k, skewness_ref(v) OVER (PARTITION BY k) AS s FROM ref_moments " +
         "WHERE k = 6 LIMIT 1").head()
     assert(math.abs(w.getDouble(1) - refSk(g6)) < 1e-12)
+    // constant input past the n-guard: the reference's Java arithmetic
+    // yields 0/0 = NaN and writes it (no isFinite gate on these two);
+    // Spark's LEGACY divide would NULL the zero denominator, so the NaN
+    // is emitted explicitly — pinned here
+    Seq((1, 5.0), (1, 5.0), (1, 5.0), (1, 5.0))
+      .toDF("k", "v").createOrReplaceTempView("ref_const")
+    val c = spark.sql(
+      "SELECT skewness_ref(v) AS s, kurtosis_ref(v) AS u FROM ref_const").head()
+    assert(c.getDouble(0).isNaN, s"constant skewness_ref: $c")
+    assert(c.getDouble(1).isNaN, s"constant kurtosis_ref: $c")
   }
 
   test("corr values match the two-pass formula on healthy groups") {
