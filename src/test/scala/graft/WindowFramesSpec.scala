@@ -1303,6 +1303,22 @@ class WindowFramesSpec extends GraftSuite {
       "SELECT k FROM t UNION ALL SELECT k FROM t2 " +
         "ORDER BY sum(k) OVER (ORDER BY k ROWS 1 PRECEDING)"))
     assert(eSet.getMessage.contains("set operation"))
+    // qualified star and mixed star lists lift through the same
+    // star-except path (the inner block keeps the original FROM alias
+    // in scope, so `t.*` resolves there; the outer `* EXCEPT (lifted)`
+    // preserves schema)
+    val qstar = run(
+      """SELECT t.* FROM wf_fixture t
+        |ORDER BY sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, v DESC
+        |LIMIT 3""".stripMargin)
+    assert(qstar.head.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(qstar.map(_.getInt(1)).toSeq === Seq(10, 9, 8))
+    val mixed = run(
+      """SELECT *, v + 1 AS w FROM wf_fixture
+        |ORDER BY sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) DESC, v DESC
+        |LIMIT 3""".stripMargin)
+    assert(mixed.head.schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    assert(mixed.map(_.getInt(2)).toSeq === Seq(11, 10, 9))
     // unaliased complex select items lift via star-except and keep
     // Spark's auto-generated column names (r13 verdict Missing #3)
     val un = run(
