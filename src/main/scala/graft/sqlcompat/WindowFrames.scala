@@ -2200,7 +2200,17 @@ object WindowFrames {
     "percentile_approx", "approx_percentile", "approx_count_distinct",
     "bit_and", "bit_or", "bit_xor", "geometric_mean", "checksum",
     "regr_slope", "regr_intercept", "regr_count", "regr_r2",
-    "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy")
+    "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
+    // r14: the registered Trino-name and sketch aggregates were missing,
+    // so a grouped query combining one with a GROUPS/EXCLUDE window
+    // failed the degroup (the un-extracted aggregate survived into the
+    // ungrouped outer query). All aggregate-only names; `merge` is safe
+    // because the scan demands a following `(` (DML is `MERGE INTO`).
+    "approx_distinct", "arbitrary", "bitwise_and_agg", "bitwise_or_agg",
+    "histogram", "numeric_histogram", "map_agg", "map_union",
+    "multimap_agg", "reduce_agg", "approx_set", "merge", "merge_hll",
+    "merge_tdigest", "qdigest_agg", "tdigest_agg", "make_set_digest",
+    "skewness_ref", "kurtosis_ref")
 
   private def idChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'

@@ -1396,6 +1396,21 @@ class WindowFramesSpec extends GraftSuite {
     assert(c.head.getLong(0) === 4L)
   }
 
+  test("Trino-name and sketch aggregates extract through the degroup pre-pass (r14)") {
+    fixture()
+    // approx_distinct (Trino alias) and skewness_ref (parity moment)
+    // were missing from the extraction set, so a grouped query combining
+    // one with a GROUPS window left the aggregate in the ungrouped outer
+    // query (loud analysis failure). Both now extract under an alias.
+    val got = run(
+      """SELECT k, approx_distinct(v) AS ad, skewness_ref(v) AS sk,
+        |  sum(sum(v)) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+        |FROM wf_fixture GROUP BY k""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expAd = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    got.foreach { case (k, ad) => assert(ad === expAd(k), s"approx_distinct at k=$k") }
+  }
+
   test("positional GROUP BY resolves under the degroup pre-pass (r13)") {
     fixture()
     def q(gb: String) = run(
