@@ -1014,9 +1014,11 @@ object WindowFrames {
         val sumE = combine(ctx, part, "sum", cArg, wins, withOwn, full)
         val sqE = combine(ctx, part, "sum", sqArg, wins, withOwn, full)
         momentVariance(fl, cntE, sumE, sqE)
-      case "skewness" | "kurtosis" =>
+      case f if isSkewKurtFn(f) =>
         // same machinery one and two moments higher (r12): S3 and S4 are
-        // plain sums over the segment windows too
+        // plain sums over the segment windows too; the _ref variants
+        // (r14) share the sums and differ only in momentSkewKurt's
+        // guards/final formula
         val c1 = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
           s"${ctx.pivotText(part, args)})")
         val n = combine(ctx, part, "count", args, wins, withOwn, "")
@@ -1181,18 +1183,32 @@ object WindowFrames {
     val m3 = s"($a3 - 3.0D * $a1 * $a2 / $nD + 2.0D * $a1 * $a1 * $a1 / ($nD * $nD))"
     val m4 = s"($a4 - 4.0D * $a1 * $a3 / $nD + 6.0D * $a1 * $a1 * $a2 / ($nD * $nD) " +
       s"- 3.0D * $a1 * $a1 * $a1 * $a1 / ($nD * $nD * $nD))"
-    val expr = fl match {
+    // the _ref variants (r14) carry the reference's guards: NULL below
+    // the minimum sample size, an explicit NaN on zero variance past it
+    // (the reference's unchecked Java 0/0 — CentralMomentsAggregation
+    // .java:58-86), and the bias-corrected kurtosis
+    val nan = "CAST('NaN' AS DOUBLE)"
+    val (minN, expr) = fl match {
       case "skewness" =>
-        s"(sqrt($nD) * $m3 / nullif(power($m2, 1.5D), CAST(0 AS DOUBLE)))"
+        (1, s"(sqrt($nD) * $m3 / nullif(power($m2, 1.5D), CAST(0 AS DOUBLE)))")
       case "kurtosis" =>
-        s"(($nD * $m4) / nullif(($m2 * $m2), CAST(0 AS DOUBLE)) - 3.0D)"
+        (1, s"(($nD * $m4) / nullif(($m2 * $m2), CAST(0 AS DOUBLE)) - 3.0D)")
+      case "skewness_ref" =>
+        (3, s"(CASE WHEN $m2 <= CAST(0 AS DOUBLE) THEN $nan " +
+          s"ELSE sqrt($nD) * $m3 / power($m2, 1.5D) END)")
+      case "kurtosis_ref" =>
+        (4, s"(CASE WHEN $m2 <= CAST(0 AS DOUBLE) THEN $nan " +
+          s"ELSE (($nD - 1.0D) * $nD * ($nD + 1.0D)) " +
+          s"/ (($nD - 2.0D) * ($nD - 3.0D)) * $m4 / ($m2 * $m2) " +
+          s"- 3.0D * ($nD - 1.0D) * ($nD - 1.0D) " +
+          s"/ (($nD - 2.0D) * ($nD - 3.0D)) END)")
       case other => fail(s"not a higher-moment aggregate: $other")
     }
-    s"CASE WHEN coalesce(($n), 0) < 1 THEN CAST(NULL AS DOUBLE) ELSE $expr END"
+    s"CASE WHEN coalesce(($n), 0) < $minN THEN CAST(NULL AS DOUBLE) ELSE $expr END"
   }
 
   private def isSkewKurtFn(fn: String): Boolean = fn.toLowerCase match {
-    case "skewness" | "kurtosis" => true
+    case "skewness" | "kurtosis" | "skewness_ref" | "kurtosis_ref" => true
     case _ => false
   }
 
@@ -1436,8 +1452,9 @@ object WindowFrames {
           case "current" => if (ownInFrame) s"($xF ^ $ownX)" else s"($xF)"
         }
         s"CASE WHEN ($exCnt) = 0 THEN NULL ELSE $folded END"
-      case "skewness" | "kurtosis" =>
-        // higher central moments are invertible sums too (r12)
+      case f if isSkewKurtFn(f) =>
+        // higher central moments are invertible sums too (r12); _ref
+        // variants share them (r14)
         val c1 = ctx.value(s"(CAST(($args) AS DOUBLE) - " +
           s"${ctx.pivotText(part, args)})")
         momentSkewKurt(fl, exCnt, sumEx(c1), sumEx(s"($c1 * $c1)"),

@@ -1396,6 +1396,57 @@ class WindowFramesSpec extends GraftSuite {
     assert(c.head.getLong(0) === 4L)
   }
 
+  test("skewness_ref/kurtosis_ref lower under GROUPS/EXCLUDE with the reference guards (r14)") {
+    fixture()
+    // identical S1..S4 machinery as the proven skewness/kurtosis
+    // lowering, so tie the _ref outputs to the plain ones by the
+    // closed-form relation: g1_ref = g1 at n>=3 (same population
+    // formula, only the guard differs) and ku_ref =
+    // (n-1)n(n+1)/((n-2)(n-3)) * (g2+3)/n - 3(n-1)^2/((n-2)(n-3))
+    val got = run(
+      """SELECT v,
+        |  count(v) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS n,
+        |  skewness(v) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS g1,
+        |  skewness_ref(v) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS g1r,
+        |  kurtosis(v) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS g2,
+        |  kurtosis_ref(v) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS g2r
+        |FROM wf_fixture""".stripMargin)
+    got.foreach { r =>
+      val n = r.getLong(1)
+      val g1 = optD(r, 2); val g1r = optD(r, 3)
+      val g2 = optD(r, 4); val g2r = optD(r, 5)
+      if (n < 3) assert(g1r === None, s"n=$n skewness_ref must be NULL")
+      else (g1, g1r) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"n=$n g1 $a vs $b")
+        case (None, _) => assert(g1r.forall(_.isNaN) || g1r.isEmpty) // zero-variance corner
+        case other => fail(s"n=$n skewness mismatch: $other")
+      }
+      if (n < 4) assert(g2r === None, s"n=$n kurtosis_ref must be NULL")
+      else (g2, g2r) match {
+        case (Some(a), Some(b)) =>
+          val nd = n.toDouble
+          val expect = (nd - 1) * nd * (nd + 1) / ((nd - 2) * (nd - 3)) * (a + 3.0) / nd -
+            3.0 * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3))
+          assert(math.abs(expect - b) < 1e-9, s"n=$n ku $b expect $expect")
+        case (None, _) => assert(g2r.forall(_.isNaN) || g2r.isEmpty)
+        case other => fail(s"n=$n kurtosis mismatch: $other")
+      }
+    }
+    // zero-variance frame past the guard: NaN (reference Java 0/0), not
+    // NULL — constant argument, EXCLUDE CURRENT ROW keeps 4 constant rows
+    import spark.implicits._
+    (1 to 5).map(i => (i, 7.0)).toDF("i", "c").createOrReplaceTempView("wf_const_ref")
+    val cz = run(
+      """SELECT i, skewness_ref(c) OVER (ORDER BY i
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s,
+        |  kurtosis_ref(c) OVER (ORDER BY i
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS u
+        |FROM wf_const_ref""".stripMargin)
+    val last = cz.maxBy(_.getInt(0))
+    assert(last.getDouble(1).isNaN, s"constant-frame skewness_ref: $last")
+    assert(last.getDouble(2).isNaN, s"constant-frame kurtosis_ref: $last")
+  }
+
   test("Trino-name and sketch aggregates extract through the degroup pre-pass (r14)") {
     fixture()
     // approx_distinct (Trino alias) and skewness_ref (parity moment)
