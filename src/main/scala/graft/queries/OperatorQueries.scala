@@ -214,6 +214,20 @@ object OperatorQueries {
         regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
         regr_intercept(col("l_extendedprice"), col("l_quantity")).as("intercept"))
     }),
+    // SQL-text LISTAGG in the reference's own spelling (r14): WITHIN
+    // GROUP ordering + the ON OVERFLOW ERROR clause (SqlBase.g4:439) —
+    // the dialect shim strips the overflow clause (the engine has no
+    // output cap, so the error path can never fire; documented superset
+    // of the reference's 1 MB limit) and Spark 4's native listagg takes
+    // the rest.
+    "agg_listagg_sql" -> ((s, dir) => {
+      graft.engine.Tables.sql(s, dir,
+        """SELECT n_regionkey,
+          |  listagg(n_name, '|' ON OVERFLOW ERROR)
+          |    WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM nation GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin)
+    }),
     // reference-parity moments (r13 verdict #6): skewness_ref/kurtosis_ref
     // carry the reference's n<3/n<4 NULL guards and bias-corrected
     // kurtosis (CentralMomentsAggregation.java:58-86). The mod-600 groups
@@ -587,6 +601,10 @@ object OperatorQueries {
         |regr_slope(l_extendedprice, l_quantity) AS slope,
         |regr_intercept(l_extendedprice, l_quantity) AS intercept
         |FROM lineitem""".stripMargin,
+    "agg_listagg_sql" ->
+      """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     "agg_moments_ref" ->
       """SELECT g, count(*) AS n,
         |  CASE WHEN count(*) >= 3 THEN

@@ -319,6 +319,28 @@ object Dialect {
     out.toString
   }
 
+  /** Trino's `LISTAGG(e, sep ON OVERFLOW …)` clause
+    * (`SqlBase.g4:439`): Spark 4's native `listagg` takes no overflow
+    * behavior because it has no output-length cap, so `ON OVERFLOW
+    * ERROR` is stripped — with no cap the error path can never fire,
+    * making the engine a documented superset of the reference's 1 MB
+    * page-size limit (`ListaggAggregationFunction.java:73`).
+    * `ON OVERFLOW TRUNCATE [filler] [WITH/WITHOUT COUNT]` would need
+    * that cap to mean anything, so it rejects loudly. Runs on
+    * literal-masked text ("ON OVERFLOW" inside a string can't match),
+    * and the phrase is valid SQL nowhere else, so a bare word-scan is
+    * exact.
+    */
+  private def rewriteListaggOverflow(masked: String): String = {
+    if (java.util.regex.Pattern.compile("(?i)\\bON\\s+OVERFLOW\\s+TRUNCATE\\b")
+        .matcher(masked).find())
+      throw new IllegalArgumentException(
+        "LISTAGG ON OVERFLOW TRUNCATE is not supported: the engine has no " +
+          "output-length cap, so truncation semantics are undefined here " +
+          "(ON OVERFLOW ERROR is accepted — with no cap it can never fire)")
+    masked.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", "")
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
@@ -332,7 +354,7 @@ object Dialect {
     // GROUPS frames / EXCLUDE clauses (SQL-2016 window syntax Spark's
     // parser rejects) lower to the proven dense_rank / two-segment /
     // subtraction recipes — also on masked text
-    val masked1 = WindowFrames.rewrite(masked0)
+    val masked1 = WindowFrames.rewrite(rewriteListaggOverflow(masked0))
     // typed literals for the emulated time types — needs the stashed
     // literal CONTENT to decide, so it runs on masked text with `lits`
     val masked = rewriteTypedTimeLiterals(masked1, lits)

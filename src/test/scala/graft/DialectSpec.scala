@@ -17,6 +17,21 @@ class DialectSpec extends GraftSuite {
       .endsWith("LIMIT 7"))
   }
 
+  test("LISTAGG ON OVERFLOW ERROR strips; TRUNCATE rejects loudly (r14)") {
+    // the engine has no output cap, so the ERROR path can never fire —
+    // stripping is a documented superset of the reference's 1 MB limit
+    val out = Dialect.rewrite(
+      "SELECT listagg(x, ',' ON OVERFLOW ERROR) WITHIN GROUP (ORDER BY x) FROM t")
+    assert(out == "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
+    val e = intercept[IllegalArgumentException](Dialect.rewrite(
+      "SELECT listagg(x, ',' ON OVERFLOW TRUNCATE '...' WITH COUNT) " +
+        "WITHIN GROUP (ORDER BY x) FROM t"))
+    assert(e.getMessage.contains("TRUNCATE"))
+    // inside a string literal the phrase is untouched (masked text)
+    val lit = "SELECT 'keep ON OVERFLOW ERROR text' AS s FROM t"
+    assert(Dialect.rewrite(lit) == lit)
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
