@@ -486,6 +486,21 @@ object FunctionQueries {
     // Array outputs are rendered as joined strings: the driver's pandas
     // comparator cannot sort raw array columns (round-1 ERR), and the
     // joined form is engine-neutral while still exercising each function.
+    // Trino's bracketed array constructor (r14): the dialect shim
+    // rewrites ARRAY[…] (Spark's parser rejects it) to array(…);
+    // 1-based access spelled via element_at on both engines (bracket
+    // subscripts stay Spark 0-based — documented divergence).
+    "fn_array_literal" -> (
+      """SELECT n_nationkey,
+        |  element_at(ARRAY[n_nationkey, n_regionkey, 7], 1) AS first_el,
+        |  size(ARRAY[ARRAY[n_nationkey], ARRAY[n_regionkey]]) AS outer_len,
+        |  array_join(ARRAY['r', cast(n_regionkey AS string)], '-') AS tag
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  list_extract(ARRAY[n_nationkey, n_regionkey, 7], 1) AS first_el,
+        |  len(ARRAY[ARRAY[n_nationkey], ARRAY[n_regionkey]]) AS outer_len,
+        |  array_to_string(ARRAY['r', cast(n_regionkey AS varchar)], '-') AS tag
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
     "fn_array" -> (
       """SELECT n_nationkey,
         |array_join(transform(array(n_nationkey, n_regionkey), x -> cast(x AS string)), ',') AS pair,

@@ -341,6 +341,44 @@ object Dialect {
     masked.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", "")
   }
 
+  /** Trino's bracketed array constructor `ARRAY[e, …]` (every Trino
+    * query writes these; Spark's parser rejects the form outright) →
+    * Spark's `array(e, …)`. A single left-to-right scan with a bracket
+    * stack: the bracket opened by an ARRAY keyword closes as `)`, every
+    * other bracket (subscripts — `a[i]`, allowed inside elements) closes
+    * as `]`, so nesting of both kinds composes. Dialect-policy note:
+    * this shims a Spark-REJECTED form only; subscript BASE is not
+    * touched — `a[i]` is valid Spark SQL (0-based) and stays Spark
+    * (Trino reads 1-based there; documented divergence, use
+    * `element_at` for 1-based access).
+    */
+  private def rewriteArrayBracket(masked: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = array-literal bracket
+    var i = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if ((c == 'A' || c == 'a') &&
+          (i == 0 || !Character.isLetterOrDigit(masked.charAt(i - 1)) && masked.charAt(i - 1) != '_') &&
+          masked.regionMatches(true, i, "ARRAY", 0, 5) &&
+          (i + 5 >= masked.length || (!Character.isLetterOrDigit(masked.charAt(i + 5)) && masked.charAt(i + 5) != '_'))) {
+        var j = i + 5
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        if (j < masked.length && masked.charAt(j) == '[') {
+          out.append("array(")
+          stack.push(true)
+          i = j + 1
+        } else { out.append(masked.substring(i, i + 5)); i += 5 }
+      } else if (c == '[') {
+        stack.push(false); out.append('['); i += 1
+      } else if (c == ']') {
+        val isArray = stack.nonEmpty && stack.pop()
+        out.append(if (isArray) ')' else ']'); i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
@@ -354,7 +392,8 @@ object Dialect {
     // GROUPS frames / EXCLUDE clauses (SQL-2016 window syntax Spark's
     // parser rejects) lower to the proven dense_rank / two-segment /
     // subtraction recipes — also on masked text
-    val masked1 = WindowFrames.rewrite(rewriteListaggOverflow(masked0))
+    val masked1 = WindowFrames.rewrite(
+      rewriteListaggOverflow(rewriteArrayBracket(masked0)))
     // typed literals for the emulated time types — needs the stashed
     // literal CONTENT to decide, so it runs on masked text with `lits`
     val masked = rewriteTypedTimeLiterals(masked1, lits)

@@ -32,6 +32,23 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(lit) == lit)
   }
 
+  test("ARRAY[...] constructors rewrite to array(...), subscripts and types untouched (r14)") {
+    assert(Dialect.rewrite("SELECT ARRAY[1, 2, 3] FROM t")
+      == "SELECT array(1, 2, 3) FROM t")
+    // nested literals and subscripts inside elements compose
+    assert(Dialect.rewrite("SELECT ARRAY[ARRAY[a], ARRAY[b[1]]] FROM t")
+      == "SELECT array(array(a), array(b[1])) FROM t")
+    // a subscript ON the literal keeps Spark's bracket (documented
+    // 0-based divergence; element_at is the 1-based spelling)
+    assert(Dialect.rewrite("SELECT ARRAY[1,2][1] FROM t")
+      == "SELECT array(1,2)[1] FROM t")
+    // Spark's ARRAY<INT> cast type and plain identifiers are untouched
+    val cast = "SELECT CAST(a AS ARRAY<INT>) FROM t"
+    assert(Dialect.rewrite(cast) == cast)
+    val lit = "SELECT 'ARRAY[1]' AS s FROM t"
+    assert(Dialect.rewrite(lit) == lit)
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
