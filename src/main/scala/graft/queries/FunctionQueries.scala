@@ -486,6 +486,36 @@ object FunctionQueries {
     // Array outputs are rendered as joined strings: the driver's pandas
     // comparator cannot sort raw array columns (round-1 ERR), and the
     // joined form is engine-neutral while still exercising each function.
+    // Trino typed numeric literals (r14): DECIMAL/DOUBLE/BIGINT '…'
+    // lower to casts with the literal-inferred decimal shape; the
+    // oracle states the same values as plain literals (DuckDB has no
+    // generic typed-literal grammar).
+    "fn_typed_literals" -> (
+      """SELECT n_nationkey,
+        |  cast(n_regionkey + DECIMAL '0.5' AS double) AS shifted,
+        |  n_nationkey * DOUBLE '2.5' AS scaled,
+        |  BIGINT '1000000000000' + n_nationkey AS big
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  cast(n_regionkey + 0.5 AS double) AS shifted,
+        |  n_nationkey * 2.5 AS scaled,
+        |  1000000000000 + n_nationkey AS big
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+    // Bare VARCHAR casts in the reference's spelling (r14): the dialect
+    // shim lowers CAST(x AS VARCHAR) to STRING (Spark demands a length
+    // on VARCHAR); TRY_CAST keeps null-on-failure. DuckDB runs the
+    // original spelling natively.
+    "fn_cast_varchar" -> (
+      """SELECT n_nationkey,
+        |  CAST(n_regionkey AS VARCHAR) AS r_str,
+        |  length(CAST(n_name AS VARCHAR)) AS name_len,
+        |  TRY_CAST(n_name AS VARCHAR) AS name_str
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  CAST(n_regionkey AS VARCHAR) AS r_str,
+        |  length(CAST(n_name AS VARCHAR)) AS name_len,
+        |  TRY_CAST(n_name AS VARCHAR) AS name_str
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
     // Trino's bracketed array constructor (r14): the dialect shim
     // rewrites ARRAY[…] (Spark's parser rejects it) to array(…);
     // 1-based access spelled via element_at on both engines (bracket

@@ -259,6 +259,48 @@ object Dialect {
     })
   }
 
+  /** Trino's typed NUMERIC literals — `DECIMAL '1.5'`, `DOUBLE '2.5'`,
+    * `REAL '1'`, `BIGINT '5'`, `INTEGER/INT/SMALLINT/TINYINT '…'`,
+    * `BOOLEAN 'true'` (generic `type 'literal'` grammar) — which Spark
+    * rejects (UNSUPPORTED_TYPED_LITERAL: only date/time/interval/X).
+    * Lowered to `CAST('…' AS t)`; under ANSI the cast throws on
+    * malformed content exactly where the reference's literal parser
+    * would. DECIMAL infers precision/scale from the literal's digits
+    * (the reference's `Decimals.parse` rule: precision = digit count,
+    * scale = digits after the point), capped at Spark's 38. Runs on
+    * masked text with the stashed literal content, like
+    * [[rewriteTypedTimeLiterals]].
+    */
+  private val NumLitRe =
+    ("(?i)\\b(DECIMAL|DOUBLE|REAL|BIGINT|INTEGER|INT|SMALLINT|TINYINT|BOOLEAN)" +
+      "\\s+'\u0001(\\d+)\u0001'").r
+  private val DecimalContent = """[+-]?(\d+(\.\d*)?|\.\d+)""".r
+
+  private def rewriteTypedNumLiterals(masked: String, lits: Vector[String]): String =
+    NumLitRe.replaceAllIn(masked, m => {
+      val tpe = m.group(1).toUpperCase
+      val content = lits(m.group(2).toInt).trim
+      val target: Option[String] = tpe match {
+        case "DECIMAL" =>
+          if (!DecimalContent.pattern.matcher(content).matches()) None
+          else {
+            val digits = content.dropWhile(c => c == '+' || c == '-')
+            val (ip, fp) = digits.span(_ != '.')
+            val scale = math.max(0, fp.length - 1)
+            val precision = math.min(38, math.max(1, ip.length + scale))
+            Some(s"DECIMAL($precision, ${math.min(scale, precision)})")
+          }
+        case "DOUBLE" => Some("DOUBLE")
+        case "REAL" => Some("FLOAT")
+        case "INTEGER" | "INT" => Some("INT")
+        case other => Some(other) // BIGINT, SMALLINT, TINYINT, BOOLEAN
+      }
+      java.util.regex.Matcher.quoteReplacement(target match {
+        case Some(t) => s"CAST('\u0001${m.group(2)}\u0001' AS $t)"
+        case None => m.matched // malformed DECIMAL: leave for a loud parse error
+      })
+    })
+
   /** `CAST(expr AS CHAR(n))` → `rpad(CAST(expr AS STRING), n, ' ')` —
     * the reference's fixed-width char semantics
     * (`core/trino-spi/.../type/CharType.java`: values are space-padded
@@ -270,6 +312,60 @@ object Dialect {
     * close, recursing so nested casts inside the operand rewrite too.
     */
   private val CharTypeTail = """(?is)^(.*)\bAS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$""".r
+  /** Bare `CAST(x AS VARCHAR)` / `AS VARBINARY` (no length) — Trino's
+    * most common cast spelling; Spark demands a length on VARCHAR
+    * (DATATYPE_MISSING_SIZE) and has no VARBINARY. Lowered to STRING /
+    * BINARY. The rewrite is CAST/TRY_CAST-scoped (same scanner as
+    * [[rewriteCharCast]]) so an alias that happens to be named
+    * `varchar` can never match; `VARCHAR(n)` keeps its length and
+    * rides Spark natively.
+    */
+  private val BareTypeTail = java.util.regex.Pattern.compile(
+    "(?is)^(.*\\S)\\s+AS\\s+(VARCHAR|VARBINARY)\\s*$")
+
+  private def rewriteBareTypeCast(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    def wordAt(word: String, pos: Int): Boolean =
+      sql.regionMatches(true, pos, word, 0, word.length) &&
+        (pos == 0 || (!Character.isLetterOrDigit(sql.charAt(pos - 1)) &&
+          sql.charAt(pos - 1) != '_'))
+    while (i < sql.length) {
+      val isTry = wordAt("TRY_CAST", i)
+      val isCast = isTry || wordAt("CAST", i)
+      var consumed = false
+      if (isCast) {
+        val kw = sql.substring(i, i + (if (isTry) 8 else 4))
+        var j = i + kw.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          var depth = 0; var k = j; var end = -1
+          while (k < sql.length && end < 0) {
+            sql.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (end > 0) {
+            val inner = rewriteBareTypeCast(sql.substring(j + 1, end))
+            val m = BareTypeTail.matcher(inner)
+            if (m.matches()) {
+              val spark =
+                if (m.group(2).equalsIgnoreCase("VARCHAR")) "STRING" else "BINARY"
+              out.append(s"$kw(${m.group(1)} AS $spark)")
+            } else out.append(s"$kw($inner)")
+            i = end + 1
+            consumed = true
+          }
+        }
+      }
+      if (!consumed) { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   private def rewriteCharCast(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -396,10 +492,11 @@ object Dialect {
       rewriteListaggOverflow(rewriteArrayBracket(masked0)))
     // typed literals for the emulated time types — needs the stashed
     // literal CONTENT to decide, so it runs on masked text with `lits`
-    val masked = rewriteTypedTimeLiterals(masked1, lits)
+    val masked =
+      rewriteTypedNumLiterals(rewriteTypedTimeLiterals(masked1, lits), lits)
     val rewritten = AtTimeZone.replaceAllIn(masked,
       m => java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, ${m.group(2)})"))
-    unmaskLiterals(rewriteCharCast(rewritten), lits)
+    unmaskLiterals(rewriteCharCast(rewriteBareTypeCast(rewritten)), lits)
   }
 }

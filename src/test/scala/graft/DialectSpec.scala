@@ -49,6 +49,44 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(lit) == lit)
   }
 
+  test("bare CAST(x AS VARCHAR)/VARBINARY lowers to STRING/BINARY; lengths keep Spark (r14)") {
+    assert(Dialect.rewrite("SELECT CAST(a AS VARCHAR) FROM t")
+      == "SELECT CAST(a AS STRING) FROM t")
+    assert(Dialect.rewrite("SELECT TRY_CAST(a AS varbinary) FROM t")
+      == "SELECT TRY_CAST(a AS BINARY) FROM t")
+    // nested casts rewrite inside-out
+    assert(Dialect.rewrite("SELECT CAST(CAST(a AS VARCHAR) AS VARCHAR) FROM t")
+      == "SELECT CAST(CAST(a AS STRING) AS STRING) FROM t")
+    // VARCHAR(n) keeps its length (valid Spark)
+    val sized = "SELECT CAST(a AS VARCHAR(10)) FROM t"
+    assert(Dialect.rewrite(sized) == sized)
+    // an alias named varchar outside a cast never matches
+    val alias = "SELECT a AS VARCHAR FROM t"
+    assert(Dialect.rewrite(alias) == alias)
+  }
+
+  test("typed numeric literals lower to casts with inferred decimal shape (r14)") {
+    assert(Dialect.rewrite("SELECT DECIMAL '1.5' AS d")
+      == "SELECT CAST('1.5' AS DECIMAL(2, 1)) AS d")
+    assert(Dialect.rewrite("SELECT DECIMAL '-123.45' AS d")
+      == "SELECT CAST('-123.45' AS DECIMAL(5, 2)) AS d")
+    assert(Dialect.rewrite("SELECT DOUBLE '2.5', REAL '1', BIGINT '5', BOOLEAN 'true'")
+      == "SELECT CAST('2.5' AS DOUBLE), CAST('1' AS FLOAT), " +
+        "CAST('5' AS BIGINT), CAST('true' AS BOOLEAN)")
+    // malformed DECIMAL content stays for a loud parse error
+    val bad = "SELECT DECIMAL '1.2e3' AS d"
+    assert(Dialect.rewrite(bad) == bad)
+    // the type words NOT followed by a string literal are untouched
+    val cast = "SELECT CAST(a AS DECIMAL(10, 2)), int_col FROM t"
+    assert(Dialect.rewrite(cast) == cast)
+    // end-to-end: values and types land
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT DECIMAL '12.345' AS d, DOUBLE '2.5' AS x, BIGINT '7' AS b")).head()
+    assert(r.getDecimal(0).toPlainString == "12.345")
+    assert(r.getDouble(1) === 2.5)
+    assert(r.getLong(2) === 7L)
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
