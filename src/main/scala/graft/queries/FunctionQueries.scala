@@ -486,6 +486,20 @@ object FunctionQueries {
     // Array outputs are rendered as joined strings: the driver's pandas
     // comparator cannot sort raw array columns (round-1 ERR), and the
     // joined form is engine-neutral while still exercising each function.
+    // Trino's ROW(...) constructor (r14): lowers to struct(...); fields
+    // follow Spark's struct naming (source column names for plain
+    // columns, col1/col2 for expressions — the reference's anonymous
+    // row fields are not SQL-addressable either). The row pins real
+    // struct construction by reading the fields back.
+    "fn_row_constructor" -> (
+      """SELECT n_nationkey,
+        |  ROW(n_nationkey * 2, upper(n_name)).col1 AS f1,
+        |  ROW(n_nationkey * 2, upper(n_name)).col2 AS f2,
+        |  ROW(n_regionkey, n_name).n_regionkey AS f3
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_nationkey * 2 AS f1, upper(n_name) AS f2,
+        |  n_regionkey AS f3
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
     // Trino typed numeric literals (r14): DECIMAL/DOUBLE/BIGINT '…'
     // lower to casts with the literal-inferred decimal shape; the
     // oracle states the same values as plain literals (DuckDB has no

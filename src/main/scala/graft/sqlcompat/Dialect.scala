@@ -475,6 +475,33 @@ object Dialect {
     out.toString
   }
 
+  /** Trino's row constructor `ROW(e, …)` (Spark: UNRESOLVED_ROUTINE —
+    * no such function) → `struct(e, …)`. Fields land as Spark's
+    * col1/col2/… names (the reference's anonymous row fields have no
+    * SQL-addressable names either — users CAST to a named ROW type to
+    * name them). Word-boundary scan: `ROWS BETWEEN`, `CURRENT ROW`,
+    * `row_number()` never match (no following paren / different word).
+    */
+  private def rewriteRowConstructor(masked: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if ((c == 'R' || c == 'r') &&
+          (i == 0 || (!Character.isLetterOrDigit(masked.charAt(i - 1)) && masked.charAt(i - 1) != '_')) &&
+          masked.regionMatches(true, i, "ROW", 0, 3) &&
+          (i + 3 >= masked.length || (!Character.isLetterOrDigit(masked.charAt(i + 3)) && masked.charAt(i + 3) != '_'))) {
+        var j = i + 3
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        if (j < masked.length && masked.charAt(j) == '(') {
+          out.append("struct(")
+          i = j + 1
+        } else { out.append(masked.substring(i, i + 3)); i += 3 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
@@ -489,7 +516,7 @@ object Dialect {
     // parser rejects) lower to the proven dense_rank / two-segment /
     // subtraction recipes — also on masked text
     val masked1 = WindowFrames.rewrite(
-      rewriteListaggOverflow(rewriteArrayBracket(masked0)))
+      rewriteListaggOverflow(rewriteRowConstructor(rewriteArrayBracket(masked0))))
     // typed literals for the emulated time types — needs the stashed
     // literal CONTENT to decide, so it runs on masked text with `lits`
     val masked =

@@ -87,6 +87,17 @@ class DialectSpec extends GraftSuite {
     assert(r.getLong(2) === 7L)
   }
 
+  test("ROW(...) constructors rewrite to struct(...); ROWS/CURRENT ROW/row_number untouched (r14)") {
+    assert(Dialect.rewrite("SELECT ROW(1, 'a') FROM t")
+      == "SELECT struct(1, 'a') FROM t")
+    assert(Dialect.rewrite("SELECT ROW(a, ROW(b, c)) FROM t")
+      == "SELECT struct(a, struct(b, c)) FROM t")
+    val frame = "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    assert(Dialect.rewrite(frame) == frame)
+    val rn = "SELECT row_number() OVER (ORDER BY k) FROM t"
+    assert(Dialect.rewrite(rn) == rn)
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
