@@ -486,6 +486,16 @@ object FunctionQueries {
     // Array outputs are rendered as joined strings: the driver's pandas
     // comparator cannot sort raw array columns (round-1 ERR), and the
     // joined form is engine-neutral while still exercising each function.
+    // Trino's two-argument IF (r14): IF(cond, v) -> IF(cond, v, NULL).
+    "fn_if_two_arg" -> (
+      """SELECT n_nationkey,
+        |  IF(n_regionkey > 2, n_name) AS maybe_name,
+        |  IF(n_regionkey = 0, n_nationkey * 10) AS maybe_val
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey > 2 THEN n_name END AS maybe_name,
+        |  CASE WHEN n_regionkey = 0 THEN n_nationkey * 10 END AS maybe_val
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
     // Trino's ROW(...) constructor (r14): lowers to struct(...); fields
     // follow Spark's struct naming (source column names for plain
     // columns, col1/col2 for expressions — the reference's anonymous

@@ -502,6 +502,55 @@ object Dialect {
     out.toString
   }
 
+  /** Trino's two-argument `IF(cond, v)` (NULL when false; Spark demands
+    * three arguments — WRONG_NUM_ARGS) → `IF(cond, v, NULL)`. Scoped to
+    * `IF(` call sites with exactly two TOP-LEVEL arguments (paren- and
+    * case-aware split; runs on masked text so commas in string literals
+    * can't split). Three-arg calls and the IGNORE/anything-else word
+    * `if` never match.
+    */
+  private def rewriteTwoArgIf(masked: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if ((c == 'I' || c == 'i') &&
+          (i == 0 || (!Character.isLetterOrDigit(masked.charAt(i - 1)) && masked.charAt(i - 1) != '_')) &&
+          masked.regionMatches(true, i, "IF", 0, 2) &&
+          (i + 2 >= masked.length || (!Character.isLetterOrDigit(masked.charAt(i + 2)) && masked.charAt(i + 2) != '_'))) {
+        var j = i + 2
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        var end = -1
+        if (j < masked.length && masked.charAt(j) == '(') {
+          var depth = 0; var k = j
+          while (k < masked.length && end < 0) {
+            masked.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case _ => ()
+            }
+            k += 1
+          }
+        }
+        if (end > 0) {
+          val inner = rewriteTwoArgIf(masked.substring(j + 1, end))
+          var depth = 0; var commas = 0
+          inner.foreach {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => commas += 1
+            case _ => ()
+          }
+          val kw = masked.substring(i, i + 2)
+          if (commas == 1 && inner.trim.nonEmpty) out.append(s"$kw($inner, NULL)")
+          else out.append(s"$kw($inner)")
+          i = end + 1
+        } else { out.append(masked.substring(i, i + 2)); i += 2 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def rewrite(sql: String): String = {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
@@ -515,8 +564,8 @@ object Dialect {
     // GROUPS frames / EXCLUDE clauses (SQL-2016 window syntax Spark's
     // parser rejects) lower to the proven dense_rank / two-segment /
     // subtraction recipes — also on masked text
-    val masked1 = WindowFrames.rewrite(
-      rewriteListaggOverflow(rewriteRowConstructor(rewriteArrayBracket(masked0))))
+    val masked1 = WindowFrames.rewrite(rewriteListaggOverflow(
+      rewriteTwoArgIf(rewriteRowConstructor(rewriteArrayBracket(masked0)))))
     // typed literals for the emulated time types — needs the stashed
     // literal CONTENT to decide, so it runs on masked text with `lits`
     val masked =

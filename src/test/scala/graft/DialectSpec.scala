@@ -98,6 +98,19 @@ class DialectSpec extends GraftSuite {
     assert(Dialect.rewrite(rn) == rn)
   }
 
+  test("two-argument IF gains the NULL default; three-arg IF untouched (r14)") {
+    assert(Dialect.rewrite("SELECT IF(a > 1, b) FROM t")
+      == "SELECT IF(a > 1, b, NULL) FROM t")
+    // nested calls count only top-level commas
+    assert(Dialect.rewrite("SELECT IF(f(a, b) > 1, g(c, d)) FROM t")
+      == "SELECT IF(f(a, b) > 1, g(c, d), NULL) FROM t")
+    val three = "SELECT IF(a, b, c) FROM t"
+    assert(Dialect.rewrite(three) == three)
+    // a comma inside a string literal never splits (masked text)
+    assert(Dialect.rewrite("SELECT IF(a, 'x,y') FROM t")
+      == "SELECT IF(a, 'x,y', NULL) FROM t")
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
