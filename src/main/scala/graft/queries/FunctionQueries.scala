@@ -486,6 +486,14 @@ object FunctionQueries {
     // Array outputs are rendered as joined strings: the driver's pandas
     // comparator cannot sort raw array columns (round-1 ERR), and the
     // joined form is engine-neutral while still exercising each function.
+    // The reference's full pagination spelling (r14): OFFSET n ROWS +
+    // FETCH FIRST k ROWS ONLY — the noise word drops, FETCH lowers to
+    // LIMIT.
+    "limit_offset_rows" -> (
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |OFFSET 10 ROWS FETCH FIRST 5 ROWS ONLY""".stripMargin,
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |LIMIT 5 OFFSET 10""".stripMargin),
     // Trino's two-argument IF (r14): IF(cond, v) -> IF(cond, v, NULL).
     "fn_if_two_arg" -> (
       """SELECT n_nationkey,

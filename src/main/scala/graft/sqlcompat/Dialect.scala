@@ -555,7 +555,16 @@ object Dialect {
     val afterTies = rewriteTies(sql)
     val afterFetch = outsideLiterals(afterTies)(
       seg => FetchOnly.replaceAllIn(seg, m => s"LIMIT ${m.group(1)}"))
-    val afterUnnest = rewriteUnnest(afterFetch)
+    // `OFFSET n ROW/ROWS` — the standard's noise word, in the
+    // reference's grammar (`SqlBase.g4 queryNoWith`); Spark takes only
+    // the bare `OFFSET n`. The reference also orders the clauses
+    // OFFSET-then-FETCH while Spark's parser demands LIMIT before
+    // OFFSET, so the lowered adjacency swaps (r14).
+    val afterOffset = outsideLiterals(afterFetch)(seg =>
+      seg.replaceAll("(?i)\\b(OFFSET\\s+\\d+)\\s+ROWS?\\b", "$1")
+        .replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)\\b",
+          "LIMIT $2 OFFSET $1"))
+    val afterUnnest = rewriteUnnest(afterOffset)
     // AT TIME ZONE's operand may itself be a TIMESTAMP literal, so the
     // rewrite runs over literal-MASKED text (a literal containing the
     // words "AT TIME ZONE" can no longer corrupt the match) and the

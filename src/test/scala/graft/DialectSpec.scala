@@ -111,6 +111,22 @@ class DialectSpec extends GraftSuite {
       == "SELECT IF(a, 'x,y', NULL) FROM t")
   }
 
+  test("OFFSET n ROWS drops the noise word; composes with FETCH FIRST (r14)") {
+    assert(Dialect.rewrite("SELECT a FROM t ORDER BY a OFFSET 10 ROWS")
+      == "SELECT a FROM t ORDER BY a OFFSET 10")
+    assert(Dialect.rewrite("SELECT a FROM t ORDER BY a OFFSET 1 ROW")
+      == "SELECT a FROM t ORDER BY a OFFSET 1")
+    // the full reference spelling: OFFSET … FETCH FIRST … ROWS ONLY —
+    // the FETCH lowers to LIMIT and swaps in front (Spark demands
+    // LIMIT before OFFSET)
+    assert(Dialect.rewrite(
+      "SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH FIRST 5 ROWS ONLY")
+      == "SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")
+    // window frames never match (no OFFSET prefix)
+    val frame = "SELECT sum(v) OVER (ORDER BY k ROWS 2 PRECEDING) FROM t"
+    assert(Dialect.rewrite(frame) == frame)
+  }
+
   test("plain SQL passes through untouched") {
     val sql = "SELECT a FROM t WHERE b LIKE '%fetch first%'"
     assert(Dialect.rewrite(sql) == sql)
