@@ -23,16 +23,16 @@ object GraftFunctions {
     if (spark.catalog.functionExists("cosine_similarity")) return
     val u = spark.udf
 
-    // --- vector math (similarity search surface; reference analog:
-    // cosine_similarity over map(varchar,double) in MathFunctions.java) ---
-    u.register("cosine_similarity", (a: Seq[Double], b: Seq[Double]) =>
-      if (a == null || b == null || a.isEmpty || a.length != b.length) null
-      else {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        val d = math.sqrt(na) * math.sqrt(nb)
-        if (d == 0.0) null else java.lang.Double.valueOf(dot / d)
-      })
+    // --- vector math (similarity search surface) --- polymorphic
+    // cosine_similarity: the reference's own sparse map(varchar,double)
+    // signature (MathFunctions.java:1313) AND the dense array<double>
+    // embedding form, dispatched post-resolution (r15, closing the last
+    // signature gap — a user porting sparse-vector SQL no longer hits a
+    // type error)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      es => org.apache.spark.sql.graft.CosineSimilarityAny(es(0), es(1)),
+      "built-in")
     u.register("dot_product", (a: Seq[Double], b: Seq[Double]) =>
       if (a == null || b == null || a.length != b.length) null
       else { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; java.lang.Double.valueOf(s) })
@@ -312,6 +312,7 @@ object GraftFunctions {
     GeoFunctions.register(spark)
     BingTile.register(spark)
     TrinoCompat2.register(spark)
+    TrinoCompat3.register(spark)
     TrinoAliases.register(spark)
     TimeTzFunctions.register(spark)
     TimestampFidelity.register(spark)

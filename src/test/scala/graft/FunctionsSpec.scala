@@ -203,4 +203,111 @@ class FunctionsSpec extends GraftSuite {
       assert(math.abs(got - expected) < 1e-9, s"a=$a b=$b got=$got want=$expected")
     }
   }
+
+  test("r15 scalar tail: murmur3 and spooky hashes match the reference vectors") {
+    // vectors from the reference's own TestVarbinaryFunctions.java:327-344
+    val r = one(
+      """SELECT
+        |hex(murmur3(to_utf8(''))) AS m_empty,
+        |hex(murmur3(to_utf8('hashme'))) AS m_hashme,
+        |hex(spooky_hash_v2_32(to_utf8(''))) AS s32_empty,
+        |hex(spooky_hash_v2_32(to_utf8('hello'))) AS s32_hello,
+        |hex(spooky_hash_v2_64(to_utf8(''))) AS s64_empty,
+        |hex(spooky_hash_v2_64(to_utf8('hello'))) AS s64_hello,
+        |murmur3(cast(null AS binary)) AS m_null""".stripMargin)
+    assert(r.getString(0) == "00000000000000000000000000000000")
+    assert(r.getString(1) == "93192FE805BE23041C8318F67EC4F2BC")
+    assert(r.getString(2) == "6BF50919")
+    assert(r.getString(3) == "D382E6CA")
+    assert(r.getString(4) == "232706FC6BF50919")
+    assert(r.getString(5) == "3768826AD382E6CA")
+    assert(r.isNullAt(6))
+  }
+
+  test("r15 scalar tail: spooky hash exercises every path length class") {
+    // short tail (<16), short-mix (16..191 over each mod-32 class), and
+    // the long path (>=192, incl. an exact block multiple)
+    val lens = Seq(0, 1, 3, 7, 12, 15, 16, 31, 32, 33, 63, 95, 96, 100,
+      191, 192, 200, 288, 500)
+    val exprs = lens.zipWithIndex.map { case (n, i) =>
+      s"hex(spooky_hash_v2_64(to_utf8(repeat('ab', 250)))) AS full_$i, " +
+        s"hex(spooky_hash_v2_64(to_utf8(substring(repeat('abcdefgh', 80), 1, $n)))) AS h_$i"
+    }
+    val row = one("SELECT " + exprs.mkString(", "))
+    // determinism + distinctness across length classes (no path collapses)
+    val hashes = lens.indices.map(i => row.getString(2 * i + 1))
+    assert(hashes.distinct.size == hashes.size)
+    // the duplicated full_ column is bit-identical every time
+    val fulls = lens.indices.map(i => row.getString(2 * i))
+    assert(fulls.distinct.size == 1)
+  }
+
+  test("r15 scalar tail: infinity / is_finite / is_infinite") {
+    val r = one(
+      """SELECT infinity() AS inf, is_finite(1.5d) AS f1,
+        |is_finite(infinity()) AS f2, is_finite(nan()) AS f3,
+        |is_infinite(-infinity()) AS i1, is_infinite(2.0d) AS i2,
+        |is_infinite(nan()) AS i3,
+        |is_finite(cast(null AS double)) AS fn""".stripMargin)
+    assert(r.getDouble(0).isPosInfinity)
+    assert(r.getBoolean(1)); assert(!r.getBoolean(2)); assert(!r.getBoolean(3))
+    assert(r.getBoolean(4)); assert(!r.getBoolean(5)); assert(!r.getBoolean(6))
+    assert(r.isNullAt(7))
+  }
+
+  test("r15 scalar tail: regexp_split and regexp_position semantics") {
+    val r = one(
+      """SELECT
+        |regexp_split('one12two34three', '[0-9]+') AS parts,
+        |regexp_split('a,b,,', ',') AS trailing,
+        |regexp_position('9102, say good bye', '\\s*[a-z]+\\s*') AS p1,
+        |regexp_position('natasha, 9102, miss you', '[a-z]+', 10) AS p2,
+        |regexp_position('natasha, 9102, miss you', '[a-z]+', 4, 2) AS p3,
+        |regexp_position('no digits here', '[0-9]') AS none,
+        |regexp_position('abc', 'b', 99) AS past_end""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("one", "two", "three"))
+    assert(r.getSeq[String](1) == Seq("a", "b", "", ""))
+    // vectors from the reference TestJoniRegexpFunctions semantics
+    assert(r.getInt(2) == 6)
+    assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 16)
+    assert(r.getInt(5) == -1)
+    assert(r.getInt(6) == -1)
+  }
+
+  test("r15 scalar tail: regexp_position rejects bad start/occurrence loudly") {
+    intercept[Exception](one("SELECT regexp_position('abc', 'b', 0)"))
+    intercept[Exception](one("SELECT regexp_position('abc', 'b', 1, 0)"))
+  }
+
+  test("r15 scalar tail: parse_datetime Joda patterns") {
+    val r = one(
+      """SELECT
+        |cast(parse_datetime('2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm:ss') AS string) AS plain,
+        |cast(parse_datetime('1960/01/22 03:04', 'yyyy/MM/dd HH:mm') AS string) AS pre_epoch,
+        |cast(parse_datetime('2020-02-29T10:15:30.123', "yyyy-MM-dd'T'HH:mm:ss.SSS") AS string) AS millis,
+        |cast(parse_datetime('2024-03-05 07:08:09 +02:00', 'yyyy-MM-dd HH:mm:ss ZZ') AS string) AS offset,
+        |parse_datetime(NULL, 'yyyy') AS n""".stripMargin)
+    // session zone is UTC, so the rendered wall clock IS the instant
+    assert(r.getString(0) == "2024-03-05 07:08:09")
+    assert(r.getString(1) == "1960-01-22 03:04:00")
+    assert(r.getString(2) == "2020-02-29 10:15:30.123")
+    assert(r.getString(3) == "2024-03-05 05:08:09")
+    assert(r.isNullAt(4))
+  }
+
+  test("r15 scalar tail: cosine_similarity sparse map overload (reference signature)") {
+    val r = one(
+      """SELECT
+        |cosine_similarity(map('a', 1.0d, 'b', 2.0d), map('a', 3.0d, 'c', 4.0d)) AS partial,
+        |cosine_similarity(map('x', 2.0d), map('x', 5.0d)) AS colinear,
+        |cosine_similarity(map('a', 1.0d), map('b', 1.0d)) AS disjoint,
+        |cosine_similarity(cast(null AS map<string,double>), map('a', 1.0d)) AS n,
+        |cosine_similarity(array(1d, 2d), array(2d, 4d)) AS dense_still""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 3.0 / (math.sqrt(5.0) * 5.0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+    assert(r.isNullAt(3))
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
 }
