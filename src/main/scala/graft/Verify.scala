@@ -4,6 +4,39 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // True when the oracle SQL has an ORDER BY outside any parens /
+  // string literal — i.e. the query declares its own total row order.
+  // Scans comment-stripped, literal-masked text (r14 advice: the words
+  // 'order by' in a comment or quoted identifier must not suppress the
+  // normalizing sort), with double-quoted identifiers skipped below.
+  private[graft] def hasTopLevelOrderBy(sql: String): Boolean = {
+    val s = graft.sqlcompat.Dialect.probeText(sql).toLowerCase
+    var depth = 0; var i = 0; var inStr = false; var inIdent = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inIdent) { if (c == '"') inIdent = false }
+      else if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '"'  => inIdent = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case 'o' if depth == 0 && s.regionMatches(i, "order", 0, 5) &&
+          (i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) && {
+            val rest = s.substring(i + 5)
+            rest.headOption.exists(_.isWhitespace) && {
+              val afterWs = rest.dropWhile(_.isWhitespace)
+              afterWs.startsWith("by") &&
+                afterWs.drop(2).headOption.forall(ch => !Character.isLetterOrDigit(ch) && ch != '_')
+            }
+          } => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names for a targeted dev run
@@ -17,33 +50,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // True when the oracle SQL has an ORDER BY outside any parens /
-    // string literal — i.e. the query declares its own total row order.
-    def hasTopLevelOrderBy(sql: String): Boolean = {
-      val s = sql.toLowerCase
-      var depth = 0; var i = 0; var inStr = false
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else c match {
-          case '\'' => inStr = true
-          case '('  => depth += 1
-          case ')'  => depth -= 1
-          case 'o' if depth == 0 && s.regionMatches(i, "order", 0, 5) &&
-            (i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) && {
-              val rest = s.substring(i + 5)
-              rest.headOption.exists(_.isWhitespace) && {
-                val afterWs = rest.dropWhile(_.isWhitespace)
-                afterWs.startsWith("by") &&
-                  afterWs.drop(2).headOption.forall(ch => !Character.isLetterOrDigit(ch) && ch != '_')
-              }
-            } => return true
-          case _ =>
-        }
-        i += 1
-      }
-      false
-    }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try {
         val df0 = fn(spark, sfDir)

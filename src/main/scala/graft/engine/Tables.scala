@@ -139,7 +139,11 @@ object Tables {
     "(?is)\\bcorr\\s*\\((?:(?!\\bover\\b).)*\\)\\s*over\\b")
 
   private[graft] def corrWindowGuard(spark: SparkSession, rewritten: String): Unit =
-    if (CorrWindowProbe.matcher(rewritten).find() &&
+    // probe the literal-masked, comment-stripped text — a string literal
+    // (or comment) containing "corr(x) over" must not trip the guard
+    // (r14 advice)
+    if (CorrWindowProbe.matcher(
+          graft.sqlcompat.Dialect.probeText(rewritten)).find() &&
         !spark.sessionState.functionRegistry
           .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier("corr"))
           .exists(_.getClassName == "graft.functions"))

@@ -201,6 +201,33 @@ object Dialect {
     """\u0001(\d+)\u0001""".r.replaceAllIn(sql,
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
+  /** Text safe for keyword/shape PROBES (not for execution): string
+    * literal contents masked and line/block comments removed, so a
+    * probe regex can never match inside user data or commentary (r14
+    * advice: corrWindowGuard tripped on literals containing
+    * "corr(x) over").
+    */
+  private[graft] def probeText(sql: String): String = {
+    val noComments = {
+      val sb = new StringBuilder
+      var i = 0; var inStr = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+        else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+          val close = sql.indexOf("*/", i + 2)
+          i = if (close < 0) sql.length else close + 2
+          sb.append(' ') // keep token separation
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    maskLiterals(noComments)._1
+  }
+
   /** Typed literals for the emulated time types (r10 verdict, Missing
     * #2): the reference accepts `TIME '10:30:00[+02:00]'` (zoned -> timetz_parse; plain -> time_parse),
     * `TIMESTAMP '2020-01-01 00:00:00.123456789012'` (picosecond
@@ -285,10 +312,17 @@ object Dialect {
           if (!DecimalContent.pattern.matcher(content).matches()) None
           else {
             val digits = content.dropWhile(c => c == '+' || c == '-')
-            val (ip, fp) = digits.span(_ != '.')
+            val (ip0, fp) = digits.span(_ != '.')
             val scale = math.max(0, fp.length - 1)
-            val precision = math.min(38, math.max(1, ip.length + scale))
-            Some(s"DECIMAL($precision, ${math.min(scale, precision)})")
+            // the reference's Decimals.parse EXCLUDES leading integral
+            // zeros from precision (DECIMAL '0.5' → decimal(1,1)) and
+            // REJECTS content needing > 38 digits instead of clamping
+            // (createDecimalType throws) — r14 advice
+            val ip = ip0.dropWhile(_ == '0')
+            val precision = math.max(1, ip.length + scale)
+            if (precision > 38) throw new IllegalArgumentException(
+              s"DECIMAL literal '$content' needs precision $precision; max is 38")
+            Some(s"DECIMAL($precision, $scale)")
           }
         case "DOUBLE" => Some("DOUBLE")
         case "REAL" => Some("FLOAT")
@@ -494,6 +528,19 @@ object Dialect {
         var j = i + 3
         while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
         if (j < masked.length && masked.charAt(j) == '(') {
+          // `AS ROW(...)` is a Trino ROW TYPE in a cast position, not
+          // the constructor — rewriting it to struct( would surface a
+          // confusing Spark parse error; reject loudly instead (r14
+          // advice)
+          var k = i - 1
+          while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+          val afterAs = k >= 1 &&
+            masked.regionMatches(true, k - 1, "AS", 0, 2) &&
+            (k - 2 < 0 || (!Character.isLetterOrDigit(masked.charAt(k - 2)) &&
+              masked.charAt(k - 2) != '_'))
+          if (afterAs) throw new IllegalArgumentException(
+            "ROW types are not supported (CAST(... AS ROW(...))): Spark has " +
+              "no ROW type — construct with named_struct or cast to struct<...>")
           out.append("struct(")
           i = j + 1
         } else { out.append(masked.substring(i, i + 3)); i += 3 }

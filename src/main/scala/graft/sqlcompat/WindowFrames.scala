@@ -2163,8 +2163,37 @@ object WindowFrames {
       if (ad.matches()) { dir = " " + ad.group(2) + dir; expr = ad.group(1) }
       (expr.trim, dir)
     }
+    // qualifier-strip safety (r14 advice, medium): a kept qualified
+    // identifier (t.col) may drop its qualifier ONLY when the bare name
+    // provably binds to the same column in the outer block — i.e. the
+    // select list carries the SAME qualified expression, or the FROM has
+    // a single relation (all qualifiers name it). Otherwise
+    // `ORDER BY ..., a.k` with a select item `b.k` would silently
+    // rebind to b.k after the strip; those lift through a __graft_ord
+    // alias instead (always correct — the inner block keeps the original
+    // FROM in scope).
+    val qualifiedSelectItems: Set[String] =
+      if (isStar) Set.empty
+      else splitTopLevel(selectList).map(_.trim)
+        .filter(it => it.matches(Ident) && it.contains('.'))
+        .map(_.toLowerCase).toSet
+    val innerFromPart = main.substring(fromIdx, obIdx).trim
+    val singleRelationFrom: Boolean = {
+      val afterFrom = innerFromPart.replaceFirst("(?is)^FROM", "")
+      val relEnd = Seq("WHERE", "GROUP", "HAVING", "WINDOW")
+        .map(k => topLevelKeyword(afterFrom, k)).filter(_ >= 0)
+        .minOption.getOrElse(afterFrom.length)
+      val rels = afterFrom.substring(0, relEnd)
+      topLevelKeyword(rels, "JOIN") < 0 && splitTopLevel(rels).lengthIs == 1
+    }
     val lifted = scala.collection.mutable.ArrayBuffer[String]()
     val liftedAliases = scala.collection.mutable.ArrayBuffer[String]()
+    def liftThrough(expr: String, dir: String): String = {
+      val alias = s"__graft_ord${counter.incrementAndGet()}"
+      lifted += s"$expr AS $alias"
+      liftedAliases += alias
+      alias + dir
+    }
     val newItems = items.map { item =>
       val (expr, dir) = splitDir(item)
       // under a star select every input column survives to the outer
@@ -2174,20 +2203,17 @@ object WindowFrames {
           expr.substring(expr.lastIndexOf('.') + 1).toLowerCase)))
       // a kept qualified identifier (t.col) must drop its qualifier: the
       // outer block's FROM is the generated __graft_ob alias, so the
-      // original table name no longer resolves there (r13 advice)
+      // original table name no longer resolves there (r13 advice) — but
+      // only when the strip provably preserves the binding (see above)
       if (keep) {
-        if (expr.matches(Ident) && expr.contains('.'))
-          expr.substring(expr.lastIndexOf('.') + 1) + dir
-        else item
+        if (expr.matches(Ident) && expr.contains('.')) {
+          if (singleRelationFrom || qualifiedSelectItems.contains(expr.toLowerCase))
+            expr.substring(expr.lastIndexOf('.') + 1) + dir
+          else liftThrough(expr, dir)
+        } else item
       }
-      else {
-        val alias = s"__graft_ord${counter.incrementAndGet()}"
-        lifted += s"$expr AS $alias"
-        liftedAliases += alias
-        alias + dir
-      }
+      else liftThrough(expr, dir)
     }
-    val innerFromPart = main.substring(fromIdx, obIdx).trim
     val limitPart =
       if (tailEnd < main.length) " " + main.substring(tailEnd).trim else ""
     val outerSel =

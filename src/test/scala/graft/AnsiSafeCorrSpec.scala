@@ -66,6 +66,13 @@ class AnsiSafeCorrSpec extends GraftSuite {
     val e2 = intercept[IllegalStateException](graft.engine.Tables.corrWindowGuard(
       bare, "SELECT corr(abs(y), x + 1) OVER (PARTITION BY p ORDER BY k) FROM t"))
     assert(e2.getMessage.contains("GraftExtensions"))
+    // the probe runs on literal-masked, comment-stripped text: string
+    // data or commentary containing "corr(x) over" never trips it
+    // (r15 advice)
+    graft.engine.Tables.corrWindowGuard(bare,
+      "SELECT 'corr(x) over w' AS s FROM t")
+    graft.engine.Tables.corrWindowGuard(bare,
+      "SELECT y FROM t -- corr(x) over (order by k)\n")
   }
 
   test("skewness_ref/kurtosis_ref carry the reference's guards and bias-corrected kurtosis (r13 verdict #6)") {

@@ -87,6 +87,53 @@ class DialectSpec extends GraftSuite {
     assert(r.getLong(2) === 7L)
   }
 
+  test("DECIMAL literal precision excludes leading zeros; >38 digits rejects (r15 advice)") {
+    // the reference's Decimals.parse drops leading integral zeros from
+    // precision: DECIMAL '0.5' is decimal(1,1), not decimal(2,1)
+    assert(Dialect.rewrite("SELECT DECIMAL '0.5' AS d")
+      == "SELECT CAST('0.5' AS DECIMAL(1, 1)) AS d")
+    assert(Dialect.rewrite("SELECT DECIMAL '007.25' AS d")
+      == "SELECT CAST('007.25' AS DECIMAL(3, 2)) AS d")
+    assert(Dialect.rewrite("SELECT DECIMAL '0' AS d")
+      == "SELECT CAST('0' AS DECIMAL(1, 0)) AS d")
+    assert(Dialect.rewrite("SELECT DECIMAL '-0.50' AS d")
+      == "SELECT CAST('-0.50' AS DECIMAL(2, 2)) AS d")
+    // content needing >38 digits fails loudly instead of clamping to
+    // DECIMAL(38,38) (which would overflow any nonzero integral part)
+    val e = intercept[IllegalArgumentException](Dialect.rewrite(
+      "SELECT DECIMAL '1." + "2" * 39 + "' AS d"))
+    assert(e.getMessage.contains("38"))
+  }
+
+  test("CAST(... AS ROW(...)) rejects loudly as an unsupported ROW type (r15 advice)") {
+    val e = intercept[IllegalArgumentException](Dialect.rewrite(
+      "SELECT CAST(x AS ROW(a INT, b VARCHAR)) FROM t"))
+    assert(e.getMessage.contains("ROW types"))
+    // constructor right after a non-type AS (alias) is unaffected: an
+    // alias cannot syntactically precede ROW(, so only real casts hit
+    assert(Dialect.rewrite("SELECT ROW(1, 2) AS r FROM t")
+      == "SELECT struct(1, 2) AS r FROM t")
+  }
+
+  test("probeText masks literals and strips comments for shape probes (r15 advice)") {
+    val p = Dialect.probeText(
+      "SELECT 'corr(x) over w' AS s -- order by trailing\nFROM t /* order by block */")
+    assert(!p.toLowerCase.contains("corr("))
+    assert(!p.toLowerCase.contains("order"))
+    assert(p.toLowerCase.contains("from t"))
+  }
+
+  test("hasTopLevelOrderBy ignores comments, literals and nesting (r15 advice)") {
+    assert(Verify.hasTopLevelOrderBy("SELECT a FROM t ORDER BY a"))
+    assert(!Verify.hasTopLevelOrderBy(
+      "SELECT a FROM (SELECT a FROM t ORDER BY a LIMIT 3) s"))
+    assert(!Verify.hasTopLevelOrderBy("SELECT 'order by' AS s FROM t"))
+    assert(!Verify.hasTopLevelOrderBy("SELECT a FROM t -- order by a\n"))
+    assert(!Verify.hasTopLevelOrderBy("SELECT a FROM t /* order by a */"))
+    assert(Verify.hasTopLevelOrderBy(
+      "SELECT a FROM t /* c */ ORDER BY a -- tail"))
+  }
+
   test("ROW(...) constructors rewrite to struct(...); ROWS/CURRENT ROW/row_number untouched (r14)") {
     assert(Dialect.rewrite("SELECT ROW(1, 'a') FROM t")
       == "SELECT struct(1, 'a') FROM t")

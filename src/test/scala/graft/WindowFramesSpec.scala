@@ -1551,4 +1551,30 @@ class WindowFramesSpec extends GraftSuite {
     if (r.isNullAt(i)) None else Some(r.getInt(i))
   private def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
     if (r.isNullAt(i)) None else Some(r.getDouble(i))
+
+  test("ORDER BY-lift preserves qualified-identifier bindings (r15 advice)") {
+    import spark.implicits._
+    Seq((1, 3, 10.0), (2, 1, 20.0), (3, 2, 30.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("wf_qa")
+    Seq((1, 10), (2, 30), (3, 20)).toDF("id", "k")
+      .createOrReplaceTempView("wf_qb")
+    // a.k's LAST segment matches select-item name k — which binds b.k in
+    // the outer block. Before the fix the strip silently reordered by
+    // b.k; now a.k lifts through a __graft_ord alias (inner FROM scope)
+    val got = run(
+      """SELECT b.k, a.v FROM wf_qa a JOIN wf_qb b ON a.id = b.id
+        |ORDER BY sum(a.v) OVER (), a.k""".stripMargin)
+    assert(got.map(_.getInt(0)).toSeq === Seq(30, 20, 10), got.toSeq.toString)
+    // a select item that IS the same qualified expression still strips
+    val same = run(
+      """SELECT b.k, a.v FROM wf_qa a JOIN wf_qb b ON a.id = b.id
+        |ORDER BY sum(a.v) OVER (), b.k DESC""".stripMargin)
+    assert(same.map(_.getInt(0)).toSeq === Seq(30, 20, 10), same.toSeq.toString)
+    // single-relation FROM: any qualifier names that relation — strips
+    fixture()
+    val single = run(
+      """SELECT k, v FROM wf_fixture t
+        |ORDER BY sum(v) OVER (), t.v DESC LIMIT 3""".stripMargin)
+    assert(single.map(_.getInt(1)).toSeq === Seq(10, 9, 8), single.toSeq.toString)
+  }
 }
