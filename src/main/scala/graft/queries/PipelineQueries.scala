@@ -76,6 +76,42 @@ object PipelineQueries {
         (col("n_hit") >= col("n_brute") * floor).as("recall_ok"))
   }
 
+  /** Nearest-centroid assignment as a ZERO-SHUFFLE per-row argmax over
+    * the broadcast codebook (r14 verdict "What's wrong" #1). The old
+    * shape — cross-join to k× rows, then a row_number() window argmax —
+    * shuffled AND per-key-sorted the k×-exploded corpus; the codebook is
+    * bounded (16 rows), so it collapses to a one-row collect_list,
+    * broadcast, and a codegen'd array_max over the per-centroid
+    * similarities: no exchange, no sort, no row explosion, input
+    * partitioning preserved. Ties break to the lowest cid (the ord
+    * struct carries -cid), exactly matching the old
+    * ORDER BY cos_c DESC, cid. */
+  private[graft] def nearestCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(
+        centroids.agg(collect_list(struct(col("cid"), col("cent"))).as("cents"))))
+      .withColumn("__best", expr(
+        "array_max(transform(cents, c -> struct(" +
+          "cosine_sim_native(embedding, c.cent) AS cos, -c.cid AS ncid, c.cid AS cid)))"))
+      .select(col("vec_id"), col("__best.cid").as("cid"), col("embedding"))
+
+  /** Squared L2 between an 8-dim subvector and a codebook centroid. */
+  private val subL2 =
+    "aggregate(zip_with(sv, scent, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+
+  /** Per-subspace nearest-code assignment (PQ encode) — the same
+    * de-windowing as [[nearestCentroid]]: the per-m 16-entry codebook
+    * folds to 8 array rows, broadcast-joins on m, and an array_min over
+    * per-code distances picks the code per (vec_id, m) row in place.
+    * Ties to the lowest scid, matching the old ORDER BY d, scid. */
+  private[graft] def nearestSubCode(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook.groupBy(col("m"))
+        .agg(collect_list(struct(col("scid"), col("scent"))).as("cb"))), "m")
+      .withColumn("__best", expr(
+        "array_min(transform(cb, c -> struct(" +
+          "aggregate(zip_with(sv, c.scent, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) AS d, " +
+          "c.scid AS scid)))"))
+      .select(col("vec_id"), col("m"), col("__best.scid").as("scid"), col("sv"))
+
   /** TF-IDF cosine near-dup pairs (threshold 0.6) in the exact ALL-PAIRS
     * shape (Bayardo et al. WWW'07). The naive groupBy-dot formulation
     * (join on token, sum per pair) must shuffle one row per shared token
@@ -1424,25 +1460,18 @@ object PipelineQueries {
       val seeds = corpus.orderBy(col("vec_id")).limit(16)
         .select(row_number().over(w.orderBy(col("vec_id"))).as("cid"),
           col("embedding").as("cent"))
-      // one Lloyd step: assign to nearest seed, then mean per (cid, dim)
-      val assign0 = corpus.crossJoin(broadcast(seeds))
-        .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
-        .withColumn("rk", row_number().over(
-          w.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("embedding"))
+      // one Lloyd step: assign to nearest seed (max_by aggregate —
+      // [[nearestCentroid]], no window), then mean per (cid, dim)
+      val assign0 = nearestCentroid(corpus, seeds)
       val centroids = assign0
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim")).agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> cast(x.m AS float))").as("cent"))
-      // final assignment + nprobe=3 query-side probing
-      val assigned = corpus.crossJoin(broadcast(centroids))
-        .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
-        .withColumn("rk", row_number().over(
-          w.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("embedding"))
+      // final assignment (aggregate argmax) + nprobe=3 query-side
+      // probing; the probe window runs over 5 queries × 16 centroids =
+      // 80 rows, so a top-k window is the right tool there
+      val assigned = nearestCentroid(corpus, centroids)
       val probes = broadcast(e.filter(col("vec_id") < 5).crossJoin(broadcast(centroids))
         .withColumn("cos_c", expr("cosine_sim_native(embedding, cent)"))
         .withColumn("rk", row_number().over(
@@ -1470,7 +1499,6 @@ object PipelineQueries {
     // normalization first makes L2 ranking equal cosine ranking. ----
     "sim_ann_ivfpq" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-      val subL2 = "aggregate(zip_with(sv, scent, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
       val e = t(s, dir, "embeddings")
         .withColumn("nrm", expr(
           "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"))
@@ -1485,23 +1513,16 @@ object PipelineQueries {
         .withColumn("rk", dense_rank().over(w.partitionBy(col("m")).orderBy(col("vec_id"))))
         .filter(col("rk") <= 16)
         .select(col("m"), col("rk").as("scid"), col("sv").as("scent"))
-      // one Lloyd step: assign every subvector, re-average per code
-      val assign0 = csub.join(broadcast(seeds), "m")
-        .withColumn("d", expr(subL2))
-        .withColumn("rk", row_number().over(
-          w.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("scid"))))
-        .filter(col("rk") === 1)
+      // one Lloyd step: assign every subvector (min_by aggregate —
+      // [[nearestSubCode]], no window), re-average per code
+      val assign0 = nearestSubCode(csub, seeds)
       val cents = assign0
         .select(col("m"), col("scid"), posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy(col("m"), col("scid"), col("dim")).agg(avg(col("v")).as("c"))
         .groupBy(col("m"), col("scid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").as("scent"))
       // corpus encoding: the 8 codes ARE the stored representation
-      val codes = csub.join(broadcast(cents), "m")
-        .withColumn("d", expr(subL2))
-        .withColumn("rk", row_number().over(
-          w.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("scid"))))
-        .filter(col("rk") === 1)
+      val codes = nearestSubCode(csub, cents)
         .select(col("vec_id"), col("m"), col("scid").as("code"))
       // ADC table: query-to-centroid distances per subspace (8x16/query)
       val adc = subRows(e.filter(col("vec_id") < 5))

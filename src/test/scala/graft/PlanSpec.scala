@@ -349,4 +349,45 @@ class PlanSpec extends GraftSuite {
     assert(lifted == selectList,
       s"lift grew the exchange count: lifted=$lifted selectList=$selectList")
   }
+
+  test("ANN centroid/code assignment is a zero-shuffle per-row argmax — no window, no exchange (r14 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 corpus vectors, 3 centroids, hand-checkable cosines
+    val vecs = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0f, 1f)), (12L, Array(1f, 1f)),
+      (13L, Array(-1f, 0f)), (14L, Array(0.9f, 0.1f)), (15L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((1, Array(1f, 0f)), (2, Array(0f, 1f)), (3, Array(1f, 1f)))
+      .toDF("cid", "cent")
+    val assigned = graft.queries.PipelineQueries.nearestCentroid(vecs, cents)
+    val s = plan(assigned).toString
+    // the whole assign stage: scan -> broadcast(1-row codebook) -> project.
+    // At 100 TB the old row_number shape shuffled + sorted the k×-exploded
+    // corpus; this pin keeps it exchange- and window-free.
+    assert(!s.contains("Window"), s"window crept back into assign:\n$s")
+    assert(!s.contains("Exchange hashpartitioning"), s"assign shuffles:\n$s")
+    assert(!s.contains("Sort "), s"assign sorts:\n$s")
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ties (vec 12/15 cos to c3 is 1.0) and orthogonals land deterministically
+    assert(got === Map(10L -> 1, 11L -> 2, 12L -> 3, 13L -> 2, 14L -> 1, 15L -> 3), got.toString)
+    // PQ sub-code assignment: same contract per (vec_id, m)
+    val subs = Seq(
+      (10L, 0, Array(0.0, 0.0)), (10L, 1, Array(1.0, 1.0)),
+      (11L, 0, Array(0.5, 0.5)), (11L, 1, Array(0.0, 0.1)))
+      .toDF("vec_id", "m", "sv")
+    val cb = Seq(
+      (0, 1, Array(0.0, 0.0)), (0, 2, Array(1.0, 1.0)),
+      (1, 1, Array(0.0, 0.0)), (1, 2, Array(1.0, 1.0)))
+      .toDF("m", "scid", "scent")
+    val codes = graft.queries.PipelineQueries.nearestSubCode(subs, cb)
+    val s2 = plan(codes).toString
+    assert(!s2.contains("Window"), s"window crept back into PQ encode:\n$s2")
+    assert(!s2.replace("Exchange hashpartitioning(m#", "")
+      .contains("Exchange hashpartitioning"), s"PQ encode shuffles the corpus:\n$s2")
+    val gotPq = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // (11,0) is equidistant 0.72 from both codes -> lowest scid wins
+    assert(gotPq === Map((10L, 0) -> 1, (10L, 1) -> 2, (11L, 0) -> 1, (11L, 1) -> 1),
+      gotPq.toString)
+  }
 }
