@@ -174,9 +174,14 @@ object Bench {
       val times = (1 to nRuns).map(_ => run(name))
       (times, before, loadAvg()._1)
     }
-    // name -> (median, quoted runs, prewarms, all sets with loads, dirty)
+    // name -> (median, quoted runs, prewarms, all sets with loads,
+    //          quoted set index, dirty)
     final case class QRes(name: String, median: Double, runs: Seq[Double],
-      warms: Int, sets: Seq[(Seq[Double], Double, Double)], dirty: Boolean)
+      warms: Int, sets: Seq[(Seq[Double], Double, Double)], quotedSet: Int,
+      dirty: Boolean)
+    def setMed(s: (Seq[Double], Double, Double)): Double = {
+      val t = s._1.sorted; t(t.length / 2)
+    }
     val results: Seq[QRes] =
       queryList.filter(SparkEntry.queries.contains).map { name =>
         try {
@@ -192,14 +197,31 @@ object Bench {
             while (loadAvg()._1 > maxLoad && waits < 3) { Thread.sleep(60000); waits += 1 }
             sets = sets :+ measureSet(name)
           }
-          val quoted = sets.last
-          val times = quoted._1
-          QRes(name, times.sorted.apply(times.length / 2), times, warms,
-            sets, spiked(quoted))
+          // Flat-set adjudication (r14 verdict #4): the load samples
+          // bracket a set but can miss a burst inside it — BENCH_r14
+          // read 1.30× of its own clean-box check with dirty_queries=0.
+          // So the gate now embeds the check's best-of-sets protocol:
+          // always measure a second set, keep adding (≤2 extra) while
+          // the two smallest medians still disagree by >1.25× (a burst
+          // only ever inflates), and quote the minimum-median set. All
+          // sets stay in the artifact as evidence.
+          sets = sets :+ measureSet(name)
+          var extra = 0
+          while (extra < 2 && {
+            val ms = sets.map(setMed).sorted
+            ms(1) > ms(0) * 1.25
+          }) {
+            System.err.println(s"[bench] $name set medians " +
+              s"${sets.map(setMed).map(m => f"$m%.3f").mkString(",")} spread >1.25× — extra set")
+            sets = sets :+ measureSet(name); extra += 1
+          }
+          val quoted = sets.minBy(setMed)
+          QRes(name, setMed(quoted), quoted._1, warms,
+            sets, sets.indexOf(quoted), spiked(quoted))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            QRes(name, -1.0, Seq.empty, 0, Seq.empty, dirty = false)
+            QRes(name, -1.0, Seq.empty, 0, Seq.empty, 0, dirty = false)
         }
       }
     def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
@@ -211,7 +233,7 @@ object Bench {
       }.mkString("[", ",", "]")
       "\"" + r.name + "\":{\"prewarms\":" + r.warms + ",\"runs\":[" +
         r.runs.map(fmt).mkString(",") + s"],\"sets\":$setsJson" +
-        s",\"dirty\":${r.dirty}}"
+        s",\"quoted_set\":${r.quotedSet},\"dirty\":${r.dirty}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case r if r.median >= 0 => r.median }.sum
     val loadEnd = loadAvg()
@@ -224,6 +246,7 @@ object Bench {
       s""""load_warning":$loadWarning,"load_wait_attempts":$loadWaits,""" +
       s""""gc_drain_between_runs":false,""" +
       s""""gc_drain_per_query":${!noDrain},"mid_run_load_guard":true,""" +
+      s""""flat_set_adjudication":true,""" +
       s""""dirty_queries":$dirtyCount,""" +
       s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,""" +
       s""""sf":"$sfDir"}"""
