@@ -16,11 +16,22 @@ import graft.engine.Tables
   *    DPP/broadcast pruning exists for).
   *  - q05  — per-channel sales/returns CTEs, UNION ALL, then GROUP BY
   *    ROLLUP over the union (the channel-rollup report shape).
+  *  - q23  — CTE chain gated by a SCALAR-SUBQUERY threshold (HAVING vs
+  *    a max-over-aggregate CTE), final aggregate behind two IN-subquery
+  *    semi joins (r15 tranche).
+  *  - q31  — cross-period growth-ratio report: two channel CTEs each
+  *    self-joined three ways on consecutive quarters, exact
+  *    cross-multiplied ratio comparisons (r15 tranche).
   *  - q34  — count-band ticket probe: star-filtered per-ticket counts,
   *    HAVING-style band, joined back to customer.
   *  - q38  — three-channel INTERSECT of distinct (customer, date) sets.
+  *  - q39  — dispersion stats under a coefficient-of-variation filter
+  *    (integer-exact certificate), consecutive-month self-join of the
+  *    flagged set (r15 tranche).
   *  - q51  — two cumulative-window CTEs FULL OUTER joined, running max
   *    over the stitched series, cross-channel comparison filter.
+  *  - q64  — the widest join chain: a nine-relation cross-sales CTE
+  *    self-joined across consecutive years (r15 tranche).
   *  - q67  — wide ROLLUP feeding a rank() window, rank-band filter.
   *  - q72  — many-way star (8 relations) with the SAME date dimension
   *    joined twice and a cross-alias date inequality residual (the
@@ -432,6 +443,142 @@ object TpcdsQueries {
         |      SELECT 1 FROM lineitem l2 JOIN orders o3 ON l2.l_orderkey = o3.o_orderkey
         |      WHERE o3.o_custkey = c.c_custkey AND l2.l_linenumber % 3 = 1))
         |GROUP BY c_mktsegment""".stripMargin),
+
+    // q23: the CTE chain gated by a SCALAR-SUBQUERY threshold — frequent
+    // items (store-channel count band), a max-over-aggregate scalar CTE,
+    // best customers selected by HAVING against that scalar, and a final
+    // cross-channel aggregate restricted by TWO IN-subqueries over the
+    // CTEs. Spark plans the scalar as a ReusedSubquery feeding the
+    // HAVING filter and the INs as semi joins. Determinism: the
+    // threshold compares exact bigint quantity sums cross-multiplied by
+    // 2 (no doubles anywhere near the predicate); reference q23.sql
+    "tpcds_q23_cte_scalar" -> both(
+      """WITH frequent_items AS (
+        |  SELECT l_partkey AS item_sk FROM lineitem WHERE l_linenumber % 3 = 0
+        |  GROUP BY l_partkey HAVING count(*) > 4),
+        |max_store_sales AS (
+        |  SELECT max(csales) AS cmax FROM (
+        |    SELECT o_custkey, cast(sum(l_quantity) AS bigint) AS csales
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    WHERE l_linenumber % 3 = 0 GROUP BY o_custkey) x),
+        |best_customers AS (
+        |  SELECT o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber % 3 = 0
+        |  GROUP BY o_custkey
+        |  HAVING cast(sum(l_quantity) AS bigint) * 2 >
+        |    (SELECT cmax FROM max_store_sales))
+        |SELECT cast(count(*) AS bigint) AS n_lines,
+        |  cast(sum(l_quantity) AS bigint) AS qty,
+        |  round(sum(l_extendedprice), 2) AS sales
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber % 3 <> 0
+        |  AND l_partkey IN (SELECT item_sk FROM frequent_items)
+        |  AND o_custkey IN (SELECT cust FROM best_customers)""".stripMargin),
+
+    // q31: cross-period growth-ratio comparison — one aggregate CTE per
+    // channel (per-nation, per-quarter totals), each self-joined THREE
+    // ways (consecutive quarters), keeping regions where the web
+    // channel's quarter-over-quarter growth beats the store channel's in
+    // BOTH transitions. The ratio comparisons are exact bigint
+    // cross-multiplications (ws2/ws1 > ss2/ss1 ⟺ ws2·ss1 > ss2·ws1
+    // with positive denominators), so the inequality cannot flip on a
+    // float ulp; reference q31.sql
+    "tpcds_q31_ratio_periods" -> both(
+      """WITH ss AS (
+        |  SELECT n_name AS region, quarter(o_orderdate) AS qtr,
+        |    cast(sum(l_quantity) AS bigint) AS tot
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_linenumber % 3 = 0 AND year(o_orderdate) = 1997
+        |  GROUP BY n_name, quarter(o_orderdate)),
+        |ws AS (
+        |  SELECT n_name AS region, quarter(o_orderdate) AS qtr,
+        |    cast(sum(l_quantity) AS bigint) AS tot
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_linenumber % 3 = 2 AND year(o_orderdate) = 1997
+        |  GROUP BY n_name, quarter(o_orderdate))
+        |SELECT ss1.region, ss1.tot AS ss_q1, ss2.tot AS ss_q2, ss3.tot AS ss_q3,
+        |  ws1.tot AS ws_q1, ws2.tot AS ws_q2, ws3.tot AS ws_q3
+        |FROM ss ss1 JOIN ss ss2 ON ss1.region = ss2.region
+        |JOIN ss ss3 ON ss1.region = ss3.region
+        |JOIN ws ws1 ON ss1.region = ws1.region
+        |JOIN ws ws2 ON ss1.region = ws2.region
+        |JOIN ws ws3 ON ss1.region = ws3.region
+        |WHERE ss1.qtr = 1 AND ss2.qtr = 2 AND ss3.qtr = 3
+        |  AND ws1.qtr = 1 AND ws2.qtr = 2 AND ws3.qtr = 3
+        |  AND ss1.tot > 0 AND ws1.tot > 0
+        |  AND ws2.tot * ss1.tot > ss2.tot * ws1.tot
+        |  AND ws3.tot * ss2.tot > ss3.tot * ws2.tot""".stripMargin),
+
+    // q39: per-(item, warehouse, month) dispersion stats with a
+    // coefficient-of-variation filter, then a SELF-JOIN pairing each
+    // flagged month with its flagged successor. The reference filters
+    // stdev/mean ≥ threshold; here the SAME predicate is evaluated as
+    // its integer-exact certificate (r12 oracle rule — never compare a
+    // rational statistic on a float grid): with n = count, s1 = Σx,
+    // s2 = Σx² (all exact bigints), stdev_samp/mean > 1/2 ⟺
+    // 4·n·(n·s2 − s1²) > (n−1)·s1², mean > 0. Items map to the part
+    // brand (the raw partkey is too sparse per month for consecutive
+    // flagged pairs at small SF), warehouses to the supplier nation;
+    // reference q39.sql
+    "tpcds_q39_cov_selfjoin" -> both(
+      """WITH inv AS (
+        |  SELECT p_brand AS item, s_nationkey AS wh, month(l_shipdate) AS moy,
+        |    cast(count(*) AS bigint) AS n,
+        |    cast(sum(l_quantity) AS bigint) AS s1,
+        |    cast(sum(l_quantity * l_quantity) AS bigint) AS s2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1997
+        |  GROUP BY p_brand, s_nationkey, month(l_shipdate)
+        |  HAVING count(*) > 1),
+        |flagged AS (
+        |  SELECT item, wh, moy, n, s1, s2 FROM inv
+        |  WHERE s1 > 0 AND 4 * n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1)
+        |SELECT i1.item, i1.wh, i1.moy AS moy1, i2.moy AS moy2,
+        |  i1.n AS n1, i1.s1 AS sum1, i1.s2 AS sumsq1,
+        |  i2.n AS n2, i2.s1 AS sum2, i2.s2 AS sumsq2
+        |FROM flagged i1 JOIN flagged i2
+        |  ON i1.item = i2.item AND i1.wh = i2.wh AND i1.moy + 1 = i2.moy""".stripMargin),
+
+    // q64: the WIDEST join chain of the slice — the cross-sales CTE
+    // joins NINE relations (fact, orders, customer, customer-nation,
+    // customer-region, supplier, supplier-nation, part, plus a
+    // returned-order semi probe on the fact itself), aggregates per
+    // (brand, customer-nation, year), and is then SELF-JOINED across
+    // consecutive years keeping pairs whose repeat count did not grow —
+    // q64's cs1/cs2 two-year comparison. CteMaterialize executes the
+    // chain once for both references. Measures are exact bigints;
+    // reference q64.sql
+    "tpcds_q64_wide_chain" -> both(
+      """WITH cs AS (
+        |  SELECT p_brand AS brand, nc.n_name AS cust_nation,
+        |    year(o_orderdate) AS syear,
+        |    cast(count(*) AS bigint) AS cnt,
+        |    cast(sum(l_quantity) AS bigint) AS qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN (SELECT DISTINCT l_orderkey AS r_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R') r ON l_orderkey = r_orderkey
+        |  WHERE p_size <= 25 AND rc.r_regionkey <= 3
+        |  GROUP BY p_brand, nc.n_name, year(o_orderdate))
+        |SELECT cs1.brand, cs1.cust_nation,
+        |  cs1.syear AS year1, cs1.cnt AS cnt1, cs1.qty AS qty1,
+        |  cs2.syear AS year2, cs2.cnt AS cnt2, cs2.qty AS qty2
+        |FROM cs cs1 JOIN cs cs2
+        |  ON cs1.brand = cs2.brand AND cs1.cust_nation = cs2.cust_nation
+        |WHERE cs1.syear = 1996 AND cs2.syear = 1997
+        |  AND cs2.cnt <= cs1.cnt""".stripMargin),
 
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;

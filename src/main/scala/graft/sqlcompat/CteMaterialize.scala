@@ -222,20 +222,46 @@ object CteMaterialize {
       case None => graft.engine.Tables.sqlPlain(s, dir, sqlText)
       case Some((ctes, rest)) =>
         val baseNames = graft.engine.Tables.names.map(_.toLowerCase).toSet
+        // A materialized body that still carries a `WITH dep AS (...)`
+        // prefix analyzes to a WithCTE plan, and Spark's cache manager
+        // does NOT canonicalize CTE reference ids — the persisted plan
+        // never matches the consumer's fragment and every reference
+        // silently re-executes (r15: q38's 3-ref `base` and q39's
+        // `flagged` both hit this). So retained defs are ALSO registered
+        // as LAZY temp views (no persist — a view is pure resolution, no
+        // materialization barrier): a later materialized body then
+        // analyzes WithCTE-free and the cache substitution works. The
+        // final query still carries retained defs in its WITH prefix
+        // (CTE definitions take precedence over the views, same plans).
+        // If ANY definition shadows a base table, the whole query keeps
+        // the old prefix-only behavior: registering such a name would
+        // clobber the base table's session view (the shadowing contract).
+        val anyShadow = ctes.exists(c => baseNames.contains(c.name.toLowerCase))
+        // no view side-effects at all unless something will materialize
+        val willMaterialize = ctes.zipWithIndex.exists { case (c, i) =>
+          refCount(c.name, ctes.drop(i + 1).map(_.body) :+ rest) >= 2 &&
+            !baseNames.contains(c.name.toLowerCase)
+        }
         var retained = Vector.empty[Cte]
         ctes.zipWithIndex.foreach { case (cte, idx) =>
           val scope = ctes.drop(idx + 1).map(_.body) :+ rest
           if (refCount(cte.name, scope) >= 2 &&
               !baseNames.contains(cte.name.toLowerCase)) {
-            // evaluate ONCE: earlier retained defs are prepended (the body
-            // may reference them); earlier materialized defs resolve as
-            // temp views
-            val df = graft.engine.Tables
-              .sqlPlain(s, dir, withPrefix(retained, cte.body))
+            // evaluate ONCE: earlier retained defs resolve as lazy views
+            // (WithCTE-free path) or are prepended under a shadow; earlier
+            // materialized defs resolve as persisted temp views
+            val bodyText =
+              if (anyShadow) withPrefix(retained, cte.body) else cte.body
+            val df = graft.engine.Tables.sqlPlain(s, dir, bodyText)
               .persist(StorageLevel.MEMORY_AND_DISK)
             graft.engine.CachedPlans.track(df)
             df.createOrReplaceTempView(graft.engine.TempArtifacts.view(cte.name))
-          } else retained :+= cte
+          } else {
+            retained :+= cte
+            if (!anyShadow && willMaterialize)
+              graft.engine.Tables.sqlPlain(s, dir, cte.body)
+                .createOrReplaceTempView(graft.engine.TempArtifacts.view(cte.name))
+          }
         }
         graft.engine.Tables.sqlPlain(s, dir, withPrefix(retained, rest))
     }

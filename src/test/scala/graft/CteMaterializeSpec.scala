@@ -98,11 +98,46 @@ class CteMaterializeSpec extends GraftSuite {
     graft.engine.TempArtifacts.cleanupAll(spark)
   }
 
+  test("r15 tranche: q31's channel CTEs, q39's flagged set and q64's cross-sales CTE materialize once each") {
+    val q31 = SparkEntry.queries("tpcds_q31_ratio_periods")(spark, sfTiny)
+    val c31 = q31.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c31.size == 6, s"expected 6 cache reads (ss x3 + ws x3), got ${c31.size}")
+    assert(c31.distinct.size == 2, "ss and ws must each share ONE cached plan")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+    val q39 = SparkEntry.queries("tpcds_q39_cov_selfjoin")(spark, sfTiny)
+    val c39 = q39.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c39.size == 2 && c39.distinct.size == 1,
+      s"flagged must execute once for both month sides, got ${c39.size}/${c39.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+    // q38's 3-ref `base` depends on a RETAINED date_dim: before the r15
+    // lazy-view fix its persisted WithCTE plan never matched the cache
+    // manager's canonicalized lookup (CTE ref ids are not normalized)
+    // and the 4-way join silently executed three times
+    val q38 = SparkEntry.queries("tpcds_q38_intersect")(spark, sfTiny)
+    val c38 = q38.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c38.size == 3 && c38.distinct.size == 1,
+      s"base must execute once for the three channels, got ${c38.size}/${c38.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+    val q64 = SparkEntry.queries("tpcds_q64_wide_chain")(spark, sfTiny)
+    val c64 = q64.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c64.size == 2 && c64.distinct.size == 1,
+      s"the nine-relation cs chain must execute once, got ${c64.size}/${c64.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+  }
+
   test("materialized CTE path returns the same rows as the inline path") {
-    // q95 (2 refs), q11 (4 refs), q38 (3 refs), q72 (date_dim 2 refs):
+    // q95 (2 refs), q11 (4 refs), q38 (3 refs), q72 (date_dim 2 refs),
+    // r15 tranche: q23 (scalar-threshold chain), q31 (6 self-join refs),
+    // q39 (flagged 2 refs), q64 (cs 2 refs):
     // the rewrite must be invisible in the results
     for (name <- Seq("tpcds_q95_multi_cte", "tpcds_q11_yoy",
-        "tpcds_q38_intersect", "tpcds_q72_multijoin")) {
+        "tpcds_q38_intersect", "tpcds_q72_multijoin",
+        "tpcds_q23_cte_scalar", "tpcds_q31_ratio_periods",
+        "tpcds_q39_cov_selfjoin", "tpcds_q64_wide_chain")) {
       val viaCache = SparkEntry.queries(name)(spark, sfTiny)
         .collect().map(_.toString).sorted
       graft.engine.CachedPlans.releaseAll()

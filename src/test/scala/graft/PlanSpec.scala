@@ -57,6 +57,26 @@ class PlanSpec extends GraftSuite {
     assert(!s.contains("CartesianProduct"), s"EXISTS-OR degenerated to cartesian:\n${s.take(3000)}")
   }
 
+  test("tpcds_q23 plans the scalar threshold as a subquery and the INs as semi joins (r15)") {
+    val s = plan(q("tpcds_q23_cte_scalar")).toString
+    assert(s.contains("Subquery") || s.contains("scalar-subquery"), s.take(3000))
+    assert(s.contains("LeftSemi"), s"IN-subqueries did not plan as semi joins:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct"), s.take(3000))
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+  }
+
+  test("tpcds_q64's nine-relation chain broadcasts every dim — no cartesian, no SMJ dim join (r15)") {
+    // the fact (lineitem) is the only scale-out input: customer/nation/
+    // region/supplier/part are broadcast-size at any SF, and the
+    // returned-order probe plans as a semi/hash join on the fact key
+    val s = plan(q("tpcds_q64_wide_chain")).toString
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    assert(!s.contains("CartesianProduct"), s.take(3000))
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+  }
+
   test("tpcds_q77 rolls up through ONE Expand over the stitched channels") {
     // ROLLUP(channel, id) lowers to a single ExpandExec (3 grouping
     // sets from one input pass), not one aggregate per grouping set
