@@ -1789,6 +1789,17 @@ object ExtendedQueries {
           "WHERE n_nationkey < ? AND n_name LIKE ? ORDER BY n_nationkey")
       Tables.sql(s, dir, "EXECUTE q_nat USING 10, 'NATION%'")
     }),
+    // EXECUTE ... USING with parameters binding in predicate, aggregate
+    // AND projected positions (r14 verdict #8: the surface passed in
+    // StatementsSpec but had no dedicated driver row) — three markers of
+    // distinct types bound in one statement
+    "stmt_execute_using" -> ((s, dir) => {
+      Tables.sql(s, dir,
+        "PREPARE q_eu FROM SELECT c_mktsegment, count(*) AS n, " +
+          "max(c_acctbal + ?) AS maxbal FROM customer " +
+          "WHERE c_custkey % ? = 0 AND c_mktsegment <> ? GROUP BY c_mktsegment")
+      Tables.sql(s, dir, "EXECUTE q_eu USING 100, 7, 'AUTOMOBILE'")
+    }),
     // DESCRIBE INPUT (SqlBase.g4:156): positional parameter types inferred
     // from the columns adjacent to each ? marker
     "stmt_describe_input" -> ((s, dir) => {
@@ -1873,6 +1884,10 @@ object ExtendedQueries {
       """SELECT n_name, n_nationkey FROM nation
         |WHERE n_nationkey < 10 AND n_name LIKE 'NATION%'
         |ORDER BY n_nationkey""".stripMargin,
+    "stmt_execute_using" ->
+      """SELECT c_mktsegment, count(*) AS n, max(c_acctbal + 100) AS maxbal
+        |FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'AUTOMOBILE'
+        |GROUP BY c_mktsegment""".stripMargin,
     "stmt_describe_input" ->
       "SELECT * FROM (VALUES (0, 'int'), (1, 'string')) AS t(position, type)",
     "stmt_transaction" ->
