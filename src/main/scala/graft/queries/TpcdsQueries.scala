@@ -11,6 +11,13 @@ import graft.engine.Tables
   * re-expressed over the fixture tables, each keeping its TPC-DS
   * query's distinguishing PLAN SHAPE:
   *
+  *  - q01  — correlated-scalar-threshold report: a return-totals CTE
+  *    filtered by scalar subqueries CORRELATED on the nation (keep
+  *    customers above 1.2× their nation's average), the q1/q30/q81
+  *    decorrelation family (r15 tranche 4).
+  *  - q02  — weekday PIVOT (7 conditional counts per week) self-joined
+  *    across consecutive years on the week number — the
+  *    pivot-then-shifted-self-join report shape (r15 tranche 4).
   *  - q03  — date-dim STAR PROBE: fact joined to a derived date
   *    dimension with the selective filter on the DIM side (the shape
   *    DPP/broadcast pruning exists for).
@@ -22,6 +29,9 @@ import graft.engine.Tables
   *  - q31  — cross-period growth-ratio report: two channel CTEs each
   *    self-joined three ways on consecutive quarters, exact
   *    cross-multiplied ratio comparisons (r15 tranche).
+  *  - q17  — three fact streams CHAINED: sales joined to its order's
+  *    return and to the customer's later repurchase of the returned
+  *    part, per-brand stream statistics (r15 tranche 4).
   *  - q34  — count-band ticket probe: star-filtered per-ticket counts,
   *    HAVING-style band, joined back to customer.
   *  - q38  — three-channel INTERSECT of distinct (customer, date) sets.
@@ -36,6 +46,9 @@ import graft.engine.Tables
   *  - q72  — many-way star (8 relations) with the SAME date dimension
   *    joined twice and a cross-alias date inequality residual (the
   *    yaml's group-1 join-order/broadcast-chain stress).
+  *  - q78  — unreturned-sales ratio: returns excluded per channel by a
+  *    LEFT JOIN + IS NULL (outer-as-anti), channels stitched by an
+  *    outer join with COALESCE defaults, ratio output (r15 tranche 4).
   *  - q88  — EIGHT independent single-row COUNT subqueries cross-joined
   *    into one report row (the one-row BroadcastNestedLoopJoin chain),
   *    plus its one-scan conditional-count production rewrite.
@@ -76,10 +89,14 @@ object TpcdsQueries {
   private def both(sql: String): (String, String) = (
     sql.replace("TRUNC_MONTH_OPEN", "date_trunc('month', ")
       .replace("TRUNC_MONTH_CLOSE", ")")
-      .replace("INTERVAL_30D", "INTERVAL '30' DAY"),
+      .replace("INTERVAL_30D", "INTERVAL '30' DAY")
+      .replace("DOW_OPEN", "weekday(").replace("DOW_CLOSE", ")"),
     sql.replace("TRUNC_MONTH_OPEN", "date_trunc('month', ")
       .replace("TRUNC_MONTH_CLOSE", ")::timestamp")
-      .replace("INTERVAL_30D", "INTERVAL 30 DAY"))
+      .replace("INTERVAL_30D", "INTERVAL 30 DAY")
+      // Spark weekday() is 0=Monday..6; DuckDB's ISO equivalent is
+      // isodow()-1 (isodow: 1=Monday..7)
+      .replace("DOW_OPEN", "(isodow(").replace("DOW_CLOSE", ") - 1)"))
 
   /** q05's per-channel CTE body, stamped once per channel slice. */
   private def channelCte(name: String, label: String, rem: Int): String =
@@ -579,6 +596,114 @@ object TpcdsQueries {
         |  ON cs1.brand = cs2.brand AND cs1.cust_nation = cs2.cust_nation
         |WHERE cs1.syear = 1996 AND cs2.syear = 1997
         |  AND cs2.cnt <= cs1.cnt""".stripMargin),
+
+    // q1: the correlated-scalar-threshold report (q1/q30/q81 family) —
+    // a per-(customer, nation) return-totals CTE filtered by scalar
+    // subqueries CORRELATED on the nation: keep customers whose returns
+    // exceed 1.2× their nation's average. Spark decorrelates the two
+    // correlated aggregates into aggregate-then-join subtrees over the
+    // materialized CTE (3 relation refs → one cached plan). The 1.2×avg
+    // threshold is evaluated as its integer-exact certificate
+    // (5·tot·count > 6·sum, positive counts, exact bigint sums), so the
+    // predicate cannot flip on a float ulp; reference q01.sql
+    "tpcds_q1_correlated_ret" -> both(
+      """WITH ctr AS (
+        |  SELECT o_custkey AS cust, c_nationkey AS nat,
+        |    cast(sum(l_quantity) AS bigint) AS tot
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey, c_nationkey)
+        |SELECT c_name, ctr1.tot AS total_return
+        |FROM ctr ctr1 JOIN customer ON ctr1.cust = c_custkey
+        |WHERE ctr1.tot * 5 * (SELECT count(*) FROM ctr ctr2 WHERE ctr2.nat = ctr1.nat)
+        |  > 6 * (SELECT sum(ctr2.tot) FROM ctr ctr2 WHERE ctr2.nat = ctr1.nat)""".stripMargin),
+
+    // q2: the weekday-pivot week-over-week report — per (year, ISO
+    // week) counts pivoted into 7 weekday columns (conditional counts,
+    // exact bigints), then the pivot SELF-JOINED across consecutive
+    // years on the week number, emitting per-weekday ratios. Ratios
+    // divide identical exact bigints in both engines (identical
+    // doubles), NULLIF guards empty slots; reference q02.sql
+    "tpcds_q2_week_pivot" -> both {
+      val days = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+      val pivot = days.zipWithIndex.map { case (d, i) =>
+        s"    cast(count(CASE WHEN DOW_OPEN o_orderdate DOW_CLOSE = $i THEN 1 END) AS bigint) AS ${d}_c"
+      }.mkString(",\n")
+      val ratios = days.map { d =>
+        s"  round(cast(y1.${d}_c AS double) / nullif(y2.${d}_c, 0), 6) AS ${d}_r"
+      }.mkString(",\n")
+      s"""WITH wk AS (
+         |  SELECT year(o_orderdate) AS yr, weekofyear(o_orderdate) AS wseq,
+         |$pivot
+         |  FROM orders
+         |  GROUP BY year(o_orderdate), weekofyear(o_orderdate))
+         |SELECT y1.wseq AS wseq, y1.sun_c AS sun1, y2.sun_c AS sun2,
+         |$ratios
+         |FROM wk y1 JOIN wk y2 ON y1.wseq = y2.wseq AND y1.yr + 1 = y2.yr
+         |WHERE y1.yr = 1996""".stripMargin
+    },
+
+    // q17: three fact streams CHAINED on compound keys — a store-slice
+    // sale joined to its order's RETURN line and to the same customer's
+    // later web-slice REPURCHASE of the returned part, per-brand counts
+    // and exact quantity sums per stream (plus the sum-of-squares
+    // certificate the q39 convention uses instead of a float stdev);
+    // reference q17.sql
+    "tpcds_q17_chain_stats" -> both(
+      """WITH ss AS (
+        |  SELECT l_orderkey AS s_ok, l_partkey AS s_pk,
+        |    cast(l_quantity AS bigint) AS s_qty
+        |  FROM lineitem WHERE l_linenumber % 3 = 0 AND l_returnflag <> 'R'),
+        |sr AS (
+        |  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+        |    cast(l_quantity AS bigint) AS r_qty
+        |  FROM lineitem WHERE l_linenumber % 3 = 1 AND l_returnflag = 'R'),
+        |cs AS (
+        |  SELECT o_custkey AS c_ck, l_partkey AS c_pk,
+        |    cast(l_quantity AS bigint) AS c_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber % 3 = 2)
+        |SELECT p_brand, cast(count(*) AS bigint) AS n_chain,
+        |  cast(sum(s_qty) AS bigint) AS q_store,
+        |  cast(sum(r_qty) AS bigint) AS q_return,
+        |  cast(sum(c_qty) AS bigint) AS q_repurch,
+        |  cast(sum(s_qty * s_qty) AS bigint) AS qq_store
+        |FROM ss
+        |JOIN sr ON s_ok = r_ok
+        |JOIN orders ON s_ok = o_orderkey
+        |JOIN cs ON c_ck = o_custkey AND c_pk = r_pk
+        |JOIN part ON r_pk = p_partkey
+        |GROUP BY p_brand""".stripMargin),
+
+    // q78: the unreturned-sales cross-channel trend — each channel CTE
+    // EXCLUDES returned (order, part) pairs via LEFT JOIN + IS NULL
+    // (the outer-as-anti spelling q78 uses, kept verbatim rather than
+    // rewritten to ANTI JOIN so the driver verifies Spark's handling of
+    // the null-filtered outer), then store is stitched to web by a LEFT
+    // JOIN with COALESCE defaults and a per-(year, item, customer)
+    // ratio. The `ret` CTE materializes once for both channels; ratio
+    // operands are exact bigints; reference q78.sql
+    "tpcds_q78_unreturned_ratio" -> both {
+      def chan(name: String, rem: Int): String =
+        s"""$name AS (
+           |  SELECT year(l_shipdate) AS yr, l.l_partkey AS item, o_custkey AS cust,
+           |    cast(sum(l_quantity) AS bigint) AS qty
+           |  FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+           |  LEFT JOIN ret ON l.l_orderkey = rk AND l.l_partkey = rp
+           |  WHERE rk IS NULL AND l_linenumber % 3 = $rem
+           |  GROUP BY year(l_shipdate), l.l_partkey, o_custkey)""".stripMargin
+      s"""WITH ret AS (
+         |  SELECT DISTINCT l_orderkey AS rk, l_partkey AS rp
+         |  FROM lineitem WHERE l_returnflag = 'R'),
+         |${chan("ss", 0)},
+         |${chan("ws", 2)}
+         |SELECT ss.yr AS yr, ss.item AS item, ss.cust AS cust,
+         |  ss.qty AS store_qty, coalesce(ws.qty, 0) AS web_qty,
+         |  round(cast(ss.qty AS double) / nullif(coalesce(ws.qty, 0), 0), 6) AS ratio
+         |FROM ss LEFT JOIN ws
+         |  ON ss.yr = ws.yr AND ss.item = ws.item AND ss.cust = ws.cust""".stripMargin
+    },
 
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;

@@ -129,15 +129,36 @@ class CteMaterializeSpec extends GraftSuite {
     graft.engine.TempArtifacts.cleanupAll(spark)
   }
 
+  test("r15 tranche 4: q2's weekly pivot and q78's returns set materialize once each") {
+    val q2 = SparkEntry.queries("tpcds_q2_week_pivot")(spark, sfTiny)
+    val c2 = q2.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c2.size == 2 && c2.distinct.size == 1,
+      s"wk must execute once for both year sides, got ${c2.size}/${c2.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+    // q78's ret is referenced from inside TWO later CTE definitions —
+    // the relation-position count must see through the nested bodies
+    val q78 = SparkEntry.queries("tpcds_q78_unreturned_ratio")(spark, sfTiny)
+    val c78 = q78.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c78.size == 2 && c78.distinct.size == 1,
+      s"ret must execute once for both channels, got ${c78.size}/${c78.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
+  }
+
   test("materialized CTE path returns the same rows as the inline path") {
     // q95 (2 refs), q11 (4 refs), q38 (3 refs), q72 (date_dim 2 refs),
     // r15 tranche: q23 (scalar-threshold chain), q31 (6 self-join refs),
-    // q39 (flagged 2 refs), q64 (cs 2 refs):
+    // q39 (flagged 2 refs), q64 (cs 2 refs); tranche 4: q1 (ctr read
+    // from two CORRELATED scalar subqueries + the main FROM), q2
+    // (pivot 2 refs), q78 (ret 2 refs from nested CTE bodies):
     // the rewrite must be invisible in the results
     for (name <- Seq("tpcds_q95_multi_cte", "tpcds_q11_yoy",
         "tpcds_q38_intersect", "tpcds_q72_multijoin",
         "tpcds_q23_cte_scalar", "tpcds_q31_ratio_periods",
-        "tpcds_q39_cov_selfjoin", "tpcds_q64_wide_chain")) {
+        "tpcds_q39_cov_selfjoin", "tpcds_q64_wide_chain",
+        "tpcds_q1_correlated_ret", "tpcds_q2_week_pivot",
+        "tpcds_q78_unreturned_ratio")) {
       val viaCache = SparkEntry.queries(name)(spark, sfTiny)
         .collect().map(_.toString).sorted
       graft.engine.CachedPlans.releaseAll()
@@ -152,7 +173,8 @@ class CteMaterializeSpec extends GraftSuite {
   }
 
   test("single-relation-reference CTEs stay inline: q14's ch and q77's sales (r9 advice)") {
-    for (name <- Seq("tpcds_q14_cross_items", "tpcds_q77_channel_report")) {
+    for (name <- Seq("tpcds_q14_cross_items", "tpcds_q77_channel_report",
+        "tpcds_q17_chain_stats")) {
       val df = SparkEntry.queries(name)(spark, sfTiny)
       val caches = df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }
       assert(caches.isEmpty,

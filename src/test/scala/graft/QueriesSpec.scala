@@ -16,6 +16,15 @@ class QueriesSpec extends GraftSuite {
     Set("agg_having", "sim_ann_lsh",
       "tpch_q7", // needs NATION_6↔NATION_7 trade pairs; none among sf0.001's 100 suppliers
       "graph_pagerank", // vertex set = near-dup pair endpoints; none at sf0.001
+      // needs an order with BOTH a slice-0 sale and a slice-1 'R' line
+      // plus a same-customer slice-2 repurchase of the returned part —
+      // a three-way coincidence sf0.001's ~6k lines rarely produce
+      "tpcds_q17_chain_stats",
+      // needs a customer above 1.2× their nation's average returns in a
+      // nation with ≥2 returning customers; sf0.001 nations can have a
+      // single returning customer (tot·5·1 > 6·tot is false), and at
+      // ~6 customers/nation the threshold can filter everything
+      "tpcds_q1_correlated_ret",
       "mm_frame_dedup") ++ // needs docs sharing >=2 exact frames; none at sf0.001
       SparkEntry.queries.keySet.filter(_.startsWith("dedup_"))
 
