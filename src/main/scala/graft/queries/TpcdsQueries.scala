@@ -38,8 +38,14 @@ import graft.engine.Tables
   *  - q39  — dispersion stats under a coefficient-of-variation filter
   *    (integer-exact certificate), consecutive-month self-join of the
   *    flagged set (r15 tranche).
+  *  - q49  — UNION (DISTINCT) of three per-channel ranked return-ratio
+  *    reports over one shared returns CTE, two rank windows per branch
+  *    (r15 tranche 5).
   *  - q51  — two cumulative-window CTEs FULL OUTER joined, running max
   *    over the stitched series, cross-channel comparison filter.
+  *  - q54  — scalar-subquery arithmetic bounds inside BETWEEN (one-row
+  *    anchor-month CTE, +1/+3 offsets), IN-subquery cohort, integer
+  *    revenue-bucket histogram (r15 tranche 5).
   *  - q64  — the widest join chain: a nine-relation cross-sales CTE
   *    self-joined across consecutive years (r15 tranche).
   *  - q67  — wide ROLLUP feeding a rank() window, rank-band filter.
@@ -704,6 +710,67 @@ object TpcdsQueries {
          |FROM ss LEFT JOIN ws
          |  ON ss.yr = ws.yr AND ss.item = ws.item AND ss.cust = ws.cust""".stripMargin
     },
+
+    // q49: the UNION-of-ranked-reports shape — one shared per-(channel,
+    // item) returns CTE (ONE fact scan, materialized once for all three
+    // channel branches), each channel branch ranking its items by TWO
+    // return-ratio windows (quantity ratio and line-count ratio), top-10
+    // by either rank, stitched by UNION (DISTINCT). Ratio sort keys are
+    // single divisions of exact bigints (identical doubles in both
+    // engines) with an item tiebreak so every rank is total-ordered;
+    // reference q49.sql
+    "tpcds_q49_ranked_union" -> both {
+      def branch(chan: String): String =
+        s"""SELECT '$chan' AS channel, item, r_qty, r_cnt FROM (
+           |  SELECT item,
+           |    rank() OVER (ORDER BY cast(ret_q AS double) / tot_q DESC, item) AS r_qty,
+           |    rank() OVER (ORDER BY cast(ret_n AS double) / tot_n DESC, item) AS r_cnt
+           |  FROM ch WHERE channel = '$chan' AND tot_q > 0) rnk_$chan
+           |WHERE r_qty <= 10 OR r_cnt <= 10""".stripMargin
+      s"""WITH ch AS (
+         |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+         |      WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+         |    l_partkey AS item,
+         |    cast(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS bigint) AS ret_q,
+         |    cast(sum(l_quantity) AS bigint) AS tot_q,
+         |    cast(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS bigint) AS ret_n,
+         |    cast(count(*) AS bigint) AS tot_n
+         |  FROM lineitem
+         |  GROUP BY CASE l_linenumber % 3 WHEN 0 THEN 'store'
+         |      WHEN 1 THEN 'catalog' ELSE 'web' END, l_partkey)
+         |${branch("store")}
+         |UNION
+         |${branch("catalog")}
+         |UNION
+         |${branch("web")}""".stripMargin
+    },
+
+    // q54: scalar-subquery BETWEEN bounds + revenue histogram — the
+    // anchor month is a one-row CTE whose arithmetic offsets (+1, +3)
+    // bound the revenue window as SCALAR subqueries inside BETWEEN;
+    // customers active in the anchor month (IN-subquery) have their
+    // following-quarter quantity totaled and bucketed by integer
+    // division into a count histogram. Buckets are floor() of a single
+    // exact-int division — identical doubles in both engines;
+    // reference q54.sql
+    "tpcds_q54_scalar_between" -> both(
+      """WITH my AS (
+        |  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) AS mseq
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3),
+        |cust_rev AS (
+        |  SELECT o_custkey AS cust, cast(sum(l_quantity) AS bigint) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) * 12 + month(o_orderdate)
+        |      BETWEEN (SELECT mseq + 1 FROM my) AND (SELECT mseq + 3 FROM my)
+        |    AND o_custkey IN (
+        |      SELECT o_custkey FROM orders
+        |      WHERE year(o_orderdate) * 12 + month(o_orderdate) = (SELECT mseq FROM my))
+        |  GROUP BY o_custkey)
+        |SELECT cast(floor(rev / 50.0) AS bigint) AS bucket,
+        |  cast(count(*) AS bigint) AS n_cust
+        |FROM cust_rev
+        |GROUP BY floor(rev / 50.0)""".stripMargin),
 
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;

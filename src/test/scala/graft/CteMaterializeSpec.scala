@@ -144,6 +144,14 @@ class CteMaterializeSpec extends GraftSuite {
       s"ret must execute once for both channels, got ${c78.size}/${c78.distinct.size}")
     graft.engine.CachedPlans.releaseAll()
     graft.engine.TempArtifacts.cleanupAll(spark)
+    // q49's shared returns CTE feeds all three UNION branches — the
+    // single fact scan must execute once, not three times
+    val q49 = SparkEntry.queries("tpcds_q49_ranked_union")(spark, sfTiny)
+    val c49 = q49.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(c49.size == 3 && c49.distinct.size == 1,
+      s"ch must execute once for the three ranked branches, got ${c49.size}/${c49.distinct.size}")
+    graft.engine.CachedPlans.releaseAll()
+    graft.engine.TempArtifacts.cleanupAll(spark)
   }
 
   test("materialized CTE path returns the same rows as the inline path") {
@@ -158,7 +166,8 @@ class CteMaterializeSpec extends GraftSuite {
         "tpcds_q23_cte_scalar", "tpcds_q31_ratio_periods",
         "tpcds_q39_cov_selfjoin", "tpcds_q64_wide_chain",
         "tpcds_q1_correlated_ret", "tpcds_q2_week_pivot",
-        "tpcds_q78_unreturned_ratio")) {
+        "tpcds_q78_unreturned_ratio", "tpcds_q49_ranked_union",
+        "tpcds_q54_scalar_between")) {
       val viaCache = SparkEntry.queries(name)(spark, sfTiny)
         .collect().map(_.toString).sorted
       graft.engine.CachedPlans.releaseAll()
