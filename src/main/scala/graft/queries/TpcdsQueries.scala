@@ -717,8 +717,13 @@ object TpcdsQueries {
     // return-ratio windows (quantity ratio and line-count ratio), top-10
     // by either rank, stitched by UNION (DISTINCT). Ratio sort keys are
     // single divisions of exact bigints (identical doubles in both
-    // engines) with an item tiebreak so every rank is total-ordered;
-    // reference q49.sql
+    // engines) with an item tiebreak so every rank is total-ordered.
+    // Scale note: the unpartitioned-per-channel rank window sorts each
+    // channel's item aggregate in one task — item-cardinality rows, not
+    // fact rows, so it holds far past 100× (60M-row corpus → 2k items);
+    // a pipeline owning the report at billion-item scale would swap the
+    // two windows for TakeOrderedAndProject top-k per measure, the
+    // q14_one_scan trade. reference q49.sql
     "tpcds_q49_ranked_union" -> both {
       def branch(chan: String): String =
         s"""SELECT '$chan' AS channel, item, r_qty, r_cnt FROM (
