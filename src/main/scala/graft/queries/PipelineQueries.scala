@@ -139,16 +139,26 @@ object PipelineQueries {
     */
   private def tfidfPairs(relativeCap: Boolean): Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // (r15-opt note: persisting tf to share the tokenize across the df
+    // and weight subtrees was measured 2.6× SLOWER at the sf0.1 gate —
+    // the columnar cache encode of the token strings costs more than the
+    // second tokenize pass. Recompute stands; the two changes kept below
+    // are pure plan simplifications.)
     val tf = docs
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val dfx = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    // tf is unique per (doc_id, token), so df = plain count — the
+    // countDistinct(doc_id) spelling paid an extra Expand/shuffle pass
+    // for the same number
+    val dfx = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val cap = if (relativeCap) col("n_docs") * 0.1 else lit(500.0)
-    val wn = tf.join(dfx, "token")
-      .crossJoin(broadcast(nDocs))
-      .where(col("df") <= cap)
+    // apply the df cap to the vocab-sized df table BEFORE the tf join
+    // (inner joins commute; the predicate only reads df/n_docs): the
+    // stop-word postings are dropped before they are ever joined
+    val dfCapped = dfx.crossJoin(broadcast(nDocs)).where(col("df") <= cap)
+    val wn = tf.join(dfCapped, "token")
       .withColumn("w", col("tf") * log(col("n_docs") * 1.0 / col("df")))
       .withColumn("wn", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
       .select(col("doc_id"), xxhash64(col("token")).as("thash"),
@@ -206,6 +216,13 @@ object PipelineQueries {
       .withColumn("n_sh", size(col("hsh")))
     // a constant lang key turns the per-lang df order into one global one
     val base = if (blockByLang) base0 else base0.withColumn("lang", lit("_"))
+    // (r15-opt note: persisting (doc_id, lang, hsh, n_sh) to share the
+    // shingle kernel across the df build / prefix explode / array
+    // re-attach subtrees was measured SLOWER at the sf0.1 gate — the
+    // columnar cache encode of the shingle arrays costs more than the
+    // recomputes it saves. Recompute stands; the stored-index variant
+    // (`dedup_incremental_indexed`) is the shape that amortizes the
+    // fingerprint pass across consumers at scale.)
     // exploded tokens stay SLIM (no shingle array): the df join and the
     // per-doc rank shuffle move |tokens| scalar rows, not |tokens| copies
     // of each document's full shingle array — the arrays are re-attached
@@ -2170,7 +2187,6 @@ object PipelineQueries {
           posexplode(col("words")).as(Seq("pos", "tok")))
       val postings = toks.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      val dfTbl = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val stats = docs.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
       // first-position order makes the 5-term query set deterministic
       // (positions are unique within a doc, so no tie-break needed)
@@ -2184,9 +2200,23 @@ object PipelineQueries {
       val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val tfNorm = col("tf") * lit(2.2) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      // df comes from a count window over the MATCHED postings, not a
+      // separate vocab-wide df aggregate: the df subtree pruned different
+      // columns than the score join, so no AQE exchange reuse was
+      // possible and the corpus was tokenized twice (measured r15-opt;
+      // a persist of postings costs more than the second tokenize at the
+      // gate scale). matched holds one row per (query, tok, doc-with-tok)
+      // — postings is unique per (doc, tok) and qterms per (query, tok) —
+      // so count() per (query_id, tok) IS that term's document frequency
+      // (computed before the self-doc filter, like the df table was).
+      // Skew note for 100 TB: a stop-word query term concentrates its df
+      // partition; the banded fallback is the old vocab-wide aggregate,
+      // which this replaces only because the query set is bounded.
       postings.join(broadcast(qterms), "tok")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"), col("tok"))))
         .filter(col("doc_id") =!= col("query_id"))
-        .join(broadcast(dfTbl), "tok")
         .crossJoin(broadcast(stats))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(idf * tfNorm), 6).as("score"))

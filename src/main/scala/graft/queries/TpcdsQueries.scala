@@ -779,8 +779,33 @@ object TpcdsQueries {
 
     // q95: multi_supp CTE (orders shipped by >1 supplier) referenced
     // twice — direct IN plus IN over its join with the returns slice;
-    // reference q95.sql
-    "tpcds_q95_multi_cte" -> both(
+    // reference q95.sql. The Spark spelling computes multi_supp as a
+    // grouped aggregate (min ≠ max over l_suppkey per order) instead of
+    // the oracle's lineitem self-join: both references consume the CTE
+    // only through IN (membership, not multiplicity), and "some pair of
+    // rows with different suppliers exists" ⇔ "min(l_suppkey) ≠
+    // max(l_suppkey)" (NULL suppkeys — absent in the fixture — fall out
+    // identically: min/max ignore them, and a NULL side of <> never
+    // qualifies a pair). The aggregate shuffles one (orderkey, min, max)
+    // row per order with map-side partials where the self-join form
+    // shuffles lineitem twice and joins; the oracle keeps the self-join
+    // spelling, pinning the rewrite's equivalence on every run.
+    "tpcds_q95_multi_cte" -> (
+      """WITH multi_supp AS (
+        |  SELECT l_orderkey AS order_key
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING min(l_suppkey) <> max(l_suppkey))
+        |SELECT cast(count(DISTINCT o_orderkey) AS bigint) AS order_count,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders, customer, nation
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_3', 'NATION_7')
+        |  AND year(o_orderdate) = 1997
+        |  AND o_orderkey IN (SELECT order_key FROM multi_supp)
+        |  AND o_orderkey IN (
+        |    SELECT l.l_orderkey FROM lineitem l, multi_supp m
+        |    WHERE l.l_orderkey = m.order_key AND l.l_returnflag = 'R')""".stripMargin,
       """WITH multi_supp AS (
         |  SELECT l1.l_orderkey AS order_key
         |  FROM lineitem l1, lineitem l2

@@ -153,7 +153,7 @@ object TpchQueries {
       // stays as the oracle, pinning the rewrite's equivalence).
       "tpch_q21" -> (
         """WITH lo AS (
-          |  SELECT l_orderkey, l_suppkey,
+          |  SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
           |    CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY THEN 1 ELSE 0 END AS is_late
           |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
           |  WHERE o_orderstatus = 'F'),

@@ -74,9 +74,9 @@ class CteMaterializeSpec extends GraftSuite {
     assert(caches.distinct.size == 1,
       "the two references must share ONE cached plan (single execution)")
     // outside the cache, lineitem is scanned exactly once (the
-    // returnflag='R' probe); the self-join's two scans live inside the
-    // single cached plan. InMemoryRelation is a leaf here, so collect
-    // does not descend into it.
+    // returnflag='R' probe); the CTE's own scan (the min/max-per-order
+    // aggregate since r15-opt) lives inside the single cached plan.
+    // InMemoryRelation is a leaf here, so collect does not descend into it.
     val liScans = optimized.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
         if l.output.exists(_.name == "l_orderkey") => l
