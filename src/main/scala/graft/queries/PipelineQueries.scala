@@ -2468,6 +2468,12 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      // (r15-opt note: ALSO persisting deg and edgesD — so iterations
+      // re-read instead of re-derive them from the pairs cache — was
+      // measured SLOWER (warm 6.5 s vs 5.7 s, cold 22 s vs 5.8 s at
+      // sf0.01): every run rebuilds the caches, and the extra
+      // materialization barriers cost more than the re-aggregations
+      // they save. One persist — the expensive pair join — stands.)
       val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("degree"))
       val nv = deg.agg(count(lit(1)).as("n"))
       val edgesD = edges.join(deg, "doc_a")

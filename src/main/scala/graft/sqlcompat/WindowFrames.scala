@@ -912,6 +912,25 @@ object WindowFrames {
       case Some(mode) =>
         val segWins = beforeSeg.toSeq ++ afterSeg.toSeq
         val extraWins = mode match {
+          // r15-opt: for ORDER-INSENSITIVE aggregates the current-row
+          // split pair is two RUNNING frames over a materialized unique
+          // row number — `ROWS 1 FOLLOWING AND UNBOUNDED FOLLOWING` runs
+          // Spark's UnboundedFollowingWindowFunctionFrame, which
+          // re-evaluates the aggregate from scratch per row: O(peer²)
+          // per peer group, the lowering's one scale cliff (measured
+          // 7.5 s at sf0.01 on win_sql_exclude_minmax). rn is unique
+          // within the partition, so {rn' < rn} ∪ {rn' > rn} over the
+          // peer partition is exactly peer \ {current} — and a running
+          // frame over rn DESC IS the suffix set, evaluated
+          // incrementally (O(peer)). Order-sensitive classes
+          // (collect_list) keep the positional splits.
+          case "current" if !Set("collect_list", "array_agg")(c.fn.toLowerCase) =>
+            val rn = ctx.rn(c.part, c.order.get)
+            Seq(
+              s"OVER (PARTITION BY $peerPart ORDER BY $rn " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)",
+              s"OVER (PARTITION BY $peerPart ORDER BY $rn DESC " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
           case "current" => Seq(
             split("UNBOUNDED PRECEDING AND 1 PRECEDING"),
             split("1 FOLLOWING AND UNBOUNDED FOLLOWING"))
